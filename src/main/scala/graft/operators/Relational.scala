@@ -1,0 +1,608 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+import graft.Num._
+
+/** Core relational operator inventory (SURVEY.md §2) re-expressed Spark-first
+  * on the TPC-H-ish star at /root/testdata.
+  *
+  * Every query is a declarative DataFrame plan — Catalyst handles predicate
+  * pushdown, column pruning and join strategy (all dimension sides here are
+  * tiny → broadcast hash joins, hinted explicitly where it matters at scale).
+  *
+  * Numeric discipline: see [[graft.Num]] — money aggregates run in DECIMAL
+  * (exact, partial-aggregation friendly) and surface as DOUBLE so that the
+  * DuckDB oracle hash-matches bit-for-bit.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Discounted extended price, exact decimal. (cf. reference measure
+    * `sales` at etl.py:501-511 — here on the TPC-H-ish columns.) */
+  private def revenue: Column =
+    money(col("l_extendedprice")) * (lit(1).cast(D18_2) - money(col("l_discount")))
+
+  private val REV_SQL =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  // ---------------------------------------------------------------- q1: scan
+  /** S1/F1/F2 — projection + filter; both must reach the parquet scan
+    * (PushedFilters / ReadSchema in explain). Reference: etl.py:47-54 scan,
+    * etl.py:96-99 boolean-mask filter. */
+  val q1_scan_pushdown: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate").cast(DateType) < lit("1998-01-01") &&
+              col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice"),
+              col("l_shipdate").cast(DateType).as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ------------------------------------------------------- q2: dedup-merge
+  /** P1/P2 — the reference's duplicate-order-item merge (etl.py:57-134):
+    * one pass, no remove/concat dance. Sums are exact decimal; the
+    * quantity-weighted discount (etl.py:110-112) divides exact sums as
+    * doubles; "all other columns from the first row" (etl.py:102) becomes
+    * min_by over a total order (line number is not unique within a group,
+    * so the value itself tiebreaks) — deterministic, unlike bare first(). */
+  val q2_dedup_merge: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(
+        sum(money(col("l_quantity"))).cast(DoubleType).as("quantity"),
+        sum(money(col("l_extendedprice"))).cast(DoubleType).as("sales"),
+        (sum(money(col("l_discount")) * money(col("l_quantity"))).cast(DoubleType) /
+          sum(money(col("l_quantity"))).cast(DoubleType)).as("discount_w"),
+        min_by(col("l_returnflag"),
+               format_string("%05d|%s", col("l_linenumber"), col("l_returnflag")))
+          .as("returnflag"),
+        min(col("l_linenumber")).as("first_line"))
+      .orderBy("l_orderkey", "l_partkey")
+
+  // ----------------------------------------------------------- q3: distinct
+  /** F4 — multi-column distinct (etl.py:140,146,150…). */
+  val q3_distinct: Q = (s, d) =>
+    lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ------------------------------------------- q4: broadcast dim join + agg
+  /** J1/A2 — fact⋈dim lookup join (etl.py:452-496). The dimension is tiny at
+    * every scale factor → explicit broadcast keeps the fact side shuffle-free
+    * on a 1000-executor cluster. */
+  val q4_brand_revenue: Q = (s, d) =>
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(dsum(revenue).as("revenue"),
+           dsum(money(col("l_quantity"))).as("total_qty"),
+           count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  // --------------------------------------------------- q5: multi-hop chain
+  /** J6 — Orders⋈Location⋈State⋈Region chain (DA:cell 4) → here
+    * orders⋈customer⋈nation⋈region; all dims broadcast. */
+  val q5_region_revenue: Q = (s, d) =>
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(money(col("o_totalprice"))).as("total_sales"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+
+  // --------------------------------------- q6: role-playing calendar joins
+  /** J2/J8/C5 — the reference's role-playing Calendar (order vs ship date,
+    * etl.py:598-599, DA:cell 14): one conformed date dimension joined twice
+    * under different aliases, then DATEDIFF between the two roles. The
+    * calendar stays tiny forever (it's bounded by days-in-history) →
+    * broadcast both roles. */
+  val q6_ship_delay: Q = (s, d) => {
+    val cal = orders(s, d).select(col("o_orderdate").cast(DateType).as("full_date"))
+      .union(lineitem(s, d).select(col("l_shipdate").cast(DateType)))
+      .distinct()
+    val oc = broadcast(cal).as("oc")
+    val sc = broadcast(cal).as("sc")
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(oc, col("o_orderdate").cast(DateType) === col("oc.full_date"))
+      .join(sc, col("l_shipdate").cast(DateType) === col("sc.full_date"))
+      .groupBy("o_orderpriority")
+      .agg(
+        (sum(datediff(col("sc.full_date"), col("oc.full_date"))).cast(DoubleType) /
+          count(lit(1))).as("avg_delay_days"),
+        min(datediff(col("sc.full_date"), col("oc.full_date"))).as("min_delay"),
+        max(datediff(col("sc.full_date"), col("oc.full_date"))).as("max_delay"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ----------------------------------------------------- q7: calendar agg
+  /** A2/C4 — multi-measure group sum by year/month (etl.py:711-715). */
+  val q7_monthly_sales: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("year_number"),
+               month(col("o_orderdate")).as("month_number"))
+      .agg(dsum(money(col("o_totalprice"))).as("total_sales"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("year_number", "month_number")
+
+  // --------------------------------------------------------- q8: rollup
+  /** A9/C8 — GROUP BY ... WITH ROLLUP + GROUPING() relabel (DA:cell 8). */
+  val q8_rollup_segment: Q = (s, d) =>
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"))
+      .agg(dsum(money(col("o_totalprice"))).as("total_sales"),
+           count(lit(1)).as("n_orders"),
+           grouping(col("c_mktsegment")).as("g"))
+      .select(
+        when(col("g") === 1, lit("TOTAL")).otherwise(col("c_mktsegment")).as("segment"),
+        col("total_sales"), col("n_orders"))
+      .orderBy("segment")
+
+  // ------------------------------------------- q9: ordered string agg
+  /** A10/C9 — GROUP_CONCAT(... ORDER BY sales DESC) + top-10 cut
+    * (DA:cell 26), as a composition of codegen'd built-ins: sort structs,
+    * project the name, slice, join. No UDF, no collect to driver. */
+  val q9_top_parts_concat: Q = (s, d) =>
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_name")
+      .agg(sum(revenue).as("rev"))
+      .groupBy("p_brand")
+      .agg(expr(
+        "array_join(slice(transform(array_sort(collect_list(named_struct('s', -rev, 'n', p_name))), x -> x.n), 1, 5), ', ')"
+      ).as("top_parts"))
+      .orderBy("p_brand")
+
+  // --------------------------------------------------- q10: distinct count
+  /** A11 — per-group distinct count (etl.ipynb cells 10-11). At 100 TB the
+    * exact countDistinct shuffles once on (group, key); the sketch variant
+    * is approx_count_distinct (exposed in q10b below, rows-only check). */
+  val q10_distinct_customers: Q = (s, d) =>
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+
+  /** A11 sketch twin — approx_count_distinct (HLL++). No DuckDB oracle:
+    * sketch estimates are engine-specific; driver does a rows-only check. */
+  val q10b_approx_distinct: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  // ------------------------------------- q11: pct-of-total + cumulative pct
+  /** A12/W3 — scalar-subquery total + SUM(SUM()) OVER (ORDER BY) cumulative
+    * share (DA:cell 20). The window runs on the 25-row aggregate, not the
+    * fact table — the expensive part stays a plain shuffle-once groupBy. */
+  val q11_pct_of_total: Q = (s, d) => {
+    val agg = orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(money(col("o_totalprice"))).as("rev_d"))
+    agg
+      .withColumn("total_d", sum(col("rev_d")).over(Window.partitionBy()))
+      .withColumn("cum_d", sum(col("rev_d")).over(Window.orderBy("n_name")))
+      .select(col("n_name"),
+              col("rev_d").cast(DoubleType).as("revenue"),
+              (col("rev_d").cast(DoubleType) / col("total_d").cast(DoubleType) * 100).as("pct"),
+              (col("cum_d").cast(DoubleType) / col("total_d").cast(DoubleType) * 100).as("cum_pct"))
+      .orderBy("n_name")
+  }
+
+  // --------------------------------------------------------- q12: rank
+  /** W1 — RANK() over a derived aggregate (DA:cell 10). Exact decimal
+    * revenue ⇒ identical tie behavior in both engines. */
+  val q12_rank_parts: Q = (s, d) =>
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_name")
+      .agg(sum(revenue).as("rev_d"))
+      .withColumn("rnk", rank().over(Window.orderBy(col("rev_d").desc)).cast(IntegerType))
+      .filter(col("rnk") <= 10)
+      .select(col("rnk"), col("p_partkey"), col("p_name"),
+              col("rev_d").cast(DoubleType).as("revenue"))
+      .orderBy("rnk", "p_partkey")
+
+  // ------------------------------------------- q13: running total (RANGE)
+  /** W2 — SUM() OVER (PARTITION BY ... ORDER BY date) with the default
+    * RANGE frame: same-date peers tie together, exactly as MySQL
+    * (DA:cell 12). Partitioned by nation ⇒ parallel across the cluster. */
+  val q13_running_sales: Q = (s, d) => {
+    val w = Window.partitionBy("n_name").orderBy("order_date")
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderdate").cast(DateType).as("order_date"),
+              col("o_orderkey"), col("o_totalprice"))
+      .withColumn("running_sales", sum(money(col("o_totalprice"))).over(w).cast(DoubleType))
+      .orderBy("n_name", "order_date", "o_orderkey")
+  }
+
+  // ------------------------------------------------- q14: Pareto (ROWS)
+  /** W4/F5 — explicit ROWS frame running sum + whole-partition total, filter
+    * running − x < 0.8·total (DA:cell 24). All comparisons in exact decimal.
+    * Ordering inside the frame carries a unique tiebreaker (p_partkey) so
+    * the ROWS frame is deterministic. */
+  val q14_pareto_parts: Q = (s, d) => {
+    val base = lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type", "p_partkey")
+      .agg(sum(revenue).as("rev_d"))
+    val wRun = Window.partitionBy("p_type")
+      .orderBy(col("rev_d").desc, col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("p_type")
+    base
+      .withColumn("running_d", sum(col("rev_d")).over(wRun))
+      .withColumn("total_d", sum(col("rev_d")).over(wTot))
+      .filter(col("running_d") - col("rev_d") <
+              expr("CAST(0.8 AS DECIMAL(2,1))") * col("total_d"))
+      .select(col("p_type"), col("p_partkey"),
+              col("rev_d").cast(DoubleType).as("revenue"),
+              col("running_d").cast(DoubleType).as("running_revenue"))
+      .orderBy("p_type", "p_partkey")
+  }
+
+  // --------------------------------------------------------- q15: top-k
+  /** O2 — ORDER BY ... DESC LIMIT k ⇒ TakeOrderedAndProject (no global
+    * sort at scale). Unique tiebreaker makes the result set deterministic. */
+  val q15_topk_orders: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderdate").cast(DateType).as("order_date"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // --------------------------------------------- q16: calendar dimension
+  /** U1/C12/§7.3 — union-distinct of the two date roles + deterministic
+    * surrogate keys via row_number over the natural order (etl.py:163-251).
+    * The date domain is bounded (days-in-history) ⇒ the single-partition
+    * window is safe at any fact scale. */
+  val q16_calendar_dim: Q = (s, d) =>
+    orders(s, d).select(col("o_orderdate").cast(DateType).as("full_date"))
+      .union(lineitem(s, d).select(col("l_shipdate").cast(DateType)))
+      .distinct()
+      .select(
+        row_number().over(Window.orderBy("full_date")).cast(IntegerType).as("calendar_id"),
+        col("full_date"),
+        year(col("full_date")).as("year_number"),
+        month(col("full_date")).as("month_number"),
+        date_format(col("full_date"), "MMMM").as("month_name"),
+        dayofmonth(col("full_date")).as("day_number"))
+      .orderBy("calendar_id")
+
+  // --------------------------------------------- q17: customer dimension
+  /** §7.3 — surrogate keys in *first-appearance* order, the reference's
+    * AUTO_INCREMENT semantics (etl.py:255-271): first appearance = min
+    * order key, then row_number over it. */
+  val q17_customer_dim: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(min(col("o_orderkey")).as("first_seen"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(
+        row_number().over(Window.orderBy("first_seen")).cast(IntegerType).as("customer_sk"),
+        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("first_seen"))
+      .orderBy("customer_sk")
+
+  // --------------------------------------------------- q18: lost value
+  /** C6 — lost_value = sales/(1−discount) − sales, 0 when discount ≥ 1
+    * (etl.py:503-509). Per-row double math is IEEE-identical across engines;
+    * the sum runs over a fixed-point (1e-4) integer snap so float summation
+    * order cannot leak into the result. */
+  val q18_lost_value: Q = (s, d) =>
+    lineitem(s, d)
+      .withColumn("lost", expr(
+        """CAST(floor((CASE WHEN l_discount < 1
+           THEN l_extendedprice / (1 - l_discount) - l_extendedprice
+           ELSE 0 END) * 10000 + 0.5) AS DECIMAL(28,0))"""))
+      .groupBy("l_returnflag")
+      .agg((sum(col("lost")).cast(DoubleType) / 10000).as("lost_value"),
+           count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+
+  // ----------------------------------------------- q19: HAVING on count
+  /** F3/A1 — duplicate-group detection, filter on aggregate (etl.py:74-84). */
+  val q19_dup_groups: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("l_orderkey", "l_partkey")
+
+  // --------------------------------------------------- q20: anti join
+  /** S9 — the "Not Found" reject branch (etl.py:489-496) as a left-anti
+    * join: orders that have no line items. */
+  val q20_orders_no_items: Q = (s, d) =>
+    orders(s, d)
+      .join(lineitem(s, d).select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderdate").cast(DateType).as("order_date"))
+      .orderBy("o_orderkey")
+
+  // --------------------------------------------------- q21: semi join
+  /** Lookup-hit branch as left-semi: customers with ≥1 finished order. */
+  val q21_active_customers: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  // --------------------------------------------- q22: weighted average
+  /** A6 — quantity-weighted mean discount (etl.py:110-112) per brand. */
+  val q22_weighted_discount: Q = (s, d) =>
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        (sum(money(col("l_discount")) * money(col("l_quantity"))).cast(DoubleType) /
+          sum(money(col("l_quantity"))).cast(DoubleType)).as("discount_w"),
+        dsum(money(col("l_quantity"))).as("total_qty"))
+      .orderBy("p_brand")
+
+  // --------------------------------------------------- q23: event windows
+  /** Time-bucketed event aggregation (the batch twin of the Structured
+    * Streaming pipeline in graft.streaming): tumbling 1-hour windows. */
+  val q23_events_hourly: Q = (s, d) =>
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(money(col("value"))).as("total_value"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour", "event_type")
+
+  // --------------------------------------------------- q24: JSON extract
+  /** Semi-structured props column: JSON path extraction, codegen'd
+    * built-in (no UDF). */
+  val q24_events_json: Q = (s, d) =>
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"),
+           count(lit(1)).as("n"),
+           (sum(col("k")).cast(DoubleType) / count(lit(1))).as("avg_k"))
+      .orderBy("event_type")
+
+  // ===================================================================
+  val queries: Map[String, Q] = Map(
+    "q1_scan_pushdown"      -> q1_scan_pushdown,
+    "q2_dedup_merge"        -> q2_dedup_merge,
+    "q3_distinct"           -> q3_distinct,
+    "q4_brand_revenue"      -> q4_brand_revenue,
+    "q5_region_revenue"     -> q5_region_revenue,
+    "q6_ship_delay"         -> q6_ship_delay,
+    "q7_monthly_sales"      -> q7_monthly_sales,
+    "q8_rollup_segment"     -> q8_rollup_segment,
+    "q9_top_parts_concat"   -> q9_top_parts_concat,
+    "q10_distinct_customers" -> q10_distinct_customers,
+    "q10b_approx_distinct"  -> q10b_approx_distinct,
+    "q11_pct_of_total"      -> q11_pct_of_total,
+    "q12_rank_parts"        -> q12_rank_parts,
+    "q13_running_sales"     -> q13_running_sales,
+    "q14_pareto_parts"      -> q14_pareto_parts,
+    "q15_topk_orders"       -> q15_topk_orders,
+    "q16_calendar_dim"      -> q16_calendar_dim,
+    "q17_customer_dim"      -> q17_customer_dim,
+    "q18_lost_value"        -> q18_lost_value,
+    "q19_dup_groups"        -> q19_dup_groups,
+    "q20_orders_no_items"   -> q20_orders_no_items,
+    "q21_active_customers"  -> q21_active_customers,
+    "q22_weighted_discount" -> q22_weighted_discount,
+    "q23_events_hourly"     -> q23_events_hourly,
+    "q24_events_json"       -> q24_events_json,
+  )
+
+  private val MONEY_O = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q1_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) < DATE '1998-01-01' AND l_discount > CAST(0.05 AS DOUBLE)
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q2_dedup_merge" ->
+      """SELECT l_orderkey, l_partkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS discount_w,
+           arg_min(l_returnflag, printf('%05d|%s', l_linenumber, l_returnflag)) AS returnflag,
+           MIN(l_linenumber) AS first_line
+         FROM lineitem GROUP BY l_orderkey, l_partkey ORDER BY l_orderkey, l_partkey""",
+
+    "q3_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q4_brand_revenue" ->
+      s"""SELECT p_brand,
+           CAST(SUM($REV_SQL) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "q5_region_revenue" ->
+      s"""SELECT r_name, n_name, $MONEY_O AS total_sales, COUNT(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q6_ship_delay" ->
+      """SELECT o_orderpriority,
+           CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE)
+             / COUNT(*) AS avg_delay_days,
+           CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INTEGER) AS min_delay,
+           CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INTEGER) AS max_delay,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q7_monthly_sales" ->
+      s"""SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS year_number,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS month_number,
+           $MONEY_O AS total_sales, COUNT(*) AS n_orders
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q8_rollup_segment" ->
+      s"""SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'TOTAL' ELSE c_mktsegment END AS segment,
+           $MONEY_O AS total_sales, COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY ROLLUP(c_mktsegment) ORDER BY segment""",
+
+    "q9_top_parts_concat" ->
+      s"""SELECT p_brand,
+           array_to_string(list_slice(list(p_name ORDER BY rev DESC, p_name), 1, 5), ', ') AS top_parts
+         FROM (
+           SELECT p_brand, p_name, SUM($REV_SQL) AS rev
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY p_brand, p_name)
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "q10_distinct_customers" ->
+      """SELECT n_name, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q11_pct_of_total" ->
+      """WITH a AS (
+           SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name)
+         SELECT n_name,
+           CAST(rev_d AS DOUBLE) AS revenue,
+           CAST(rev_d AS DOUBLE) / CAST(SUM(rev_d) OVER () AS DOUBLE) * 100 AS pct,
+           CAST(SUM(rev_d) OVER (ORDER BY n_name) AS DOUBLE)
+             / CAST(SUM(rev_d) OVER () AS DOUBLE) * 100 AS cum_pct
+         FROM a ORDER BY n_name""",
+
+    "q12_rank_parts" ->
+      s"""WITH pr AS (
+           SELECT p_partkey, p_name, SUM($REV_SQL) AS rev_d
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY p_partkey, p_name)
+         SELECT CAST(RANK() OVER (ORDER BY rev_d DESC) AS INTEGER) AS rnk,
+           p_partkey, p_name, CAST(rev_d AS DOUBLE) AS revenue
+         FROM pr QUALIFY rnk <= 10 ORDER BY rnk, p_partkey""",
+
+    "q13_running_sales" ->
+      """SELECT n_name, CAST(o_orderdate AS DATE) AS order_date, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY n_name ORDER BY CAST(o_orderdate AS DATE)) AS DOUBLE) AS running_sales
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY n_name, order_date, o_orderkey""",
+
+    "q14_pareto_parts" ->
+      s"""WITH base AS (
+           SELECT p_type, p_partkey, SUM($REV_SQL) AS rev_d
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY p_type, p_partkey),
+         win AS (
+           SELECT p_type, p_partkey, rev_d,
+             SUM(rev_d) OVER (PARTITION BY p_type ORDER BY rev_d DESC, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_d,
+             SUM(rev_d) OVER (PARTITION BY p_type) AS total_d
+           FROM base)
+         SELECT p_type, p_partkey, CAST(rev_d AS DOUBLE) AS revenue,
+           CAST(running_d AS DOUBLE) AS running_revenue
+         FROM win WHERE running_d - rev_d < 0.8 * total_d
+         ORDER BY p_type, p_partkey""",
+
+    "q15_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q16_calendar_dim" ->
+      """WITH d AS (
+           SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date FROM orders
+           UNION
+           SELECT DISTINCT CAST(l_shipdate AS DATE) FROM lineitem)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY full_date) AS INTEGER) AS calendar_id,
+           full_date,
+           CAST(YEAR(full_date) AS INTEGER) AS year_number,
+           CAST(MONTH(full_date) AS INTEGER) AS month_number,
+           MONTHNAME(full_date) AS month_name,
+           CAST(DAY(full_date) AS INTEGER) AS day_number
+         FROM d ORDER BY calendar_id""",
+
+    "q17_customer_dim" ->
+      """WITH f AS (
+           SELECT o_custkey, MIN(o_orderkey) AS first_seen FROM orders GROUP BY o_custkey)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY first_seen) AS INTEGER) AS customer_sk,
+           c_custkey, c_name, c_mktsegment, first_seen
+         FROM f JOIN customer ON o_custkey = c_custkey
+         ORDER BY customer_sk""",
+
+    "q18_lost_value" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(floor((CASE WHEN l_discount < 1
+             THEN l_extendedprice / (1 - l_discount) - l_extendedprice
+             ELSE 0 END) * 10000 + 0.5) AS DECIMAL(28,0))) AS DOUBLE) / 10000 AS lost_value,
+           COUNT(*) AS n_items
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q19_dup_groups" ->
+      """SELECT l_orderkey, l_partkey, COUNT(*) AS n FROM lineitem
+         GROUP BY l_orderkey, l_partkey HAVING COUNT(*) > 1
+         ORDER BY l_orderkey, l_partkey""",
+
+    "q20_orders_no_items" ->
+      """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+         FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         ORDER BY o_orderkey""",
+
+    "q21_active_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+
+    "q22_weighted_discount" ->
+      """SELECT p_brand,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS discount_w,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "q23_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q24_events_json" ->
+      """SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*) AS avg_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+  )
+}
