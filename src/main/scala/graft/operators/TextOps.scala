@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** Text-analysis + document-dedup operators for large-scale training-data
+  * pipelines, over the `documents` table.
+  *
+  * Everything here is built from codegen'd built-ins and higher-order array
+  * functions — no UDFs — so the operators stay inside whole-stage codegen
+  * and scale linearly with the corpus. Shingle-based operators carry an
+  * explicit document-frequency cap (the standard anti-explosion guard for
+  * MinHash/Jaccard pipelines at 100 TB: a stop-shingle appearing in millions
+  * of documents would otherwise quadratically blow up the candidate join).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokenization used across the suite: documents are single-space joined
+    * words (see TESTDATA.md). Kept identical in the DuckDB oracles. */
+  private val TOKENS = "split(text, ' ')"
+
+  // ------------------------------------------------------ token statistics
+  /** Token counting per language: corpus-level stats a data pipeline reports
+    * before training (doc counts, token counts, chars/doc). */
+  val q30_token_stats: Q = (s, d) =>
+    documents(s, d)
+      .select(col("lang"),
+              expr(s"size($TOKENS)").as("n_tok"),
+              col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+      .orderBy("lang")
+
+  // ------------------------------------------------------- quality scoring
+  /** Per-document quality signals: token count, type-token (distinct)
+    * ratio, stopword ratio, mean token length — the standard cheap filters
+    * before expensive dedup. All ratios are double divisions of exact
+    * integer counts ⇒ engine-independent. */
+  val q31_doc_quality: Q = (s, d) =>
+    documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        expr(s"size($TOKENS)").as("n_tokens"),
+        expr(s"size(array_distinct($TOKENS))").as("n_distinct"),
+        expr(s"size(filter($TOKENS, t -> t IN ('the', 'a')))").as("n_stop"),
+        expr(s"aggregate(transform($TOKENS, x -> length(x)), 0, (acc, v) -> acc + v)")
+          .as("sum_tok_len"))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        (col("n_distinct").cast(DoubleType) / col("n_tokens")).as("distinct_ratio"),
+        (col("n_stop").cast(DoubleType) / col("n_tokens")).as("stop_ratio"),
+        (col("sum_tok_len").cast(DoubleType) / col("n_tokens")).as("avg_tok_len"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------- language ID
+  /** Marker-word language ID (n-gram-style heuristic): score = marker hits
+    * per candidate language, argmax with a fixed precedence. Confusion
+    * matrix against the labeled `lang` column. */
+  val q32_lang_id: Q = (s, d) => {
+    def hits(words: String) =
+      s"size(filter($TOKENS, t -> t IN ($words)))"
+    documents(s, d)
+      .select(col("lang"), col("doc_id"),
+              expr(hits("'the', 'a', 'and'")).as("s_en"),
+              expr(hits("'el', 'la', 'los'")).as("s_es"),
+              expr(hits("'der', 'und', 'die'")).as("s_de"),
+              expr(hits("'le', 'les', 'et'")).as("s_fr"),
+              expr(hits("'的', '是', '在'")).as("s_zh"))
+      .withColumn("predicted", expr(
+        """CASE
+             WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+             WHEN s_zh > 0 THEN 'zh'
+             ELSE 'unknown' END"""))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  // ------------------------------------------------- exact dedup (hash)
+  /** Exact near-dup-free count per language: md5 fingerprint of the
+    * whitespace-normalized lowercased text, hash-groupBy dedup. At scale
+    * this is one shuffle on the 128-bit fingerprint. */
+  val q33_fingerprint_dedup: Q = (s, d) =>
+    documents(s, d)
+      .select(col("lang"), col("doc_id"),
+              md5(regexp_replace(lower(trim(col("text"))), " +", " ")).as("fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("fp")).as("n_unique"),
+           (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
+      .orderBy("lang")
+
+  // -------------------------------------------- shared shingle machinery
+  /** Distinct 3-gram word shingles per document, document-frequency capped.
+    * The guard (`size >= 3`) matters: Spark's sequence(1, n) generates a
+    * DESCENDING range when n < 1, unlike DuckDB's empty generate_series. */
+  private def shingles(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), expr(TOKENS).as("t"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) >= 3
+             THEN array_distinct(transform(sequence(1, size(t) - 2),
+                    i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+             ELSE array() END""")).as("shingle"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("shingle")
+    sh.join(rare, "shingle")
+  }
+
+  private def shinglesSql(dfCap: Int): String =
+    s"""sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        rare AS (
+          SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $dfCap),
+        shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle))"""
+
+  // ------------------------------------------------- n-gram Jaccard dedup
+  /** Near-dup detection via 3-gram shingle Jaccard: candidate pairs share
+    * ≥1 (rare) shingle; J = |∩| / |∪| from per-doc shingle-set sizes.
+    * The shingle self-join is the scale-limiting step — bounded by the
+    * document-frequency cap, never by corpus size squared. */
+  val q34_ngram_jaccard: Q = (s, d) => {
+    // deliberately NOT cached: a cached plan would pin executor memory for
+    // the rest of the session (queries here are one-shot); Spark reuses the
+    // shuffle output of the shingle build across the three consumers anyway
+    val shf = shingles(s, d, dfCap = 50)
+    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = shf.as("a").join(shf.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) /
+          (col("n1") + col("n2") - col("n_common")).cast(DoubleType))
+      .filter(col("jaccard") >= 0.2)
+      .select("d1", "d2", "n_common", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  // ------------------------------------------------------- MinHash + LSH
+  /** MinHash(16) + LSH(4 bands × 4 rows) candidate pairs. Hash family i is
+    * md5("i:" || shingle) compared lexicographically (fixed-width lowercase
+    * hex ⇒ string order = numeric order, identical in both engines); a band
+    * key is the md5 of its 4 minhashes. Docs sharing ≥1 band are candidates
+    * — the bucket join replaces the quadratic pair scan at scale. */
+  val q35_minhash_lsh: Q = (s, d) => {
+    val shf = shingles(s, d, dfCap = 50)
+    val minAggs = (0 until 16).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
+    val mins = shf.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bands = mins.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => md5(concat_ws("|",
+        lit(b.toString), col(s"m${4*b}"), col(s"m${4*b+1}"),
+        col(s"m${4*b+2}"), col(s"m${4*b+3}")))): _*)).as("band_key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("d1", "d2")
+  }
+
+  // ===================================================================
+  val queries: Map[String, Q] = Map(
+    "q30_token_stats"       -> q30_token_stats,
+    "q31_doc_quality"       -> q31_doc_quality,
+    "q32_lang_id"           -> q32_lang_id,
+    "q33_fingerprint_dedup" -> q33_fingerprint_dedup,
+    "q34_ngram_jaccard"     -> q34_ngram_jaccard,
+    "q35_minhash_lsh"       -> q35_minhash_lsh,
+  )
+
+  private def hitsSql(words: String) =
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($words)))"
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q31_doc_quality" ->
+      """SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS distinct_ratio,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stop_ratio,
+           CAST(list_reduce(list_transform(string_split(text, ' '), x -> len(x)), (acc, v) -> acc + v) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_tok_len
+         FROM documents ORDER BY doc_id""",
+
+    "q32_lang_id" ->
+      s"""SELECT lang, predicted, COUNT(*) AS n_docs FROM (
+           SELECT lang,
+             CASE
+               WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+               WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+               WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+               WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+               WHEN s_zh > 0 THEN 'zh'
+               ELSE 'unknown' END AS predicted
+           FROM (SELECT lang,
+             ${hitsSql("'the', 'a', 'and'")} AS s_en,
+             ${hitsSql("'el', 'la', 'los'")} AS s_es,
+             ${hitsSql("'der', 'und', 'die'")} AS s_de,
+             ${hitsSql("'le', 'les', 'et'")} AS s_fr,
+             ${hitsSql("'的', '是', '在'")} AS s_zh
+           FROM documents))
+         GROUP BY lang, predicted ORDER BY lang, predicted""",
+
+    "q33_fingerprint_dedup" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS n_dups
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q34_ngram_jaccard" ->
+      s"""WITH ${shinglesSql(50)},
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+           FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT d1, d2, n_common,
+           CAST(n_common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) AS jaccard
+         FROM pairs
+         JOIN sizes s1 ON s1.doc_id = d1
+         JOIN sizes s2 ON s2.doc_id = d2
+         WHERE CAST(n_common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.2
+         ORDER BY d1, d2""",
+
+    "q35_minhash_lsh" ->
+      s"""WITH ${shinglesSql(50)},
+         mins AS (
+           SELECT doc_id,
+             ${(0 until 16).map(i => s"MIN(md5('$i:' || shingle)) AS m$i").mkString(", ")}
+           FROM shf GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, unnest([
+             ${(0 until 4).map(b => s"md5('$b' || '|' || m${4*b} || '|' || m${4*b+1} || '|' || m${4*b+2} || '|' || m${4*b+3})").mkString(", ")}
+           ]) AS band_key FROM mins)
+         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_bands
+         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         ORDER BY d1, d2""",
+  )
+}

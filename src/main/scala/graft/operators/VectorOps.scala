@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * All dot products run as sequential left folds over double-cast elements
+  * (`aggregate`/`zip_with` in Spark, `list_reduce` in DuckDB) — identical
+  * accumulation order ⇒ bit-identical doubles, so even raw cosine values
+  * hash-match the oracle.
+  *
+  * Scale story: brute-force top-k is the O(Q·N) baseline with a bounded
+  * query set; the sign-LSH variant buckets vectors by a random-hyperplane-
+  * style bit code so the candidate join is bucket-local — the 100 TB path.
+  */
+object VectorOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Elementwise-double copy of the embedding. */
+  private val VECD = "transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  private def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  // --------------------------------------------------- brute-force top-k
+  /** Exact cosine top-3 neighbors for a fixed probe set (vec_id < 20):
+    * broadcast the probes, scan candidates once, rank per probe. */
+  val q40_cosine_topk: Q = (s, d) => {
+    val vecs = embeddings(s, d)
+      .select(col("vec_id"), expr(VECD).as("v"),
+              expr(s"sqrt(${dotSql("$VEC", "$VEC")})".replace("$VEC", VECD)).as("norm"))
+    val probes = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+    val scored = vecs.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        expr(dotSql("qv", "v")) / (col("qn") * col("norm")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id")))
+        .cast(IntegerType))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  // --------------------------------------------------- sign-LSH buckets
+  /** Sign-bit code over the first 8 dimensions (random-hyperplane LSH with
+    * axis-aligned planes — embeddings are already whitened/normalized).
+    * Bucket histogram: the partition layout an IVF/LSH ANN index would use. */
+  val q41_lsh_buckets: Q = (s, d) =>
+    embeddings(s, d)
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, 7),
+             0, (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > CAST(0 AS FLOAT)
+                                       THEN CAST(shiftleft(1, i) AS INT) ELSE 0 END)"""))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+           countDistinct(col("label")).as("n_labels"))
+      .orderBy("bucket")
+
+  /** LSH-bucketed near-neighbor pairs: candidates share an 8-bit sign
+    * bucket (the join is bucket-local, never all-pairs), verified by exact
+    * cosine ≥ 0.2. */
+  val q42_lsh_neardup: Q = (s, d) => {
+    val vecs = embeddings(s, d)
+      .select(col("vec_id"), expr(VECD).as("v"),
+              expr(s"sqrt(${dotSql("$VEC", "$VEC")})".replace("$VEC", VECD)).as("norm"),
+              expr(
+                """aggregate(sequence(0, 7),
+                     0, (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > CAST(0 AS FLOAT)
+                                               THEN CAST(shiftleft(1, i) AS INT) ELSE 0 END)""")
+                .as("bucket"))
+    val a = vecs.select(col("bucket"), col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1"))
+    val b = vecs.select(col("bucket"), col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2"))
+    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+      .withColumn("cosine", expr(dotSql("v1", "v2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") >= 0.2)
+      .select("bucket", "d1", "d2", "cosine")
+      .orderBy("bucket", "d1", "d2")
+  }
+
+  // ------------------------------------------------- kNN label vote
+  /** 5-NN majority-vote label accuracy for probes (vec_id < 50): the
+    * standard embedding-quality probe. Vote ties break toward the smaller
+    * label; per-label accuracy out. */
+  val q43_knn_accuracy: Q = (s, d) => {
+    val vecs = embeddings(s, d)
+      .select(col("vec_id"), col("label"), expr(VECD).as("v"),
+              expr(s"sqrt(${dotSql("$VEC", "$VEC")})".replace("$VEC", VECD)).as("norm"))
+    val probes = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+              col("v").as("qv"), col("norm").as("qn"))
+    val top5 = vecs.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", expr(dotSql("qv", "v")) / (col("qn") * col("norm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rnk") <= 5)
+    val votes = top5.groupBy("q_id", "q_label", "label")
+      .agg(count(lit(1)).as("n_votes"))
+    val pred = votes
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("n_votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("q_label"), col("label").as("predicted"))
+    pred.groupBy("q_label")
+      .agg(count(lit(1)).as("n_probes"),
+           sum(when(col("predicted") === col("q_label"), 1).otherwise(0)).as("n_correct"))
+      .orderBy("q_label")
+  }
+
+  // ===================================================================
+  val queries: Map[String, Q] = Map(
+    "q40_cosine_topk"  -> q40_cosine_topk,
+    "q41_lsh_buckets"  -> q41_lsh_buckets,
+    "q42_lsh_neardup"  -> q42_lsh_neardup,
+    "q43_knn_accuracy" -> q43_knn_accuracy,
+  )
+
+  private val VECD_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (acc, v) -> acc + v)"
+  private val BUCKET_SQL =
+    """list_reduce(list_transform(generate_series(0, 7),
+         i -> CASE WHEN embedding[i + 1] > 0 THEN (1 << i) ELSE 0 END), (acc, v) -> acc + v)"""
+
+  val oracles: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      s"""WITH vecs AS (
+           SELECT vec_id, $VECD_SQL AS v, sqrt(${dotDuck("v0", "v0").replace("v0", VECD_SQL)}) AS norm
+           FROM embeddings),
+         probes AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM vecs WHERE vec_id < 20),
+         scored AS (
+           SELECT q_id, vec_id, ${dotDuck("qv", "v")} / (qn * norm) AS cosine
+           FROM vecs, probes WHERE vec_id <> q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+           FROM scored)
+         SELECT q_id, rnk, vec_id AS neighbor_id, cosine
+         FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
+
+    "q41_lsh_buckets" ->
+      s"""SELECT $BUCKET_SQL AS bucket, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
+         FROM embeddings GROUP BY 1 ORDER BY 1""",
+
+    "q42_lsh_neardup" ->
+      s"""WITH vecs AS (
+           SELECT vec_id, $VECD_SQL AS v,
+             sqrt(${dotDuck("v0", "v0").replace("v0", VECD_SQL)}) AS norm,
+             $BUCKET_SQL AS bucket
+           FROM embeddings)
+         SELECT a.bucket, a.vec_id AS d1, b.vec_id AS d2,
+           ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) AS cosine
+         FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) >= 0.2
+         ORDER BY a.bucket, d1, d2""",
+
+    "q43_knn_accuracy" ->
+      s"""WITH vecs AS (
+           SELECT vec_id, label, $VECD_SQL AS v, sqrt(${dotDuck("v0", "v0").replace("v0", VECD_SQL)}) AS norm
+           FROM embeddings),
+         probes AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, norm AS qn FROM vecs WHERE vec_id < 50),
+         scored AS (
+           SELECT q_id, q_label, vec_id, label,
+             ${dotDuck("qv", "v")} / (qn * norm) AS cosine
+           FROM vecs, probes WHERE vec_id <> q_id),
+         top5 AS (
+           SELECT * FROM (
+             SELECT q_id, q_label, label, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+             FROM scored) WHERE rnk <= 5),
+         votes AS (
+           SELECT q_id, q_label, label, COUNT(*) AS n_votes
+           FROM top5 GROUP BY q_id, q_label, label),
+         pred AS (
+           SELECT q_id, q_label, label AS predicted FROM (
+             SELECT q_id, q_label, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS vr
+             FROM votes) WHERE vr = 1)
+         SELECT q_label, COUNT(*) AS n_probes,
+           CAST(SUM(CASE WHEN predicted = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         FROM pred GROUP BY q_label ORDER BY q_label""",
+  )
+}
