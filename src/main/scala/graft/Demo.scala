@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+import graft.operators.Multimodal
+import graft.functions.DotProduct
+
+/** Library-surface demo: exercises the streaming, multimodal and custom-
+  * expression APIs the way a downstream user would.
+  * Usage: runMain graft.Demo [sfDir]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. watermarked streaming aggregation, run to completion on the static table
+    val hourly = EventsStream.runHourly(spark, dir, "demo_hourly")
+    println(s"DEMO streaming_hourly rows=${hourly.count()}")
+    hourly.orderBy("hour", "event_type").show(3, truncate = false)
+
+    // 2. stateful sessionization through the typed API
+    val sessions = EventsStream.runSessions(spark, dir)
+    println(s"DEMO sessions rows=${sessions.count()} " +
+      s"events=${sessions.agg(sum("n_events")).head().getLong(0)}")
+
+    // 3. multimodal decode stub through the typed partition-wise operator
+    val feats = Multimodal.decodeFeatures(Multimodal.binaryized(spark, dir))
+    println(s"DEMO multimodal rows=${feats.count()}")
+
+    // 4. custom expression from SQL text (registry path)
+    DotProduct.register(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb")
+    val norm = spark.sql(
+      """SELECT vec_id, dot_product(transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                           transform(embedding, x -> CAST(x AS DOUBLE))) AS norm2
+        |FROM emb ORDER BY vec_id LIMIT 3""".stripMargin)
+    norm.show(truncate = false)
+
+    // probe: second streaming run with the SAME query name in one session
+    try {
+      val again = EventsStream.runHourly(spark, dir, "demo_hourly")
+      println(s"DEMO rerun_same_name rows=${again.count()}")
+    } catch {
+      case e: Exception => println(s"DEMO rerun_same_name failed: ${e.getMessage.take(120)}")
+    }
+    spark.stop()
+  }
+}

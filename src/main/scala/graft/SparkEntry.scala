@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Relational, TextOps, VectorOps}
+import graft.operators.{Relational, TextOps, VectorOps, Warehouse, Multimodal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ VectorOps.queries
+    Relational.queries ++ TextOps.queries ++ VectorOps.queries ++
+      Warehouse.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextOps.oracles ++ VectorOps.oracles
+    Relational.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
+      Warehouse.oracles ++ Multimodal.oracles
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables._
+import graft.functions.DotProduct.{dot_product, register}
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64).
   *
@@ -31,14 +32,15 @@ object VectorOps {
   /** Exact cosine top-3 neighbors for a fixed probe set (vec_id < 20):
     * broadcast the probes, scan candidates once, rank per probe. */
   val q40_cosine_topk: Q = (s, d) => {
+    register(s)
     val vecs = embeddings(s, d)
-      .select(col("vec_id"), expr(VECD).as("v"),
-              expr(s"sqrt(${dotSql("$VEC", "$VEC")})".replace("$VEC", VECD)).as("norm"))
+      .select(col("vec_id"), expr(VECD).as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
     val probes = vecs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
     val scored = vecs.join(broadcast(probes), col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
-        expr(dotSql("qv", "v")) / (col("qn") * col("norm")))
+        dot_product(col("qv"), col("v")) / (col("qn") * col("norm")))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id")))
@@ -67,18 +69,19 @@ object VectorOps {
     * bucket (the join is bucket-local, never all-pairs), verified by exact
     * cosine ≥ 0.2. */
   val q42_lsh_neardup: Q = (s, d) => {
+    register(s)
     val vecs = embeddings(s, d)
       .select(col("vec_id"), expr(VECD).as("v"),
-              expr(s"sqrt(${dotSql("$VEC", "$VEC")})".replace("$VEC", VECD)).as("norm"),
               expr(
                 """aggregate(sequence(0, 7),
                      0, (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > CAST(0 AS FLOAT)
                                                THEN CAST(shiftleft(1, i) AS INT) ELSE 0 END)""")
                 .as("bucket"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
     val a = vecs.select(col("bucket"), col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1"))
     val b = vecs.select(col("bucket"), col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2"))
     a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
-      .withColumn("cosine", expr(dotSql("v1", "v2")) / (col("n1") * col("n2")))
+      .withColumn("cosine", dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= 0.2)
       .select("bucket", "d1", "d2", "cosine")
       .orderBy("bucket", "d1", "d2")
@@ -89,14 +92,15 @@ object VectorOps {
     * standard embedding-quality probe. Vote ties break toward the smaller
     * label; per-label accuracy out. */
   val q43_knn_accuracy: Q = (s, d) => {
+    register(s)
     val vecs = embeddings(s, d)
-      .select(col("vec_id"), col("label"), expr(VECD).as("v"),
-              expr(s"sqrt(${dotSql("$VEC", "$VEC")})".replace("$VEC", VECD)).as("norm"))
+      .select(col("vec_id"), col("label"), expr(VECD).as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
     val probes = vecs.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
               col("v").as("qv"), col("norm").as("qn"))
     val top5 = vecs.join(broadcast(probes), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", expr(dotSql("qv", "v")) / (col("qn") * col("norm")))
+      .withColumn("cosine", dot_product(col("qv"), col("v")) / (col("qn") * col("norm")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rnk") <= 5)

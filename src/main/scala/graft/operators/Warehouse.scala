@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+import graft.Num._
+
+/** The reference's materialized-aggregate-fact layer (SURVEY.md §1.1: OrderM,
+  * ProductPerformance, ShippingBehavior[S]) re-expressed on the testdata
+  * star, plus event sessionization.
+  *
+  * These are the tables the reference hand-materializes so queries hit small
+  * aggregates instead of the raw facts (etl.py:685-1131). In Spark they are
+  * single shuffle-once groupBys written as parquet — at 100 TB each is a
+  * map-side-combined aggregation whose output is millions of times smaller
+  * than the fact table, exactly the right thing to persist.
+  */
+object Warehouse {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------ monthly aggregate fact
+  /** OrderM analog (etl.py:685-811): month × nation pre-aggregated order
+    * fact. */
+  val q26_order_month: Q = (s, d) =>
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).as("year_number"),
+               month(col("o_orderdate")).as("month_number"),
+               col("n_name"))
+      .agg(dsum(money(col("o_totalprice"))).as("total_sales"),
+           count(lit(1)).as("n_orders"),
+           (sum(money(col("o_totalprice"))).cast(DoubleType) / count(lit(1)))
+             .as("avg_order_value"))
+      .orderBy("year_number", "month_number", "n_name")
+
+  // --------------------------------------- cumulative product performance
+  /** ProductPerformance analog with the reference's *cumulative* measure
+    * (A7, etl.py:853-855): per-brand monthly revenue + running cumulative
+    * revenue over months (ROWS frame, unique (year,month) per partition).
+    * Partitioned by brand ⇒ the window parallelizes across the cluster. */
+  val q27_product_performance: Q = (s, d) => {
+    val base = lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+               year(col("l_shipdate")).as("year_number"),
+               month(col("l_shipdate")).as("month_number"))
+      .agg(sum(money(col("l_extendedprice")) *
+               (lit(1).cast(D18_2) - money(col("l_discount")))).as("rev_d"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy("year_number", "month_number")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cumulative_revenue", sum(col("rev_d")).over(w).cast(DoubleType))
+      .select(col("p_brand"), col("year_number"), col("month_number"),
+              col("rev_d").cast(DoubleType).as("revenue"), col("cumulative_revenue"))
+      .orderBy("p_brand", "year_number", "month_number")
+  }
+
+  // ------------------------------------------------- shipping behavior
+  /** ShippingBehavior analog (A3, etl.py:930-1131): priority × returnflag
+    * grain, avg shipping delay rounded to INT (the reference's
+    * int(round(avg)), etl.py:990) and method_freq = row count. Rounding is
+    * floor(x+0.5) — half-up in both engines, unlike ROUND on doubles whose
+    * half-even/half-up behavior differs between engines. */
+  val q28_shipping_behavior: Q = (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(
+        floor(sum(datediff(col("l_shipdate").cast(DateType),
+                           col("o_orderdate").cast(DateType))).cast(DoubleType) /
+              count(lit(1)) + 0.5).cast(IntegerType).as("avg_delay"),
+        count(lit(1)).as("method_freq"))
+      .orderBy("o_orderpriority", "l_returnflag")
+
+  // ------------------------------------------------- event sessionization
+  /** Gap-based sessionization (30-min inactivity): lag over the per-user
+    * event stream, flag gaps, running sum ⇒ session index, then per-session
+    * rollup. The batch twin of streaming flatMapGroupsWithState session
+    * windows; at scale this is one shuffle on user_id. */
+  val q25_events_sessionize: Q = (s, d) => {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(wRun).cast(IntegerType))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+             .as("duration_sec"),
+           dsum(money(col("value"))).as("total_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  // ===================================================================
+  val queries: Map[String, Q] = Map(
+    "q25_events_sessionize"     -> q25_events_sessionize,
+    "q26_order_month"           -> q26_order_month,
+    "q27_product_performance"   -> q27_product_performance,
+    "q28_shipping_behavior"     -> q28_shipping_behavior,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_events_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+             CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sessions AS (
+           SELECT user_id, event_id, ts, value,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_idx
+           FROM flagged)
+         SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM sessions GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+
+    "q26_order_month" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS year_number,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS month_number, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q27_product_performance" ->
+      """WITH base AS (
+           SELECT p_brand,
+             CAST(YEAR(l_shipdate) AS INTEGER) AS year_number,
+             CAST(MONTH(l_shipdate) AS INTEGER) AS month_number,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2, 3)
+         SELECT p_brand, year_number, month_number,
+           CAST(rev_d AS DOUBLE) AS revenue,
+           CAST(SUM(rev_d) OVER (PARTITION BY p_brand ORDER BY year_number, month_number
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumulative_revenue
+         FROM base ORDER BY p_brand, year_number, month_number""",
+
+    "q28_shipping_behavior" ->
+      """SELECT o_orderpriority, l_returnflag,
+           CAST(floor(CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE)
+             / COUNT(*) + 0.5) AS INTEGER) AS avg_delay,
+           COUNT(*) AS method_freq
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
+}

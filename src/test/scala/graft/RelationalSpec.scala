@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("every relational query returns rows") {
+    Relational.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q2 dedup-merge preserves quantity and sales totals") {
+    val raw = Tables.lineitem(spark, sf)
+      .agg(sum("l_quantity").as("q"), sum("l_extendedprice").as("s"))
+      .head()
+    val merged = Relational.q2_dedup_merge(spark, sf)
+      .agg(sum("quantity").as("q"), sum("sales").as("s")).head()
+    assert(math.abs(raw.getDouble(0) - merged.getDouble(0)) < 1e-6)
+    assert(math.abs(raw.getDouble(1) - merged.getDouble(1)) < 1e-4)
+  }
+
+  test("q8 rollup TOTAL row equals the sum of segment rows") {
+    val rows = Relational.q8_rollup_segment(spark, sf).collect()
+    val total = rows.find(_.getString(0) == "TOTAL").get
+    val segs = rows.filterNot(_.getString(0) == "TOTAL")
+    assert(math.abs(segs.map(_.getDouble(1)).sum - total.getDouble(1)) < 1e-4)
+    assert(segs.map(_.getLong(2)).sum == total.getLong(2))
+  }
+
+  test("q11 cumulative pct reaches 100") {
+    val last = Relational.q11_pct_of_total(spark, sf)
+      .orderBy(desc("n_name")).select("cum_pct").head().getDouble(0)
+    assert(math.abs(last - 100.0) < 1e-9)
+  }
+
+  test("q14 running revenue is at least the row revenue") {
+    val bad = Relational.q14_pareto_parts(spark, sf)
+      .filter(col("running_revenue") < col("revenue") - 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("q16 calendar surrogate keys are dense and ordered by date") {
+    val cal = Relational.q16_calendar_dim(spark, sf).collect()
+    assert(cal.map(_.getInt(0)).toSeq == (1 to cal.length))
+    val dates = cal.map(_.getDate(1).toLocalDate)
+    assert(dates.sliding(2).forall(p => p(0).isBefore(p(1))))
+  }
+
+  test("q20 anti join and q21 semi join partition consistently") {
+    val noItems = Relational.q20_orders_no_items(spark, sf).count()
+    val orders = Tables.orders(spark, sf).count()
+    val withItems = Tables.orders(spark, sf).join(
+      Tables.lineitem(spark, sf).select("l_orderkey").distinct(),
+      col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(noItems + withItems == orders)
+  }
+}

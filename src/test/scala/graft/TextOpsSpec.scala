@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("every text query returns rows") {
+    TextOps.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q31 quality ratios live in [0, 1] and token counts are positive") {
+    val q = TextOps.q31_doc_quality(spark, sf)
+    assert(q.filter(col("n_tokens") <= 0).count() == 0)
+    assert(q.filter(col("distinct_ratio") <= 0 || col("distinct_ratio") > 1).count() == 0)
+    assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
+  }
+
+  test("q33 unique fingerprints never exceed doc counts") {
+    assert(TextOps.q33_fingerprint_dedup(spark, sf)
+      .filter(col("n_unique") > col("n_docs")).count() == 0)
+  }
+
+  test("q34 jaccard pairs are ordered and bounded") {
+    val p = TextOps.q34_ngram_jaccard(spark, sf)
+    assert(p.filter(col("d1") >= col("d2")).count() == 0)
+    assert(p.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("minhash LSH recalls the high-jaccard near-dup pairs") {
+    val exact = TextOps.q34_ngram_jaccard(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.q35_minhash_lsh(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    assert(exact.subsetOf(lsh),
+      s"LSH missed high-similarity pairs: ${exact -- lsh}")
+  }
+}
