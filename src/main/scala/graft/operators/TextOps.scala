@@ -175,8 +175,46 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
+  // ----------------------------------------------------------- SimHash
+  /** SimHash(60-bit) near-dup pairs. Per-token 60-bit hashes (md5-hex prefix
+    * — portable across engines) vote ±1 per bit position weighted by
+    * multiplicity; the sign vector is the fingerprint. Candidates come from
+    * 4×15-bit band buckets (docs within hamming ≤ 3 of each other must
+    * share ≥1 exact band), verified by popcount of the XOR. All integer
+    * arithmetic ⇒ exact in both engines. */
+  val q36_simhash_pairs: Q = (s, d) => {
+    // Bit votes as 60 plain codegen'd sums over (doc, token-hash, count)
+    // rows — NOT a nested higher-order lambda (interpreted, 40× slower).
+    // Semantics identical to the oracle's per-bit ±multiplicity vote.
+    val tokenCounts = documents(s, d)
+      .select(col("doc_id"), explode(expr(TOKENS)).as("tok"))
+      .groupBy(col("doc_id"),
+               expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val voteAggs = (0 until 60).map(b =>
+      sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN cnt ELSE -cnt END")).as(s"v$b"))
+    val simhashExpr = (0 until 60)
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val sims = tokenCounts.groupBy("doc_id")
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+    val bands = sims.select(col("doc_id"), col("simhash"), explode(expr(
+      """transform(sequence(0, 3),
+           b -> concat(CAST(b AS STRING), ':',
+                       CAST(shiftright(simhash, b * 15) & 32767 AS STRING)))"""))
+      .as("band_key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(min(expr("bit_count(a.simhash ^ b.simhash)")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+  }
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
+    "q36_simhash_pairs"     -> q36_simhash_pairs,
     "q30_token_stats"       -> q30_token_stats,
     "q31_doc_quality"       -> q31_doc_quality,
     "q32_lang_id"           -> q32_lang_id,
@@ -189,6 +227,30 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN ($words)))"
 
   val oracles: Map[String, String] = Map(
+    "q36_simhash_pairs" ->
+      """WITH hashed AS (
+           SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+           FROM documents),
+         sims AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 59),
+               b -> CASE WHEN list_reduce(list_prepend(0,
+                            list_transform(hs, h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)),
+                          (acc, v) -> acc + v) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)),
+               (acc, v) -> acc + v) AS simhash
+           FROM hashed),
+         bands AS (
+           SELECT doc_id, simhash, unnest(list_transform(generate_series(0, 3),
+             b -> b::VARCHAR || ':' || (((simhash >> (b * 15)) & 32767))::VARCHAR)) AS band_key
+           FROM sims)
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS INTEGER) AS hamming
+         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING MIN(bit_count(xor(a.simhash, b.simhash))) <= 3
+         ORDER BY 1, 2""",
     "q30_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
