@@ -19,6 +19,8 @@ object Demo {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // deployment-grade function registration (vs per-session register())
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -36,8 +38,8 @@ object Demo {
     val feats = Multimodal.decodeFeatures(Multimodal.binaryized(spark, dir))
     println(s"DEMO multimodal rows=${feats.count()}")
 
-    // 4. custom expression from SQL text (registry path)
-    DotProduct.register(spark)
+    // 4. custom expression from SQL text — resolved via GraftExtensions
+    // (no explicit register() call in this session)
     spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb")
     val norm = spark.sql(
       """SELECT vec_id, dot_product(transform(embedding, x -> CAST(x AS DOUBLE)),

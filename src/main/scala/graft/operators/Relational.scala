@@ -379,8 +379,23 @@ object Relational {
            (sum(col("k")).cast(DoubleType) / count(lit(1))).as("avg_k"))
       .orderBy("event_type")
 
+  // ------------------------------------------------- q29: percentiles
+  /** Exact interpolated percentiles (median / p90) per group. Both engines
+    * use linear interpolation over the sorted values (Spark `percentile` ↔
+    * DuckDB `quantile_cont`) — identical arithmetic on the same doubles.
+    * The sketch path at 100 TB is approx_percentile (t-digest), exposed
+    * rows-only like q10b. */
+  val q29_percentiles: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+           expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+           count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
+    "q29_percentiles"       -> q29_percentiles,
     "q1_scan_pushdown"      -> q1_scan_pushdown,
     "q2_dedup_merge"        -> q2_dedup_merge,
     "q3_distinct"           -> q3_distinct,
@@ -411,6 +426,12 @@ object Relational {
   private val MONEY_O = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q29_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           COUNT(*) AS n_items
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q1_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(l_shipdate AS DATE) AS ship_date
          FROM lineitem

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.superstore.{SuperstoreETL, Exporter}
+
+class ExporterSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val csv = "/root/reference/Sample - Superstore.csv"
+
+  test("csv export round-trips a dimension table") {
+    val wh = SuperstoreETL.build(spark, csv)
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    Exporter.exportAll(Map("Region" -> wh("Region"), "Shipping" -> wh("Shipping")), dir)
+    val back = spark.read.option("header", "true").csv(s"$dir/Region")
+    assert(back.count() == 4)
+    assert(back.columns.toSet == wh("Region").columns.toSet)
+  }
+
+  test("well-formed input produces zero rejects; a doctored row is quarantined") {
+    val pre = SuperstoreETL.preprocess(SuperstoreETL.readRaw(spark, csv))
+    val (calendar, _) = SuperstoreETL.calendarDims(pre)
+    val customer = SuperstoreETL.customerDim(pre)
+    val (_, _, location) = SuperstoreETL.geographyDims(pre)
+    val (_, product) = SuperstoreETL.productDims(pre)
+
+    assert(Exporter.itemRejects(pre, customer, product, calendar, location).count() == 0)
+
+    // doctor one row: unknown customer code → exactly one Customer reject
+    val doctored = pre.withColumn("Customer ID",
+      when(col("Row ID") === 1, lit("ZZ-99999")).otherwise(col("Customer ID")))
+    val rej = Exporter.itemRejects(doctored, customer, product, calendar, location)
+    val rows = rej.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(2) == "Customer")
+    assert(rows.head.getInt(0) == 1)
+  }
+}
