@@ -161,6 +161,19 @@ object Relational {
       ).as("top_parts"))
       .orderBy("p_brand")
 
+  /** A10 via the typed bounded-buffer Aggregator (graft.functions
+    * .TopKConcat) — identical semantics and oracle as q9, but the buffer
+    * holds ≤5 elements instead of the whole group (the 100 TB-safe form). */
+  val q9b_topk_aggregator: Q = (s, d) =>
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_name")
+      .agg(sum(revenue).cast(DoubleType).as("rev"))
+      .groupBy("p_brand")
+      .agg(graft.functions.TopKConcat.top_k_concat(5)(col("rev"), col("p_name"))
+        .as("top_parts"))
+      .orderBy("p_brand")
+
   // --------------------------------------------------- q10: distinct count
   /** A11 — per-group distinct count (etl.ipynb cells 10-11). At 100 TB the
     * exact countDistinct shuffles once on (group, key); the sketch variant
@@ -405,6 +418,7 @@ object Relational {
     "q7_monthly_sales"      -> q7_monthly_sales,
     "q8_rollup_segment"     -> q8_rollup_segment,
     "q9_top_parts_concat"   -> q9_top_parts_concat,
+    "q9b_topk_aggregator"   -> q9b_topk_aggregator,
     "q10_distinct_customers" -> q10_distinct_customers,
     "q10b_approx_distinct"  -> q10b_approx_distinct,
     "q11_pct_of_total"      -> q11_pct_of_total,
@@ -489,6 +503,15 @@ object Relational {
            $MONEY_O AS total_sales, COUNT(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY ROLLUP(c_mktsegment) ORDER BY segment""",
+
+    "q9b_topk_aggregator" ->
+      s"""SELECT p_brand,
+           array_to_string(list_slice(list(p_name ORDER BY rev DESC, p_name), 1, 5), ', ') AS top_parts
+         FROM (
+           SELECT p_brand, p_name, CAST(SUM($REV_SQL) AS DOUBLE) AS rev
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY p_brand, p_name)
+         GROUP BY p_brand ORDER BY p_brand""",
 
     "q9_top_parts_concat" ->
       s"""SELECT p_brand,

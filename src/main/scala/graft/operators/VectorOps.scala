@@ -117,8 +117,73 @@ object VectorOps {
       .orderBy("q_label")
   }
 
+  // --------------------------------------------------------- IVF ANN
+  /** IVF coarse quantizer: deterministic k-means (init = first K vectors,
+    * fixed Lloyd iterations, ties to the smaller centroid id) partitions
+    * the corpus into K cells; a query probes only its nprobe nearest
+    * cells. This is the 100 TB ANN layout: the cell assignment is the
+    * partition key, so a query touches K_probe/K of the data. No DuckDB
+    * oracle (iterative k-means is not reasonably SQL-expressible) —
+    * rows-only check; VectorOpsSpec asserts recall against exact top-k. */
+  def ivfAssignments(s: SparkSession, d: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    register(s)
+    val vecs = embeddings(s, d).select(col("vec_id"), expr(VECD).as("v"))
+    def sqdist = expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    var cent = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      assign = vecs.crossJoin(broadcast(cent))
+        .withColumn("d2", sqdist)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val newCent = assign
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(named_struct('p', pos, 'm', m))), s -> s.m)").as("cv"))
+      // centroids are K×dim doubles — materialize on the driver to cut the
+      // otherwise exponentially deepening Lloyd lineage (standard k-means-
+      // on-Spark shape; the collected size is bounded by K, not the data)
+      import s.implicits._
+      cent = broadcast(newCent.as[(Int, Seq[Double])].collect().toSeq
+        .toDF("cid", "cv"))
+    }
+    (cent, assign)
+  }
+
+  /** ANN search through the IVF index: nprobe=2 cells per query, exact
+    * cosine re-rank inside the probed cells. */
+  val q46_ivf_ann: Q = (s, d) => {
+    val (cent, assign) = ivfAssignments(s, d, k = 16, iters = 3)
+    val probes = embeddings(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), expr(VECD).as("qv"))
+      .withColumn("qn", sqrt(dot_product(col("qv"), col("qv"))))
+    val probeCells = probes.crossJoin(cent)
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("qv"), col("qn"), col("cid"))
+    val cands = assign
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+    probeCells.join(cands, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot_product(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id")))
+        .cast(IntegerType))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
+    "q46_ivf_ann"      -> q46_ivf_ann,
     "q40_cosine_topk"  -> q40_cosine_topk,
     "q41_lsh_buckets"  -> q41_lsh_buckets,
     "q42_lsh_neardup"  -> q42_lsh_neardup,

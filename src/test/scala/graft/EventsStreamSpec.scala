@@ -22,6 +22,35 @@ class EventsStreamSpec extends AnyFunSuite {
       s"streaming vs batch drift: ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
   }
 
+  test("watermark drops late data in append-mode windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventsStream.hourlyAgg(df)
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_test").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: events at 00:10 and 06:00 → watermark advances to 04:00
+    mem.addData((t("2024-01-01 00:10:00"), "a", 1.0), (t("2024-01-01 06:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: late event at 00:20 — behind the 04:00 watermark → dropped
+    mem.addData((t("2024-01-01 00:20:00"), "a", 99.0))
+    q.processAllAvailable()
+    // batch 3: advance far enough to close every window
+    mem.addData((t("2024-01-02 00:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_test")
+      .select("hour", "n_events", "total_value").collect()
+      .map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // the 00:00 window emitted WITHOUT the late 99.0 event
+    assert(out.contains("2024-01-01 00:00:00.0"))
+    assert(out("2024-01-01 00:00:00.0") == ((1L, 1.0)),
+      s"late event leaked into the closed window: $out")
+  }
+
   test("stateful sessionizer agrees with the SQL sessionization on counts") {
     val typed = EventsStream.runSessions(spark, sf)
     val sql = Warehouse.q25_events_sessionize(spark, sf)

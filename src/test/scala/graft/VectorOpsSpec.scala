@@ -36,6 +36,26 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(diff == 0.0, "codegen'd fold must be bit-identical to composed form")
   }
 
+  test("IVF ANN recalls a meaningful fraction of the exact top-3") {
+    val exact = VectorOps.q40_cosine_topk(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.q46_ivf_ann(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // random 64-d vectors are a worst case for IVF; structure still must
+    // find a nontrivial fraction with nprobe=2 of 16 cells
+    assert(recall >= 0.2, s"IVF recall@3 too low: $recall")
+    assert(ivf.size == exact.size)
+  }
+
+  test("IVF assignment is deterministic across runs") {
+    val a = VectorOps.q46_ivf_ann(spark, sf).collect().map(_.toSeq).toSeq
+    val b = VectorOps.q46_ivf_ann(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("q42 bucket pairs share their sign bucket") {
     val bad = VectorOps.q42_lsh_neardup(spark, sf)
       .filter(col("d1") >= col("d2")).count()
