@@ -48,6 +48,21 @@ object Exporter {
            col("City") === col("city_name"), "Location"))
   }
 
+  /** Physical layout for the big facts at scale (SURVEY.md §4): partition
+    * Item by order year (derived through its Calendar FK) so year-ranged
+    * queries prune whole directories at the scan. Dimensions stay
+    * unpartitioned. At 100 TB the same layout applies per fact; year (or
+    * year-month) keeps partition counts bounded and file sizes healthy. */
+  def persistItemPartitioned(item: DataFrame, calendar: DataFrame,
+                             outDir: String): Unit =
+    item
+      .join(broadcast(calendar.select(col("calendar_id"), col("year_number"))),
+            "calendar_id")
+      .withColumnRenamed("year_number", "order_year")
+      .write.mode("overwrite")
+      .partitionBy("order_year")
+      .parquet(s"$outDir/Item_by_year")
+
   /** Persist rejects (the Errors.txt analog) and return the count. */
   def quarantine(rejects: DataFrame, outDir: String): Long = {
     val n = rejects.count()

@@ -19,6 +19,22 @@ class ExporterSpec extends AnyFunSuite {
     assert(back.columns.toSet == wh("Region").columns.toSet)
   }
 
+  test("year-partitioned Item layout prunes partitions at the scan") {
+    val wh = SuperstoreETL.build(spark, csv)
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Exporter.persistItemPartitioned(wh("Item"), wh("Calendar"), dir)
+    val back = spark.read.parquet(s"$dir/Item_by_year")
+    val one = back.filter(col("order_year") === 2016)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("order_year"),
+      s"expected partition pruning in plan:\n${plan.take(800)}")
+    // pruned read returns exactly the 2016 slice
+    val expected = wh("Item")
+      .join(wh("Calendar").select(col("calendar_id"), col("year_number")), "calendar_id")
+      .filter(col("year_number") === 2016).count()
+    assert(one.count() == expected)
+  }
+
   test("well-formed input produces zero rejects; a doctored row is quarantined") {
     val pre = SuperstoreETL.preprocess(SuperstoreETL.readRaw(spark, csv))
     val (calendar, _) = SuperstoreETL.calendarDims(pre)
