@@ -47,6 +47,12 @@ object Demo {
         |FROM emb ORDER BY vec_id LIMIT 3""".stripMargin)
     norm.show(truncate = false)
 
+    // 5. foreachBatch incremental hourly fact (append partials + merge view)
+    val incrDir = java.nio.file.Files.createTempDirectory("demo_incr").toString
+    EventsStream.runIncrementalHourly(spark, dir, incrDir)
+    val incr = EventsStream.readIncrementalHourly(spark, incrDir)
+    println(s"DEMO incremental_hourly rows=${incr.count()}")
+
     // probe: second streaming run with the SAME query name in one session
     try {
       val again = EventsStream.runHourly(spark, dir, "demo_hourly")

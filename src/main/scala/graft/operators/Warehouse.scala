@@ -103,8 +103,59 @@ object Warehouse {
       .orderBy("user_id", "session_idx")
   }
 
+  // ------------------------------------------------------- as-of join
+  /** As-of join, composed scale-right (SURVEY preference (a) — built-ins
+    * express it, so no custom SparkPlan): for every purchase event, the
+    * most recent click at-or-before it by the same user. Instead of the
+    * quadratic inequality join, union both streams and carry the last
+    * click forward with one per-user ordered window — linear in events,
+    * one shuffle on user_id. DuckDB's native ASOF JOIN is the oracle. */
+  val q47_asof_click_purchase: Q = (s, d) => {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_click"))
+    // order clicks before purchases at equal ts so an at-same-instant click
+    // is visible to the purchase (ASOF's <= semantics)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_ts",
+        last(when(col("is_click") === 1, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("last_click_id",
+        last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 0)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"),
+              col("last_click_id").as("click_id"),
+              expr("CASE WHEN last_click_ts IS NULL THEN NULL " +
+                   "ELSE (unix_micros(ts) - unix_micros(last_click_ts)) div 1000000 END")
+                .as("gap_sec"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  // ------------------------------------------------------- range join
+  /** Range (band) join: bucket each event's value into a small ranges
+    * dimension via a non-equi condition. The ranges side is tiny ⇒
+    * BroadcastNestedLoopJoin, which is the right plan; a sort-merge band
+    * join only pays off when both sides are large. */
+  val q48_value_band_join: Q = (s, d) => {
+    val bands = (0 until 10).map(i => (i, i * 50.0, (i + 1) * 50.0))
+    val bandsDf = s.createDataFrame(bands).toDF("band_id", "lo", "hi")
+    events(s, d)
+      .join(broadcast(bandsDf), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_events"),
+           dsum(money(col("value"))).as("total_value"))
+      .orderBy("band_id")
+  }
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
+    "q47_asof_click_purchase"   -> q47_asof_click_purchase,
+    "q48_value_band_join"       -> q48_value_band_join,
     "q25_events_sessionize"     -> q25_events_sessionize,
     "q26_order_month"           -> q26_order_month,
     "q27_product_performance"   -> q27_product_performance,
@@ -112,6 +163,28 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_asof_click_purchase" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           CASE WHEN c.ts IS NULL THEN NULL
+                ELSE (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 END AS gap_sec
+         FROM purchases p
+         ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND c.ts <= p.ts
+         ORDER BY p.user_id, purchase_id""",
+
+    "q48_value_band_join" ->
+      """WITH bands AS (
+           SELECT CAST(i AS INTEGER) AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+           FROM generate_series(0, 9) t(i))
+         SELECT band_id, lo, hi, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events JOIN bands ON value >= lo AND value < hi
+         GROUP BY 1, 2, 3 ORDER BY 1""",
     "q25_events_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,

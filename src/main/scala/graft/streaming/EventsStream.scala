@@ -67,6 +67,48 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  // ------------------------------------------- incremental aggregate fact
+  /** foreachBatch incremental materialization: each micro-batch appends its
+    * partial hourly aggregates tagged with the batch id; readers merge
+    * partials by summing (counts/sums compose associatively). Without a
+    * transactional table format this append-then-merge is the idempotent
+    * pattern — a replayed batch id is dropped at read time. At scale the
+    * partials are tiny (one row per window×type per batch) and a periodic
+    * compaction folds them. */
+  def runIncrementalHourly(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val q = source(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(money(col("value"))).as("total_value_d"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .select(col("window.start").as("hour"), col("event_type"),
+                  col("n_events"), col("total_value_d"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$outDir/hourly_partials")
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Merged view over the incremental partials (latest state per window):
+    * update-mode re-emissions are superseded by the highest batch id. */
+  def readIncrementalHourly(spark: SparkSession, outDir: String): DataFrame = {
+    val partials = spark.read.parquet(s"$outDir/hourly_partials")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour", "event_type").orderBy(col("batch_id").desc)
+    partials
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("hour"), col("event_type"), col("n_events"),
+              col("total_value_d").cast("double").as("total_value"))
+  }
+
   // ------------------------------------------------- stateful sessions
   case class Ev(user_id: Long, tsMicros: Long, value: Double)
   case class SessionOut(user_id: Long, session_idx: Int, n_events: Long,

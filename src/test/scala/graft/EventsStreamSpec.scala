@@ -51,6 +51,23 @@ class EventsStreamSpec extends AnyFunSuite {
       s"late event leaked into the closed window: $out")
   }
 
+  test("foreachBatch incremental hourly fact equals the batch aggregate") {
+    val out = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    EventsStream.runIncrementalHourly(spark, sf, out)
+    val incr = EventsStream.readIncrementalHourly(spark, out)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Relational.q23_events_hourly(spark, sf)
+      .select("hour", "event_type", "n_events", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(incr == batch,
+      s"incremental vs batch drift: ${(incr -- batch).take(3)} / ${(batch -- incr).take(3)}")
+    // idempotence: re-running with the same checkpoint adds no new state
+    EventsStream.runIncrementalHourly(spark, sf, out)
+    val again = EventsStream.readIncrementalHourly(spark, out)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(again == batch)
+  }
+
   test("stateful sessionizer agrees with the SQL sessionization on counts") {
     val typed = EventsStream.runSessions(spark, sf)
     val sql = Warehouse.q25_events_sessionize(spark, sf)

@@ -19,6 +19,17 @@ class ExporterSpec extends AnyFunSuite {
     assert(back.columns.toSet == wh("Region").columns.toSet)
   }
 
+  test("orc export round-trips with schema intact") {
+    val wh = SuperstoreETL.build(spark, csv)
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Exporter.exportAll(Map("Shipping" -> wh("Shipping")), dir, format = "orc")
+    val back = spark.read.orc(s"$dir/Shipping")
+    assert(back.count() == 4)
+    // nullability flags are not preserved by the format round-trip
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+           wh("Shipping").schema.map(f => (f.name, f.dataType)))
+  }
+
   test("year-partitioned Item layout prunes partitions at the scan") {
     val wh = SuperstoreETL.build(spark, csv)
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
