@@ -20,6 +20,10 @@ import graft.Tables._
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Modulus of the MinHash double-hashing family (prime < 2^48) — shared
+    * by the Spark implementation and the DuckDB oracle text below. */
+  private val MinhashP = 281474976710597L
+
   /** Tokenization used across the suite: documents are single-space joined
     * words (see TESTDATA.md). Kept identical in the DuckDB oracles. */
   private val TOKENS = "split(text, ' ')"
@@ -164,20 +168,26 @@ object TextOps {
   }
 
   // ------------------------------------------------------- MinHash + LSH
-  /** MinHash(16) + LSH(4 bands × 4 rows) candidate pairs. Hash family i is
-    * md5("i:" || shingle) compared lexicographically (fixed-width lowercase
-    * hex ⇒ string order = numeric order, identical in both engines); a band
-    * key is the md5 of its 4 minhashes. Docs sharing ≥1 band are candidates
-    * — the bucket join replaces the quadratic pair scan at scale. */
+  /** MinHash(16) + LSH(4 bands × 4 rows) candidate pairs. The 16 hash
+    * families come from Kirsch–Mitzenmacher double hashing — hᵢ(s) =
+    * (h1 + i·h2) mod MinhashP, with h1/h2 two independent 48-bit
+    * md5-prefix hashes (2 md5 calls per shingle instead of 16). The
+    * no-overflow bound comes from the 48-bit prefixes themselves:
+    * h1 + 15·h2 < 2^53, well inside BIGINT in both engines.
+    * Band key = the 4 minima concatenated.
+    * Docs sharing ≥1 band are candidates — the bucket join replaces the
+    * quadratic pair scan at scale. */
   val q35_minhash_lsh: Q = (s, d) => {
     val shf = shingles(s, d, dfCap = 50)
+      .withColumn("h1", expr("CAST(conv(substring(md5(concat('a:', shingle)), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substring(md5(concat('b:', shingle)), 1, 12), 16, 10) AS BIGINT)"))
     val minAggs = (0 until 16).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
+      min(expr(s"(h1 + $i * h2) % $MinhashP")).as(s"m$i"))
     val mins = shf.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val bands = mins.select(col("doc_id"), explode(array(
-      (0 until 4).map(b => md5(concat_ws("|",
+      (0 until 4).map(b => concat_ws("|",
         lit(b.toString), col(s"m${4*b}"), col(s"m${4*b+1}"),
-        col(s"m${4*b+2}"), col(s"m${4*b+3}")))): _*)).as("band_key"))
+        col(s"m${4*b+2}"), col(s"m${4*b+3}"))): _*)).as("band_key"))
     bands.as("a").join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -320,13 +330,18 @@ object TextOps {
 
     "q35_minhash_lsh" ->
       s"""WITH ${shinglesSql(50)},
+         hashed AS (
+           SELECT doc_id,
+             ('0x' || substring(md5('a:' || shingle), 1, 12))::BIGINT AS h1,
+             ('0x' || substring(md5('b:' || shingle), 1, 12))::BIGINT AS h2
+           FROM shf),
          mins AS (
            SELECT doc_id,
-             ${(0 until 16).map(i => s"MIN(md5('$i:' || shingle)) AS m$i").mkString(", ")}
-           FROM shf GROUP BY doc_id),
+             ${(0 until 16).map(i => s"MIN((h1 + $i * h2) % $MinhashP) AS m$i").mkString(", ")}
+           FROM hashed GROUP BY doc_id),
          bands AS (
            SELECT doc_id, unnest([
-             ${(0 until 4).map(b => s"md5('$b' || '|' || m${4*b} || '|' || m${4*b+1} || '|' || m${4*b+2} || '|' || m${4*b+3})").mkString(", ")}
+             ${(0 until 4).map(b => s"'$b' || '|' || m${4*b} || '|' || m${4*b+1} || '|' || m${4*b+2} || '|' || m${4*b+3}").mkString(", ")}
            ]) AS band_key FROM mins)
          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_bands
          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
