@@ -152,10 +152,37 @@ object Warehouse {
       .orderBy("band_id")
   }
 
+  // ------------------------------------------------- interval join (batch)
+  /** Event-time interval join, batch form (the streaming twin lives in
+    * EventsStream.purchaseClickJoin): every (purchase, click) pair of the
+    * same user with the click in the preceding hour. At scale the
+    * time-bucket trick turns this into an equi-join: both sides bucket to
+    * the hour, purchases probe their own and the previous bucket —
+    * bounded fan-out instead of a full range join. */
+  val q49_interval_join: Q = (s, d) => {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withColumn("bucket", explode(array(
+        expr("unix_micros(click_ts) div 3600000000"),
+        expr("unix_micros(click_ts) div 3600000000 + 1"))))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withColumn("bucket", expr("unix_micros(purchase_ts) div 3600000000"))
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("click_ts") <= col("purchase_ts") &&
+              col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+              expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+                .as("gap_sec"))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
     "q47_asof_click_purchase"   -> q47_asof_click_purchase,
     "q48_value_band_join"       -> q48_value_band_join,
+    "q49_interval_join"         -> q49_interval_join,
     "q25_events_sessionize"     -> q25_events_sessionize,
     "q26_order_month"           -> q26_order_month,
     "q27_product_performance"   -> q27_product_performance,
@@ -163,6 +190,21 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "q49_interval_join" ->
+      """WITH clicks AS (
+           SELECT user_id, ts AS click_ts, event_id AS click_id
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, purchase_id, click_id,
+           (epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000 AS gap_sec
+         FROM purchases p JOIN clicks c
+           ON p.user_id = c.user_id
+          AND c.click_ts <= p.purchase_ts
+          AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+         ORDER BY p.user_id, purchase_id, click_id""",
+
     "q47_asof_click_purchase" ->
       """WITH clicks AS (
            SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),

@@ -67,6 +67,41 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  // ------------------------------------------- stream-stream interval join
+  /** Stream-stream interval join: purchases joined to clicks by the same
+    * user within the preceding hour. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can expire join
+    * state — the canonical stateful two-stream pattern. Batch twin:
+    * Warehouse.q49_interval_join (oracle-checked). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+              col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
+  /** Run the interval join to completion on the static events table. */
+  def runPurchaseClickJoin(spark: SparkSession, dir: String,
+                           queryName: String = "events_interval_join"): DataFrame = {
+    val q = purchaseClickJoin(source(spark, dir))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   // ------------------------------------------- incremental aggregate fact
   /** foreachBatch incremental materialization: each micro-batch appends its
     * partial hourly aggregates tagged with the batch id; readers merge

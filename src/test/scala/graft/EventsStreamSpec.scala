@@ -51,6 +51,18 @@ class EventsStreamSpec extends AnyFunSuite {
       s"late event leaked into the closed window: $out")
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val streamed = EventsStream.runPurchaseClickJoin(spark, sf)
+      .select("user_id", "purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Warehouse.q49_interval_join(spark, sf)
+      .select("user_id", "purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"drift: ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
   test("foreachBatch incremental hourly fact equals the batch aggregate") {
     val out = java.nio.file.Files.createTempDirectory("graft_incr").toString
     EventsStream.runIncrementalHourly(spark, sf, out)
