@@ -406,9 +406,112 @@ object Relational {
            count(lit(1)).as("n_items"))
       .orderBy("l_returnflag")
 
+  // ----------------------------------------------- q50: cube + grouping_id
+  /** Full CUBE with grouping-set ids — the generalization of the
+    * reference's ROLLUP (A9): every (returnflag × linestatus) subtotal
+    * combination in one pass. */
+  val q50_cube_sales: Q = (s, d) =>
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(money(col("l_extendedprice"))).as("total_sales"),
+           count(lit(1)).as("n_items"),
+           grouping(col("l_returnflag")).as("g_rf"),
+           grouping(col("l_linestatus")).as("g_ls"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        (col("g_rf") * 2 + col("g_ls")).cast(IntegerType).as("grouping_set"),
+        col("total_sales"), col("n_items"))
+      .orderBy("grouping_set", "returnflag", "linestatus")
+
+  // --------------------------------------------- q51: lead/lag/ntile
+  /** Offset + distribution window functions (absent from the reference's
+    * workload): month-over-month sales delta via lag, next-month peek via
+    * lead, and revenue quartile via ntile — all over the monthly aggregate,
+    * so the windows run on tiny data regardless of fact scale. */
+  val q51_month_over_month: Q = (s, d) => {
+    val monthly = orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(sum(money(col("o_totalprice"))).as("sales_d"))
+    val w = Window.orderBy("y", "m")
+    monthly
+      .withColumn("prev_d", lag(col("sales_d"), 1).over(w))
+      .withColumn("next_d", lead(col("sales_d"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(Window.orderBy(col("sales_d"), col("y"), col("m"))))
+      .select(col("y"), col("m"),
+              col("sales_d").cast(DoubleType).as("sales"),
+              (col("sales_d") - col("prev_d")).cast(DoubleType).as("mom_delta"),
+              col("next_d").cast(DoubleType).as("next_sales"),
+              col("quartile"))
+      .orderBy("y", "m")
+  }
+
+  // --------------------------------------------- q52: intersect / except
+  /** Set operators (absent from the reference): customers active in both
+    * 1995 and 2000 (INTERSECT) and active in 1995 but gone by 2000
+    * (EXCEPT). */
+  val q52_set_ops: Q = (s, d) => {
+    def active(y: Int) = orders(s, d)
+      .filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+    val both = active(1995).intersect(active(2000))
+      .withColumn("cohort", lit("retained"))
+    val churned = active(1995).except(active(2000))
+      .withColumn("cohort", lit("churned"))
+    both.unionByName(churned)
+      .select(col("cohort"), col("o_custkey"))
+      .orderBy("cohort", "o_custkey")
+  }
+
+  // ----------------------------------------------------- q53: pivot
+  /** Pivot (wide aggregation): order-status columns per market segment.
+    * Explicit pivot values keep the output schema static — the only
+    * scale-safe form (value discovery would need an extra pass). */
+  val q53_pivot_status: Q = (s, d) =>
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("c_mktsegment"),
+              coalesce(col("F"), lit(0L)).as("n_f"),
+              coalesce(col("O"), lit(0L)).as("n_o"),
+              coalesce(col("P"), lit(0L)).as("n_p"))   // absent combo = 0, as FILTER-count
+      .orderBy("c_mktsegment")
+
+  // ----------------------------------------------------- q54: unpivot
+  /** Unpivot/melt (long form of q53): per-part price components as
+    * (part, component, value) rows via stack(). */
+  val q54_unpivot_prices: Q = (s, d) =>
+    part(s, d)
+      .select(col("p_partkey"), expr(
+        """stack(2, 'retail', p_retailprice,
+                    'size_x100', CAST(p_size AS DOUBLE) * 100) AS (component, value)"""))
+      .orderBy("p_partkey", "component")
+
+  // --------------------------------------------- q55: string parsing
+  /** String-function suite (C9/C10 analogs): parse the structured
+    * o_orderpriority code ('1-URGENT'), zero-pad (zfill) and re-join. */
+  val q55_string_parse: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderkey"),
+              substring_index(col("o_orderpriority"), "-", 1).cast(IntegerType)
+                .as("priority_num"),
+              substring_index(col("o_orderpriority"), "-", -1).as("priority_name"),
+              lpad(month(col("o_orderdate")).cast(StringType), 2, "0").as("month_padded"),
+              concat_ws("/", lpad(dayofmonth(col("o_orderdate")).cast(StringType), 2, "0"),
+                        lpad(month(col("o_orderdate")).cast(StringType), 2, "0"),
+                        year(col("o_orderdate")).cast(StringType)).as("order_date_eu"))
+      .orderBy("o_orderkey")
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
     "q29_percentiles"       -> q29_percentiles,
+    "q50_cube_sales"        -> q50_cube_sales,
+    "q51_month_over_month"  -> q51_month_over_month,
+    "q52_set_ops"           -> q52_set_ops,
+    "q53_pivot_status"      -> q53_pivot_status,
+    "q54_unpivot_prices"    -> q54_unpivot_prices,
+    "q55_string_parse"      -> q55_string_parse,
     "q1_scan_pushdown"      -> q1_scan_pushdown,
     "q2_dedup_merge"        -> q2_dedup_merge,
     "q3_distinct"           -> q3_distinct,
@@ -440,6 +543,60 @@ object Relational {
   private val MONEY_O = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q50_cube_sales" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS grouping_set,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+           COUNT(*) AS n_items
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY grouping_set, returnflag, linestatus""",
+
+    "q51_month_over_month" ->
+      """WITH monthly AS (
+           SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+                  CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sales_d
+           FROM orders GROUP BY 1, 2)
+         SELECT y, m, CAST(sales_d AS DOUBLE) AS sales,
+           CAST(sales_d - LAG(sales_d, 1) OVER (ORDER BY y, m) AS DOUBLE) AS mom_delta,
+           CAST(LEAD(sales_d, 1) OVER (ORDER BY y, m) AS DOUBLE) AS next_sales,
+           CAST(NTILE(4) OVER (ORDER BY sales_d, y, m) AS INTEGER) AS quartile
+         FROM monthly ORDER BY y, m""",
+
+    "q52_set_ops" ->
+      """WITH a95 AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995),
+            a00 AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 2000)
+         SELECT 'retained' AS cohort, o_custkey FROM (SELECT o_custkey FROM a95 INTERSECT SELECT o_custkey FROM a00)
+         UNION ALL
+         SELECT 'churned' AS cohort, o_custkey FROM (SELECT o_custkey FROM a95 EXCEPT SELECT o_custkey FROM a00)
+         ORDER BY cohort, o_custkey""",
+
+    "q53_pivot_status" ->
+      """SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q54_unpivot_prices" ->
+      """SELECT p_partkey, component, value FROM (
+           SELECT p_partkey, 'retail' AS component, p_retailprice AS value FROM part
+           UNION ALL
+           SELECT p_partkey, 'size_x100', CAST(p_size AS DOUBLE) * 100 FROM part)
+         ORDER BY p_partkey, component""",
+
+    "q55_string_parse" ->
+      """SELECT o_orderkey,
+           CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS priority_num,
+           string_split(o_orderpriority, '-')[-1] AS priority_name,
+           lpad(CAST(MONTH(o_orderdate) AS VARCHAR), 2, '0') AS month_padded,
+           concat_ws('/', lpad(CAST(DAY(o_orderdate) AS VARCHAR), 2, '0'),
+                     lpad(CAST(MONTH(o_orderdate) AS VARCHAR), 2, '0'),
+                     CAST(YEAR(o_orderdate) AS VARCHAR)) AS order_date_eu
+         FROM orders ORDER BY o_orderkey""",
+
     "q29_percentiles" ->
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS median_qty,
