@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.Tables._
+import graft.Num.money
 
 /** Text-analysis + document-dedup operators for large-scale training-data
   * pipelines, over the `documents` table.
@@ -232,9 +233,57 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
+  // ------------------------------------------------- deterministic sampling
+  /** Content-hash sampling — the training-pipeline form of TABLESAMPLE:
+    * membership is a pure function of the row key (md5-prefix < threshold),
+    * so samples are reproducible across runs, engines and cluster layouts,
+    * and scale-stable (each shard samples independently, no coordination).
+    * ~10% stratum-wise sample of lineitem (keyed by order+line). */
+  val q56_hash_sample: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(expr("substring(md5(concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))), 1, 2) < '1a'"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+           sum(money(col("l_quantity"))).cast(DoubleType).as("sampled_qty"))
+      .orderBy("l_returnflag")
+
+  /** Train/validation/test split by content hash (80/10/10): the split
+    * label is a deterministic function of doc_id ⇒ no leakage across
+    * reshuffles/reruns, and near-dup handling can key the hash on the
+    * dedup fingerprint instead of the id. */
+  val q57_dataset_split: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("h", expr("substring(md5(CAST(doc_id AS STRING)), 1, 2)"))
+      .withColumn("split", expr(
+        """CASE WHEN h < 'cc' THEN 'train'
+                WHEN h < 'e6' THEN 'validation'
+                ELSE 'test' END"""))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+
+  /** Class-balanced downsampling: at most K examples per label, selected
+    * by hash order (deterministic, unbiased within label) — the standard
+    * rebalancing pass before training. */
+  val q58_balanced_sample: Q = (s, d) => {
+    val w = Window.partitionBy("label")
+      .orderBy(expr("md5(CAST(vec_id AS STRING))"), col("vec_id"))
+    embeddings(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_kept"),
+           min(col("vec_id")).as("min_vec_id"),
+           max(col("vec_id")).as("max_vec_id"))
+      .orderBy("label")
+  }
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
     "q36_simhash_pairs"     -> q36_simhash_pairs,
+    "q56_hash_sample"       -> q56_hash_sample,
+    "q57_dataset_split"     -> q57_dataset_split,
+    "q58_balanced_sample"   -> q58_balanced_sample,
     "q30_token_stats"       -> q30_token_stats,
     "q31_doc_quality"       -> q31_doc_quality,
     "q32_lang_id"           -> q32_lang_id,
@@ -247,6 +296,32 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN ($words)))"
 
   val oracles: Map[String, String] = Map(
+    "q56_hash_sample" ->
+      """SELECT l_returnflag, COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sampled_qty
+         FROM lineitem
+         WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q57_dataset_split" ->
+      """SELECT CASE WHEN h < 'cc' THEN 'train'
+                     WHEN h < 'e6' THEN 'validation'
+                     ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+         FROM (SELECT lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h FROM documents)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q58_balanced_sample" ->
+      """WITH ranked AS (
+           SELECT label, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM embeddings)
+         SELECT label, COUNT(*) AS n_kept,
+           MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+         FROM ranked WHERE rn <= 20
+         GROUP BY label ORDER BY label""",
+
     "q36_simhash_pairs" ->
       """WITH hashed AS (
            SELECT doc_id,
