@@ -51,6 +51,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(dates.sliding(2).forall(p => p(0).isBefore(p(1))))
   }
 
+  test("pivot zero-fill matches FILTER-count semantics on sparse combos") {
+    // q53's coalesce-to-0 path is not exercised by the test data (every
+    // segment has every status); prove the semantics on a sparse frame
+    import spark.implicits._
+    val sparse = Seq(("A", "F"), ("A", "F"), ("B", "O")).toDF("seg", "st")
+    val pivoted = sparse.groupBy("seg").pivot("st", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("seg"), coalesce(col("F"), lit(0L)).as("n_f"),
+              coalesce(col("O"), lit(0L)).as("n_o"),
+              coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("seg").collect()
+    assert(pivoted.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("A", 2L, 0L, 0L), ("B", 0L, 1L, 0L)))
+  }
+
   test("q20 anti join and q21 semi join partition consistently") {
     val noItems = Relational.q20_orders_no_items(spark, sf).count()
     val orders = Tables.orders(spark, sf).count()
