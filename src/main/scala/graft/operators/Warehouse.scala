@@ -112,8 +112,13 @@ object Warehouse {
     * one shuffle on user_id. DuckDB's native ASOF JOIN is the oracle. */
   val q47_asof_click_purchase: Q = (s, d) => {
     val ev = events(s, d)
+    // dedup clicks at identical (user, ts) keeping the max event_id BEFORE
+    // the as-of: DuckDB's ASOF JOIN breaks exact-ts ties arbitrarily, so
+    // ties must not exist by construction for the oracle to be stable
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_click"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"))
+      .withColumn("is_click", lit(1))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_click"))
     // order clicks before purchases at equal ts so an at-same-instant click
@@ -207,7 +212,8 @@ object Warehouse {
 
     "q47_asof_click_purchase" ->
       """WITH clicks AS (
-           SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+           SELECT user_id, ts, MAX(event_id) AS event_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
          purchases AS (
            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
          SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

@@ -42,8 +42,11 @@ object EventsStream {
   }
 
   /** Watermarked tumbling-window aggregation: hourly event counts/values
-    * per type. Late data beyond 2 hours is dropped by the watermark —
-    * bounded state at 100 TB/day event volumes. */
+    * per type. The watermark's guarantees (late data dropped, state
+    * evicted) apply in Append/Update mode — the production pattern,
+    * exercised by the watermark spec and runIncrementalHourly. runHourly
+    * below deliberately runs Complete (watermark inert, all windows kept)
+    * because the memory-sink equivalence test wants every window. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
@@ -54,7 +57,9 @@ object EventsStream {
               col("n_events"), col("total_value"))
 
   /** Run the streaming query to completion against the (static) test
-    * parquet via the memory sink; returns the materialized result. */
+    * parquet via the memory sink; returns the materialized result.
+    * Complete mode ⇒ full recomputation into memory — a TEST harness,
+    * not the scale pattern (see hourlyAgg doc). */
   def runHourly(spark: SparkSession, dir: String, queryName: String = "events_hourly"): DataFrame = {
     val q = hourlyAgg(source(spark, dir))
       .writeStream
@@ -103,13 +108,14 @@ object EventsStream {
   }
 
   // ------------------------------------------- incremental aggregate fact
-  /** foreachBatch incremental materialization: each micro-batch appends its
-    * partial hourly aggregates tagged with the batch id; readers merge
-    * partials by summing (counts/sums compose associatively). Without a
-    * transactional table format this append-then-merge is the idempotent
-    * pattern — a replayed batch id is dropped at read time. At scale the
-    * partials are tiny (one row per window×type per batch) and a periodic
-    * compaction folds them. */
+  /** foreachBatch incremental materialization: update-mode re-emissions
+    * carry the full cumulative aggregate for their window, so each append
+    * is tagged with its batch id and readers take the LATEST batch per
+    * window (latest-wins, NOT summing — summing would re-count earlier
+    * emissions). Checkpointed replays are no-ops; a replayed append is
+    * additionally superseded at read time. At scale the partials are tiny
+    * (one row per updated window×type per batch) and periodic compaction
+    * keeps only each window's latest row. */
   def runIncrementalHourly(spark: SparkSession, dir: String, outDir: String): Unit = {
     val q = source(spark, dir)
       .withWatermark("ts", "2 hours")
@@ -145,74 +151,107 @@ object EventsStream {
   }
 
   // ------------------------------------------------- stateful sessions
-  case class Ev(user_id: Long, tsMicros: Long, value: Double)
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, tsMicros: Long, value: Double)
   case class SessionOut(user_id: Long, session_idx: Int, n_events: Long,
                         start_us: Long, end_us: Long, total_value: Double)
-  private case class SessState(idx: Int, lastUs: Long, n: Long,
+  /** Public: the state encoder's generated code must reach the ctor. */
+  case class SessState(idx: Int, lastUs: Long, n: Long,
                                startUs: Long, sumValue: Double)
 
   private val GapUs: Long = 30L * 60 * 1000000
 
+  /** Shared per-user session fold (single source of truth for the
+    * streaming and batch paths). Events must be fed in ascending time
+    * order within the call; a cross-batch LATE event (ts < state.lastUs)
+    * is merged into the open session without regressing lastUs, so a
+    * straggler can never corrupt the gap clock. */
+  private def foldSession(user: Long, st0: SessState, evs: Seq[Ev])
+      : (SessState, Seq[SessionOut]) = {
+    var st = st0
+    val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+    evs.foreach { e =>
+      st match {
+        case null =>
+          st = SessState(1, e.tsMicros, 1, e.tsMicros, e.value)
+        case s if e.tsMicros - s.lastUs > GapUs =>
+          closed += SessionOut(user, s.idx, s.n, s.startUs, s.lastUs, s.sumValue)
+          st = SessState(s.idx + 1, e.tsMicros, 1, e.tsMicros, e.value)
+        case s =>
+          st = s.copy(lastUs = math.max(s.lastUs, e.tsMicros), n = s.n + 1,
+                      sumValue = s.sumValue + e.value,
+                      startUs = math.min(s.startUs, e.tsMicros))
+      }
+    }
+    (st, closed.toSeq)
+  }
+
   /** flatMapGroupsWithState sessionizer: 30-min inactivity gap closes a
     * session (the streaming twin of Warehouse.q25_events_sessionize).
-    * Each invocation sorts its batch's events and folds them through the
-    * per-user state, emitting closed sessions; the open session stays in
-    * state across micro-batches. */
+    * Event-time timeout (watermark-driven) flushes the final open session
+    * once no more on-time data can arrive — without it, Append mode would
+    * hold every user's last session in state forever. Callers must
+    * `withWatermark` the underlying frame (see runSessionsStreaming). */
   def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-          val evs = it.toSeq.sortBy(e => (e.tsMicros, e.value))
-          var st = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          evs.foreach { e =>
-            st match {
-              case null =>
-                st = SessState(1, e.tsMicros, 1, e.tsMicros, e.value)
-              case s if e.tsMicros - s.lastUs > GapUs =>
-                closed += SessionOut(user, s.idx, s.n, s.startUs, s.lastUs, s.sumValue)
-                st = SessState(s.idx + 1, e.tsMicros, 1, e.tsMicros, e.value)
-              case s =>
-                st = s.copy(lastUs = e.tsMicros, n = s.n + 1, sumValue = s.sumValue + e.value)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.idx, s.n, s.startUs, s.lastUs, s.sumValue))
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.tsMicros, e.value))
+            val (st, closed) = foldSession(user, state.getOption.orNull, evs)
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000 + GapUs / 1000)
             }
+            closed.iterator
           }
-          if (st != null) state.update(st)
-          closed.iterator
       }
   }
 
-  /** Drive the stateful sessionizer over the static events parquet and
-    * return closed + still-open sessions (open sessions are flushed from
-    * state by a final pass so the batch total matches). */
+  /** Drive the stateful sessionizer as a real stream over the static
+    * events parquet (memory sink, run to completion). Sessions still open
+    * when the stream ends stay in state (their timeout never fires on a
+    * finite input) — mirroring production semantics. */
+  def runSessionsStreaming(spark: SparkSession, dir: String,
+                           queryName: String = "events_sessions"): DataFrame = {
+    import spark.implicits._
+    val evs = source(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[Ev]
+    val q = sessionize(evs).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Batch twin: one pass over the whole table through the SAME fold,
+    * open sessions emitted at the end (a finite input has no more data
+    * coming). */
   def runSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val evs = graft.Tables.events(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsMicros"), col("value"))
       .as[Ev]
-    // batch mode: one "micro-batch" holds everything; emit open sessions too
     import org.apache.spark.sql.Encoders
     evs.groupByKey(_.user_id)
       .flatMapGroups { (user: Long, it: Iterator[Ev]) =>
         val evsSorted = it.toSeq.sortBy(e => (e.tsMicros, e.value))
-        val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-        var st: SessState = null
-        evsSorted.foreach { e =>
-          st match {
-            case null => st = SessState(1, e.tsMicros, 1, e.tsMicros, e.value)
-            case s if e.tsMicros - s.lastUs > GapUs =>
-              out += SessionOut(user, s.idx, s.n, s.startUs, s.lastUs, s.sumValue)
-              st = SessState(s.idx + 1, e.tsMicros, 1, e.tsMicros, e.value)
-            case s =>
-              st = s.copy(lastUs = e.tsMicros, n = s.n + 1, sumValue = s.sumValue + e.value)
-          }
-        }
-        if (st != null)
-          out += SessionOut(user, st.idx, st.n, st.startUs, st.lastUs, st.sumValue)
-        out.iterator
+        val (st, closed) = foldSession(user, null, evsSorted)
+        val all = if (st != null)
+          closed :+ SessionOut(user, st.idx, st.n, st.startUs, st.lastUs, st.sumValue)
+        else closed
+        all.iterator
       }(Encoders.product[SessionOut])
       .toDF()
   }

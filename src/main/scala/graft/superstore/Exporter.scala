@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
 object Exporter {
 
   /** S4/S5/S6 — export every registered warehouse table under `outDir`
-    * in the given format (parquet | csv | orc | json). */
+    * in the given format (parquet | csv | orc | json). `singleFile`
+    * coalesces each table to one file — right for the small dimension/
+    * aggregate tables this mirrors from generate_excel.py; leave it off
+    * for large facts (a single write task would serialize the export). */
   def exportAll(wh: Map[String, DataFrame], outDir: String,
-                format: String = "csv"): Unit =
+                format: String = "csv", singleFile: Boolean = true): Unit =
     wh.foreach { case (name, df) =>
-      val w = df.coalesce(1).write.mode("overwrite")
+      val base = if (singleFile) df.coalesce(1) else df
+      val w = base.write.mode("overwrite")
       (if (format == "csv") w.option("header", "true") else w)
         .format(format).save(s"$outDir/$name")
     }
@@ -63,12 +67,13 @@ object Exporter {
       .partitionBy("order_year")
       .parquet(s"$outDir/Item_by_year")
 
-  /** Persist rejects (the Errors.txt analog) and return the count. */
+  /** Persist rejects (the Errors.txt analog) and return the count —
+    * written first, counted from the written files, so the anti-joins
+    * run once. */
   def quarantine(rejects: DataFrame, outDir: String): Long = {
-    val n = rejects.count()
-    if (n > 0)
-      rejects.coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(s"$outDir/rejects")
-    n
+    rejects.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$outDir/rejects")
+    rejects.sparkSession.read.option("header", "true")
+      .csv(s"$outDir/rejects").count()
   }
 }

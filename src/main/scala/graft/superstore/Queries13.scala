@@ -11,8 +11,10 @@ import org.apache.spark.sql.types._
   * views) — Queries13Spec asserts the two formulations agree row-for-row.
   *
   * MySQL-isms are rewritten per SURVEY.md §2: IF(GROUPING()) →
-  * when(grouping()), GROUP_CONCAT+SUBSTRING_INDEX → sorted collect_list
-  * slice, DATEDIFF(a,b) → datediff(a,b). Where the reference's window order
+  * when(grouping()), GROUP_CONCAT becomes a sorted
+  * collect_list join (SUBSTRING_INDEX itself is a Spark built-in and is
+  * applied with MySQL's exact separator-counting semantics — see q13),
+  * DATEDIFF(a,b) → datediff(a,b). Where the reference's window order
   * is ambiguous under ties (ORDER BY i.sales DESC), a product_name
   * tiebreaker pins determinism — MySQL's tie order is arbitrary anyway.
   *
@@ -166,16 +168,20 @@ object Queries13 {
   }
 
   /** q13 — top-10 product names per category as one ordered string
-    * (GROUP_CONCAT + SUBSTRING_INDEX, cell 26). */
+    * (GROUP_CONCAT + SUBSTRING_INDEX, cell 26). Reproduces MySQL's exact
+    * semantics: SUBSTRING_INDEX counts ', ' occurrences INCLUDING those
+    * inside product names ("… Chair, Gray" consumes a slot), so the full
+    * ordered concat is built first and substring_index cuts it — not a
+    * clean top-10-names slice. */
   val q13_top_concat: WQ = wh =>
     wh("Item")
       .join(broadcast(wh("Product").select("product_id", "product_name", "category_id")), "product_id")
       .join(broadcast(wh("Category")), "category_id")
       .groupBy("category_name")
       .agg(
-        expr("""array_join(slice(transform(
+        expr("""substring_index(array_join(transform(
                   array_sort(collect_list(named_struct('s', -sales, 'n', product_name))),
-                  x -> x.n), 1, 10), ', ')""").as("top_products"),
+                  x -> x.n), ', '), ', ', 10)""").as("top_products"),
         sum("sales").as("total_sales"))
       .orderBy("category_name")
 
@@ -282,9 +288,9 @@ object Queries13 {
          ORDER BY category_name, running_sales DESC, product_name LIMIT 10""",
     "ss_q13_top_concat" ->
       """SELECT cat.category_name,
-           array_join(slice(transform(
+           substring_index(array_join(transform(
              array_sort(collect_list(named_struct('s', -i.sales, 'n', p.product_name))),
-             x -> x.n), 1, 10), ', ') AS top_products,
+             x -> x.n), ', '), ', ', 10) AS top_products,
            SUM(i.sales) AS total_sales
          FROM Item i
          JOIN Product p ON i.product_id = p.product_id

@@ -64,6 +64,10 @@ object SuperstoreETL {
       .csv(csvPath)
       .withColumn("Order Date", to_date(col("Order Date"), "M/d/yyyy"))
       .withColumn("Ship Date", to_date(col("Ship Date"), "M/d/yyyy"))
+      // pandas reads Postal Code as int64 and the reference str()s it, so
+      // '05408' (Burlington VT) is stored as '5408' — normalize identically
+      // for value-level parity with the exported warehouse
+      .withColumn("Postal Code", col("Postal Code").cast(LongType).cast(StringType))
   }
 
   /** P1/P2 — merge duplicate (Order ID, Product ID) rows in one pass:
@@ -86,8 +90,8 @@ object SuperstoreETL {
         sum(col("Sales")).as("Sales"),
         (sum(col("Discount") * col("Quantity")) / sum(col("Quantity"))).as("Discount"),
         sum(col("Profit")).as("Profit"))
-      .withColumn("pos",
-        lit(1000000L) + row_number().over(Window.orderBy("k_order", "k_product")))
+      .withColumn("pos",   // offset provably beyond the IntegerType Row-ID domain
+        lit(1L << 33) + row_number().over(Window.orderBy("k_order", "k_product")))
       .select(otherCols.map(c => col(s"first_row.`$c`").as(c)) ++
               Seq(col("Sales"), col("Quantity").cast(IntegerType).as("Quantity"),
                   col("Discount"), col("Profit"), col("pos")): _*)

@@ -80,6 +80,25 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(again == batch)
   }
 
+  test("flatMapGroupsWithState sessionizer emits exactly the gap-closed sessions") {
+    val streamed = EventsStream.runSessionsStreaming(spark, sf)
+      .select("user_id", "session_idx", "n_events")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batchAll = EventsStream.runSessions(spark, sf)
+      .select("user_id", "session_idx", "n_events")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // contract: every gap-closed session is emitted; final open sessions
+    // are emitted only if their event-time timeout fell below the last
+    // watermark (it does for most users here); nothing is fabricated
+    val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+    val gapClosed = batchAll.toSet -- lastPerUser
+    assert(gapClosed.subsetOf(streamed),
+      s"missing closed sessions: ${(gapClosed -- streamed).take(3)}")
+    assert(streamed.subsetOf(batchAll.toSet),
+      s"fabricated sessions: ${(streamed -- batchAll.toSet).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful sessionizer agrees with the SQL sessionization on counts") {
     val typed = EventsStream.runSessions(spark, sf)
     val sql = Warehouse.q25_events_sessionize(spark, sf)
