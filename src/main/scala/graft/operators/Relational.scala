@@ -59,7 +59,7 @@ object Relational {
         (sum(money(col("l_discount")) * money(col("l_quantity"))).cast(DoubleType) /
           sum(money(col("l_quantity"))).cast(DoubleType)).as("discount_w"),
         min_by(col("l_returnflag"),
-               format_string("%05d|%s", col("l_linenumber"), col("l_returnflag")))
+               format_string("%010d|%s", col("l_linenumber"), col("l_returnflag")))
           .as("returnflag"),
         min(col("l_linenumber")).as("first_line"))
       .orderBy("l_orderkey", "l_partkey")
@@ -615,7 +615,7 @@ object Relational {
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS discount_w,
-           arg_min(l_returnflag, printf('%05d|%s', l_linenumber, l_returnflag)) AS returnflag,
+           arg_min(l_returnflag, printf('%010d|%s', l_linenumber, l_returnflag)) AS returnflag,
            MIN(l_linenumber) AS first_line
          FROM lineitem GROUP BY l_orderkey, l_partkey ORDER BY l_orderkey, l_partkey""",
 
@@ -799,11 +799,14 @@ object Relational {
            COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // DuckDB SUM(INTEGER) is HUGEINT (→ float64 via pandas) while Spark
+    // sum(int) is BIGINT — CAST to BIGINT per the NOTES_r1 cast discipline.
+    // TRY_CAST pins NULL-on-non-numeric parity with Spark's non-ANSI cast.
     "q24_events_json" ->
       """SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*) AS avg_k
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*) AS avg_k
          FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

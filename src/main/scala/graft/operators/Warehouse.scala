@@ -62,10 +62,13 @@ object Warehouse {
 
   // ------------------------------------------------- shipping behavior
   /** ShippingBehavior analog (A3, etl.py:930-1131): priority × returnflag
-    * grain, avg shipping delay rounded to INT (the reference's
-    * int(round(avg)), etl.py:990) and method_freq = row count. Rounding is
-    * floor(x+0.5) — half-up in both engines, unlike ROUND on doubles whose
-    * half-even/half-up behavior differs between engines. */
+    * grain, avg shipping delay rounded to INT (cf. the reference's
+    * int(round(avg)), etl.py:990) and method_freq = row count. Rounding
+    * here is floor(x+0.5) — half-UP, chosen because it is engine-portable
+    * (identical in Spark and DuckDB). Note this deliberately diverges from
+    * Python's round, which is half-EVEN (banker's) on *.5 averages; the
+    * exact-parity target for that reference line is
+    * SuperstoreETL.shippingBehaviorFacts, which uses bround. */
   val q28_shipping_behavior: Q = (s, d) =>
     lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))

@@ -159,12 +159,21 @@ object EventsStream {
                                startUs: Long, sumValue: Double)
 
   private val GapUs: Long = 30L * 60 * 1000000
+  /** How long a closed-session tombstone (n == 0, below) survives before its
+    * cleanup timeout removes it — bounds per-user state while keeping the
+    * session counter monotone across session-close timeouts. */
+  private val TombstoneTtlUs: Long = 24L * 3600 * 1000000
 
   /** Shared per-user session fold (single source of truth for the
     * streaming and batch paths). Events must be fed in ascending time
     * order within the call; a cross-batch LATE event (ts < state.lastUs)
     * is merged into the open session without regressing lastUs, so a
-    * straggler can never corrupt the gap clock. */
+    * straggler can never corrupt the gap clock.
+    *
+    * A state with n == 0 is a TOMBSTONE: the session `idx` was already
+    * emitted by an event-time timeout, and only the counter survives so the
+    * next session continues at idx + 1 instead of restarting at 1 (which
+    * would emit duplicate (user_id, session_idx) keys). */
   private def foldSession(user: Long, st0: SessState, evs: Seq[Ev])
       : (SessState, Seq[SessionOut]) = {
     var st = st0
@@ -173,6 +182,10 @@ object EventsStream {
       st match {
         case null =>
           st = SessState(1, e.tsMicros, 1, e.tsMicros, e.value)
+        case s if s.n == 0 =>
+          // tombstone: previous session already emitted at timeout — start
+          // the next one, continuing the numbering, emitting nothing here
+          st = SessState(s.idx + 1, e.tsMicros, 1, e.tsMicros, e.value)
         case s if e.tsMicros - s.lastUs > GapUs =>
           closed += SessionOut(user, s.idx, s.n, s.startUs, s.lastUs, s.sumValue)
           st = SessState(s.idx + 1, e.tsMicros, 1, e.tsMicros, e.value)
@@ -200,8 +213,23 @@ object EventsStream {
         (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(user, s.idx, s.n, s.startUs, s.lastUs, s.sumValue))
+            if (s.n == 0) {
+              // tombstone TTL expired with no new session — drop the counter
+              state.remove()
+              Iterator.empty
+            } else {
+              // emit the closed session but KEEP the counter as a tombstone:
+              // a user active again later (idle > gap + watermark delay)
+              // continues at idx + 1 — same monotone numbering as the batch
+              // twin — instead of restarting at 1
+              state.update(SessState(s.idx, s.lastUs, 0, s.lastUs, 0.0))
+              // timeout must sit above the current watermark (Spark rejects
+              // past timestamps); the TTL is measured from session end
+              state.setTimeoutTimestamp(math.max(
+                s.lastUs / 1000 + TombstoneTtlUs / 1000,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.single(SessionOut(user, s.idx, s.n, s.startUs, s.lastUs, s.sumValue))
+            }
           } else {
             val evs = it.toSeq.sortBy(e => (e.tsMicros, e.value))
             val (st, closed) = foldSession(user, state.getOption.orNull, evs)

@@ -99,6 +99,47 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("session counter survives event-time timeout (no duplicate session_idx)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val mem = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val evs = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsMicros"),
+              lit(1.0).as("value"))
+      .as[EventsStream.Ev]
+    val q = EventsStream.sessionize(evs).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_timeout_test").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two events → one open session
+    mem.addData((1L, t("2024-01-01 00:00:00")), (1L, t("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    // unrelated user pushes the watermark far past 00:05 + 30min gap → the
+    // user-1 session times out and is emitted (second nudge batch lets the
+    // timeout actually fire after the watermark advances)
+    mem.addData((99L, t("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    mem.addData((99L, t("2024-01-01 02:01:00")))
+    q.processAllAvailable()
+    // user 1 returns AFTER the timeout — this is the production path the
+    // tombstone protects: numbering must continue at 2, not restart at 1
+    mem.addData((1L, t("2024-01-01 03:00:00")), (1L, t("2024-01-01 03:10:00")))
+    q.processAllAvailable()
+    // close the second session the same way
+    mem.addData((99L, t("2024-01-01 06:00:00")))
+    q.processAllAvailable()
+    mem.addData((99L, t("2024-01-01 06:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_timeout_test").filter(col("user_id") === 1L)
+      .select("session_idx", "n_events").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(out == Set((1, 2L), (2, 2L)),
+      s"expected monotone session numbering across timeout, got $out")
+  }
+
   test("stateful sessionizer agrees with the SQL sessionization on counts") {
     val typed = EventsStream.runSessions(spark, sf)
     val sql = Warehouse.q25_events_sessionize(spark, sf)

@@ -36,6 +36,18 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(diff == 0.0, "codegen'd fold must be bit-identical to composed form")
   }
 
+  test("dot_product yields NULL on ragged arrays, like the composed form") {
+    DotProduct.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val native = df.select(DotProduct.dot_product(col("a"), col("b"))).head()
+    val composed = df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, w) -> acc + w)"))
+      .head()
+    assert(native.isNullAt(0), "ragged native dot_product must be NULL")
+    assert(composed.isNullAt(0), "composed form null-pads → NULL (the contract)")
+  }
+
   test("IVF ANN recalls a meaningful fraction of the exact top-3") {
     val exact = VectorOps.q40_cosine_topk(spark, sf)
       .select("q_id", "neighbor_id").collect()
