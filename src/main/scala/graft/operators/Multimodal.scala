@@ -70,8 +70,10 @@ object Multimodal {
            countDistinct(md5(col("payload"))).as("n_unique_blobs"))
       .orderBy("source")
 
-  /** Feature-extraction query through the typed decode stage (rows-only
-    * check: the stub features are not naturally SQL-expressible). */
+  /** Feature-extraction query through the typed decode stage. The stub
+    * features are deterministic byte functions, so they ARE SQL-expressible
+    * (byte_sum = fold over the payload's hex pairs) — oracle-checked, which
+    * pins the whole mapPartitions plumbing, not just its row count. */
   val q45_multimodal_features: Q = (s, d) =>
     decodeFeatures(binaryized(s, d)).toDF()
       .groupBy("source")
@@ -93,5 +95,23 @@ object Multimodal {
            CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT md5(text)) AS n_unique_blobs
          FROM documents GROUP BY source ORDER BY source""",
+
+    // byte_sum replayed as a fold over the payload's hex pairs: exact
+    // integer arithmetic, so the mapPartitions decode stage is value-checked
+    "q45_multimodal_features" ->
+      """WITH f AS (
+           SELECT source,
+             CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                  ELSE list_reduce(
+                    list_transform(generate_series(1, octet_length(encode(text))),
+                      i -> CAST(('0x' || substr(hex(encode(text)), i * 2 - 1, 2)) AS BIGINT)),
+                    (a, b) -> a + b)
+             END AS byte_sum,
+             1 + octet_length(encode(text)) % 7 AS fake_frames
+           FROM documents)
+         SELECT source, COUNT(*) AS n_items,
+           CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum,
+           CAST(SUM(fake_frames) AS BIGINT) AS total_frames
+         FROM f GROUP BY source ORDER BY source""",
   )
 }

@@ -118,46 +118,18 @@ object VectorOps {
   }
 
   // --------------------------------------------------------- IVF ANN
-  /** IVF coarse quantizer: deterministic k-means (init = first K vectors,
-    * fixed Lloyd iterations, ties to the smaller centroid id) partitions
-    * the corpus into K cells; a query probes only its nprobe nearest
-    * cells. This is the 100 TB ANN layout: the cell assignment is the
-    * partition key, so a query touches K_probe/K of the data. No DuckDB
-    * oracle (iterative k-means is not reasonably SQL-expressible) —
-    * rows-only check; VectorOpsSpec asserts recall against exact top-k. */
-  def ivfAssignments(s: SparkSession, d: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    register(s)
-    val vecs = embeddings(s, d).select(col("vec_id"), expr(VECD).as("v"))
-    def sqdist = expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-    var cent = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
-    var assign: DataFrame = null
-    for (_ <- 1 to iters) {
-      assign = vecs.crossJoin(broadcast(cent))
-        .withColumn("d2", sqdist)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
-      val newCent = assign
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(named_struct('p', pos, 'm', m))), s -> s.m)").as("cv"))
-      // centroids are K×dim doubles — materialize on the driver to cut the
-      // otherwise exponentially deepening Lloyd lineage (standard k-means-
-      // on-Spark shape; the collected size is bounded by K, not the data)
-      import s.implicits._
-      cent = broadcast(newCent.as[(Int, Seq[Double])].collect().toSeq
-        .toDF("cid", "cv"))
-    }
-    (cent, assign)
-  }
-
-  /** ANN search through the IVF index: nprobe=2 cells per query, exact
-    * cosine re-rank inside the probed cells. */
+  /** ANN search through the PERSISTED IVF index (built by
+    * [[IvfIndex.build]] — train/search split, the 100 TB pattern: queries
+    * never train): nprobe=2 nearest cells per query against the persisted
+    * centroids, candidates read from the cell-partitioned assignments
+    * (partition pruning on cid ⇒ a probe touches nprobe/K of the corpus),
+    * exact cosine re-rank inside the probed cells. The persisted centroids
+    * are the oracle boundary: DuckDB replays assignment + probe + re-rank
+    * from the same centroid doubles, so this IS hash-checked. */
   val q46_ivf_ann: Q = (s, d) => {
-    val (cent, assign) = ivfAssignments(s, d, k = 16, iters = 3)
+    register(s)
+    val idx = IvfIndex.ensure(s, d)
+    val cent = broadcast(IvfIndex.centroids(s, idx))
     val probes = embeddings(s, d).filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), expr(VECD).as("qv"))
       .withColumn("qn", sqrt(dot_product(col("qv"), col("qv"))))
@@ -166,10 +138,9 @@ object VectorOps {
         "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("d2"), col("cid"))))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= IvfIndex.NProbe)
       .select(col("q_id"), col("qv"), col("qn"), col("cid"))
-    val cands = assign
-      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+    val cands = IvfIndex.assignments(s, idx)
     probeCells.join(cands, Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", dot_product(col("qv"), col("v")) / (col("qn") * col("norm")))
@@ -197,7 +168,48 @@ object VectorOps {
     """list_reduce(list_transform(generate_series(0, 7),
          i -> CASE WHEN embedding[i + 1] > 0 THEN (1 << i) ELSE 0 END), (acc, v) -> acc + v)"""
 
+  private def sqDuck(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)"
+
   val oracles: Map[String, String] = Map(
+    // replays the SEARCH from the persisted centroids (the oracle
+    // boundary — see IvfIndex scaladoc): assignment to nearest centroid,
+    // nprobe=2 probe cells, exact cosine re-rank — all plain SQL
+    "q46_ivf_ann" ->
+      s"""WITH cent AS (
+           SELECT cid, cv
+           FROM read_parquet('${IvfIndex.IndexDir}/centroids.parquet/*.parquet')),
+         vecs AS (
+           SELECT vec_id, $VECD_SQL AS v FROM embeddings),
+         dist AS (
+           SELECT vec_id, v, cid, ${sqDuck("v", "cv")} AS d2 FROM vecs, cent),
+         assigned AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM dist) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS q_id, v AS qv, sqrt(${dotDuck("v", "v")}) AS qn
+           FROM vecs WHERE vec_id < 20),
+         pdist AS (
+           SELECT q_id, qv, qn, cid, ${sqDuck("qv", "cv")} AS d2 FROM probes, cent),
+         probe_cells AS (
+           SELECT q_id, qv, qn, cid FROM (
+             SELECT q_id, qv, qn, cid,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn
+             FROM pdist) WHERE rn <= ${IvfIndex.NProbe}),
+         cands AS (
+           SELECT vec_id, v, sqrt(${dotDuck("v", "v")}) AS norm, cid FROM assigned),
+         scored AS (
+           SELECT q_id, vec_id, ${dotDuck("qv", "v")} / (qn * norm) AS cosine
+           FROM probe_cells JOIN cands USING (cid) WHERE vec_id <> q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+           FROM scored)
+         SELECT q_id, rnk, vec_id AS neighbor_id, cosine
+         FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
+
     "q40_cosine_topk" ->
       s"""WITH vecs AS (
            SELECT vec_id, $VECD_SQL AS v, sqrt(${dotDuck("v0", "v0").replace("v0", VECD_SQL)}) AS norm
