@@ -11,8 +11,18 @@ import org.apache.spark.sql.types._
   * `.explain("formatted")` — `PushedFilters` / `ReadSchema`).
   */
 object Tables {
+  /** Resolved-scan cache, keyed by (session, path): `spark.read.parquet`
+    * builds a fresh InMemoryFileIndex (directory listing) and re-reads the
+    * parquet footer for schema on every call, which at 58 queries × 2–3
+    * tables each is pure fixed overhead. A real deployment registers tables
+    * once in a catalog and gets this caching for free; the cached DataFrame
+    * here is the same thing — the analyzed scan relation is immutable and
+    * every query plans on top of it. */
+  private val scans =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    scans.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
