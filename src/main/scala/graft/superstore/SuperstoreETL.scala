@@ -209,6 +209,58 @@ object SuperstoreETL {
   private def lostValue(sales: Column, discount: Column): Column =
     when(discount < 1, sales / (lit(1) - discount) - sales).otherwise(lit(0.0))
 
+  /** MySQL DECIMAL(10,2) storage semantics (setup_database.sql:118-166):
+    * the reference computes measures in Python float64 and the INSERT
+    * rounds the value's decimal text half-away-from-zero to 2 digits.
+    * Spark's round() on a double goes through the same shortest-repr text
+    * (Decimal(Double.toString)) with HALF_UP — the identical operation —
+    * so this snap reproduces the stored warehouse cell-for-cell (asserted
+    * by GoldenExportSpec against superstore_dw_export.xlsx). */
+  private def snap2(c: Column): Column =
+    round(c.cast(DoubleType), 2).cast(DecimalType(10, 2))
+
+  /** Python-parity float sum: the reference accumulates float64 measures
+    * row by row in processed-frame order (etl.py iterrows at :582, :744,
+    * :858), and float addition is not associative — an unordered (or exact
+    * decimal) sum lands on the other side of a half-cent boundary for a
+    * handful of cells (e.g. Orders CA-2017-153045: exact 1370.535 → .54,
+    * Python float order-sum reprs 1370.53…9 → .53). Folding the doubles in
+    * `pos` order reproduces the reference bit-for-bit. Groups here are
+    * bounded (items per order, rows per state-month of one retail dataset)
+    * — this is reference-parity code, not the scalable aggregation path
+    * (that's Num.dsum's exact decimals in graft.operators). */
+  private def fsumOrdered(v: Column, pos: Column): Column = {
+    val pairs = sort_array(collect_list(struct(pos.as("p"), v.cast(DoubleType).as("x"))))
+    aggregate(transform(pairs, p => p.getField("x")), lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Kahan-parity sum: pandas 2.x groupby().sum() runs Cython `group_sum`
+    * — classic Kahan compensated summation (y = v - c; t = s + y;
+    * c = t - s - y; s = t) over the frame in row order. Kahan is close to
+    * but NOT always the correctly-rounded true sum, and for a couple of
+    * cells sitting exactly on a half-cent boundary (OrderM profit_month,
+    * ProductPerformance total_profit) the 1-ulp difference flips the
+    * stored DECIMAL(10,2) rounding — so we replay the identical float
+    * algorithm in `pos` order rather than summing exactly. Used for the
+    * measures the reference aggregates via pandas groupby
+    * (OrderM/ProductPerformance sales/profit), NOT for its iterrows
+    * accumulators (those need the uncompensated [[fsumOrdered]]). */
+  private def kahanFold(values: Column): Column =
+    aggregate(
+      values,
+      struct(lit(0.0).as("s"), lit(0.0).as("c")),
+      (acc, x) => {
+        val y = x - acc.getField("c")
+        val t = acc.getField("s") + y
+        struct(t.as("s"), (t - acc.getField("s") - y).as("c"))
+      },
+      acc => acc.getField("s"))
+
+  private def kahanOrdered(v: Column, pos: Column): Column = {
+    val pairs = sort_array(collect_list(struct(pos.as("p"), v.cast(DoubleType).as("x"))))
+    kahanFold(transform(pairs, p => p.getField("x")))
+  }
+
   /** The reference resolves fact FKs through Python dicts keyed by natural
     * key (etl.py:452-471): duplicated natural keys OVERWRITE, so the
     * last-inserted (= highest) surrogate id wins — product_code maps 1,894
@@ -233,10 +285,10 @@ object SuperstoreETL {
             pre("Postal Code") === col("postal_code") && pre("City") === col("city_name"))
       .select(col("customer_id"), col("location_id"), col("calendar_id"),
               col("product_id"), col("Order ID").as("order_code"),
-              col("Quantity").as("quantity"), col("Sales").as("sales"),
-              col("Discount").as("discount"),
-              lostValue(col("Sales"), col("Discount")).as("lost_value"),
-              col("Profit").as("profit"))
+              col("Quantity").as("quantity"), snap2(col("Sales")).as("sales"),
+              round(col("Discount"), 2).cast(DecimalType(3, 2)).as("discount"),
+              snap2(lostValue(col("Sales"), col("Discount"))).as("lost_value"),
+              snap2(col("Profit")).as("profit"))
 
   /** Orders fact (etl.py:557-681): per-order rollup; order-level attributes
     * from the first row (min pos), measures summed, two role-playing
@@ -249,15 +301,16 @@ object SuperstoreETL {
       .agg(
         min_by(struct(firstCols.map(c => col(s"`$c`")): _*), col("pos")).as("f"),
         sum(col("Quantity")).as("quantity_order"),
-        sum(col("Sales")).as("sales_order"),
-        sum(col("Profit")).as("profit_order"),
-        sum(lostValue(col("Sales"), col("Discount"))).as("lost_value_order"))
+        fsumOrdered(col("Sales"), col("pos")).as("sales_order"),
+        fsumOrdered(col("Profit"), col("pos")).as("profit_order"),
+        fsumOrdered(lostValue(col("Sales"), col("Discount")), col("pos")).as("lost_value_order"))
       .select(col("order_code"),
               col("f.`Order Date`").as("od"), col("f.`Ship Date`").as("sd"),
               col("f.`Customer ID`").as("cc"), col("f.`Postal Code`").as("pc"),
               col("f.`City`").as("ct"), col("f.`Ship Mode`").as("sm"),
-              col("quantity_order"), col("sales_order"),
-              col("profit_order"), col("lost_value_order"))
+              col("quantity_order"), snap2(col("sales_order")).as("sales_order"),
+              snap2(col("profit_order")).as("profit_order"),
+              snap2(col("lost_value_order")).as("lost_value_order"))
     val oc = calendar.select(col("calendar_id").as("order_calendar_id"),
       col("full_date").as("ocd"))
     val sc = calendar.select(col("calendar_id").as("shipping_calendar_id"),
@@ -282,16 +335,20 @@ object SuperstoreETL {
     pre
       .groupBy(year(col("Order Date")).as("y"), month(col("Order Date")).as("m"),
                col("State"))
-      .agg(sum(col("Sales")).as("sales_month"),
+      .agg(kahanOrdered(col("Sales"), col("pos")).as("sales_month"),
            sum(col("Quantity")).cast(DecimalType(10, 2)).as("quantity_month"),
-           sum(col("Profit")).as("profit_month"),
-           sum(lostValue(col("Sales"), col("Discount"))).as("lost_value_month"))
+           kahanOrdered(col("Profit"), col("pos")).as("profit_month"),
+           // lost_value is the one OrderM measure the reference accumulates
+           // row-by-row (etl.py:720-741), not via pandas groupby
+           fsumOrdered(lostValue(col("Sales"), col("Discount")), col("pos")).as("lost_value_month"))
       .join(broadcast(calendarMonth.select(col("calendar_month_id"),
               col("year_number").as("y"), col("calendar_month_number").as("m"))),
             Seq("y", "m"))
       .join(broadcast(state.select(col("state_id"), col("state_name").as("State"))), "State")
-      .select("calendar_month_id", "state_id", "sales_month", "quantity_month",
-              "lost_value_month", "profit_month")
+      .select(col("calendar_month_id"), col("state_id"),
+              snap2(col("sales_month")).as("sales_month"), col("quantity_month"),
+              snap2(col("lost_value_month")).as("lost_value_month"),
+              snap2(col("profit_month")).as("profit_month"))
 
   /** ProductPerformance (etl.py:815-930): category × state × month with
     * grouped cumulative profit (ROWS running sum ordered by year, month). */
@@ -302,17 +359,24 @@ object SuperstoreETL {
     pre
       .groupBy(col("Category"), col("State"),
                year(col("Order Date")).as("y"), month(col("Order Date")).as("m"))
-      .agg(sum(col("Sales")).as("total_sales"),
-           sum(col("Profit")).as("total_profit"),
+      .agg(kahanOrdered(col("Sales"), col("pos")).as("total_sales"),
+           kahanOrdered(col("Profit"), col("pos")).as("total_profit"),
            sum(col("Quantity")).as("total_quantity"))
-      .withColumn("cumulative_profit", sum(col("total_profit")).over(w))
+      // cumulate the UNROUNDED monthly profit (the reference cumsums raw
+      // floats and only the stored value is rounded). pandas group_cumsum
+      // is Kahan-compensated like group_sum, so replay the same fold over
+      // the window prefix (bounded: ≤48 months per Category×State).
+      .withColumn("cumulative_profit", kahanFold(collect_list(col("total_profit")).over(w)))
       .join(broadcast(category.select(col("category_id"), col("category_name").as("Category"))), "Category")
       .join(broadcast(state.select(col("state_id"), col("state_name").as("State"))), "State")
       .join(broadcast(calendarMonth.select(col("calendar_month_id"),
               col("year_number").as("y"), col("calendar_month_number").as("m"))),
             Seq("y", "m"))
-      .select("category_id", "state_id", "calendar_month_id",
-              "total_sales", "total_profit", "cumulative_profit", "total_quantity")
+      .select(col("category_id"), col("state_id"), col("calendar_month_id"),
+              snap2(col("total_sales")).as("total_sales"),
+              snap2(col("total_profit")).as("total_profit"),
+              snap2(col("cumulative_profit")).as("cumulative_profit"),
+              col("total_quantity"))
   }
 
   /** ShippingBehavior[S] (etl.py:933-1131): mean delay per grain rounded

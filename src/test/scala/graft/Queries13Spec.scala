@@ -33,17 +33,22 @@ class Queries13Spec extends AnyFunSuite {
     }
   }
 
+  // warehouse money columns are DECIMAL(10,2) (MySQL storage parity), so
+  // read them as numbers, not doubles
+  private def num(r: org.apache.spark.sql.Row, i: Int): Double =
+    r.get(i).asInstanceOf[Number].doubleValue
+
   test("q2 region profits cover all four regions and sum to total profit") {
     val rows = Queries13.q2_region_profit(wh).collect()
     assert(rows.length == 4)
-    val total = wh("Orders").agg(sum("profit_order")).head().getDouble(0)
-    assert(math.abs(rows.map(_.getDouble(1)).sum - total) < 1e-6)
+    val total = num(wh("Orders").agg(sum("profit_order")).head(), 0)
+    assert(math.abs(rows.map(num(_, 1)).sum - total) < 1e-6)
   }
 
   test("q4 rollup TOTAL equals segment sum") {
     val rows = Queries13.q4_segment_rollup(wh).collect()
-    val total = rows.find(_.getString(0) == "TOTAL").get.getDouble(1)
-    val segs = rows.filterNot(_.getString(0) == "TOTAL").map(_.getDouble(1)).sum
+    val total = num(rows.find(_.getString(0) == "TOTAL").get, 1)
+    val segs = rows.filterNot(_.getString(0) == "TOTAL").map(num(_, 1)).sum
     assert(math.abs(total - segs) < 1e-6)
   }
 
@@ -54,8 +59,8 @@ class Queries13Spec extends AnyFunSuite {
   }
 
   test("q10 cumulative percentage ends at 100") {
-    val last = Queries13.q10_cumulative_pct(wh)
-      .orderBy(desc("cumulative_percentage")).head().getDouble(3)
+    val last = num(Queries13.q10_cumulative_pct(wh)
+      .orderBy(desc("cumulative_percentage")).head(), 3)
     assert(math.abs(last - 100.0) < 0.01)
   }
 }

@@ -41,10 +41,15 @@ class SuperstoreETLSpec extends AnyFunSuite {
   test("dedup-merge preserves Sales/Quantity/Profit totals") {
     val raw = SuperstoreETL.readRaw(spark, csv)
       .agg(sum("Sales"), sum("Quantity"), sum("Profit")).head()
-    val item = wh("Item").agg(sum("sales"), sum("quantity"), sum("profit")).head()
-    assert(math.abs(raw.getDouble(0) - item.getDouble(0)) < 1e-6)
+    val item = wh("Item")
+      .agg(sum(col("sales").cast("double")), sum("quantity"),
+           sum(col("profit").cast("double"))).head()
+    // stored Item measures carry the reference's DECIMAL(10,2) storage
+    // rounding (≤ half a cent per row), so conservation holds to n×0.005
+    val tol = 0.005 * wh("Item").count()
+    assert(math.abs(raw.getDouble(0) - item.getDouble(0)) < tol)
     assert(raw.getLong(1) == item.getLong(1))
-    assert(math.abs(raw.getDouble(2) - item.getDouble(2)) < 1e-6)
+    assert(math.abs(raw.getDouble(2) - item.getDouble(2)) < tol)
   }
 
   test("no fact rows were rejected by dimension lookups") {
@@ -70,10 +75,13 @@ class SuperstoreETLSpec extends AnyFunSuite {
 
   test("cumulative profit equals its own per-group running recomputation") {
     val pp = wh("ProductPerformance")
+    // total_profit is snapped to DECIMAL(10,2) per month while
+    // cumulative_profit snaps the cumsum of UNROUNDED months (reference
+    // semantics), so the recomputation drifts ≤ 0.005 per month (≤48)
     val bad = pp.groupBy("category_id", "state_id")
       .agg(sum("total_profit").as("tp"),
            max_by(col("cumulative_profit"), col("calendar_month_id")).as("cp"))
-      .filter(abs(col("tp") - col("cp")) > 1e-6).count()
+      .filter(abs(col("tp") - col("cp")) > 0.005 * 48).count()
     assert(bad == 0, "last cumulative_profit must equal the group's total profit")
   }
 
