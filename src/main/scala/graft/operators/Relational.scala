@@ -221,9 +221,15 @@ object Relational {
     * revenue ⇒ identical tie behavior in both engines. */
   val q12_rank_parts: Q = (s, d) =>
     lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
-      .groupBy("p_partkey", "p_name")
+      // aggregate BEFORE the dim join: revenue only needs lineitem columns
+      // and p_partkey→p_name is functional, so grouping the fact alone and
+      // broadcast-joining the 1:1 dim onto the ~|part| aggregate is
+      // result-identical (FK inner-join drops the same groups either way)
+      // and keeps the wide string column out of the 600k-row shuffle — the
+      // plan you want at 100 TB.
+      .groupBy(col("l_partkey").as("p_partkey"))
       .agg(sum(revenue).as("rev_d"))
+      .join(broadcast(part(s, d).select("p_partkey", "p_name")), Seq("p_partkey"))
       .withColumn("rnk", rank().over(Window.orderBy(col("rev_d").desc)).cast(IntegerType))
       .filter(col("rnk") <= 10)
       .select(col("rnk"), col("p_partkey"), col("p_name"),
@@ -251,10 +257,13 @@ object Relational {
     * Ordering inside the frame carries a unique tiebreaker (p_partkey) so
     * the ROWS frame is deterministic. */
   val q14_pareto_parts: Q = (s, d) => {
+    // same pre-aggregation as q12: p_partkey determines p_type, so the
+    // (p_type, p_partkey) grain IS the l_partkey grain — aggregate the fact
+    // alone, then broadcast-join the dim attribute onto ~|part| rows.
     val base = lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
-      .groupBy("p_type", "p_partkey")
+      .groupBy(col("l_partkey").as("p_partkey"))
       .agg(sum(revenue).as("rev_d"))
+      .join(broadcast(part(s, d).select("p_partkey", "p_type")), Seq("p_partkey"))
     val wRun = Window.partitionBy("p_type")
       .orderBy(col("rev_d").desc, col("p_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
