@@ -23,7 +23,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The bench measures sf-scaled throughput on the testdata star. The
+    // ss_* reference-workload queries run on the fixed-size superstore
+    // warehouse (~10k rows regardless of SF) — they are correctness
+    // surface (Verify + CORRECTNESS gate), not scaling surface, so they
+    // are excluded here and in tools/bench_duckdb.py alike.
+    val results = SparkEntry.queries.toSeq.filterNot(_._1.startsWith("ss_"))
+      .sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }  // warmup
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -6,6 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Materialize the superstore warehouse NEXT TO the output dir (not
+    // inside it — the driver treats every outDir subdirectory as a query
+    // result) so the ss_* oracle SQL's absolute read_parquet paths still
+    // resolve when the driver replays them in DuckDB.
+    val whDir = outDir.stripSuffix("/") + "_wh"
+    System.setProperty("graft.wh.dir", whDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,7 +41,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__WH__", whDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -110,14 +110,21 @@ object Queries13 {
       .agg(round(sum("lost_value_order"), 2).as("lost_value"))
       .orderBy(desc("lost_value"))
 
-  /** q9 — category sales/profit/avg discount (cell 18). */
+  /** q9 — category sales/profit/avg discount (cell 18). The 2-dp rounded
+    * average is computed as an integer-cents fixed-point snap
+    * (floor(sum100/n + 0.5)/100): discount carries exactly 2 decimals, so
+    * this equals MySQL's ROUND(AVG(decimal), 2) half-up while every step
+    * (exact int sum → one correctly-rounded double division → IEEE
+    * floor/+/÷) is bit-identical across engines — the same portability
+    * discipline as q18/q28 in graft.operators. */
   val q9_category_stats: WQ = wh =>
     wh("Item")
       .join(broadcast(wh("Product").select("product_id", "category_id")), "product_id")
       .join(broadcast(wh("Category")), "category_id")
       .groupBy("category_name")
       .agg(sum("sales").as("total_sales"), sum("profit").as("total_profit"),
-           round(avg("discount"), 2).as("average_discount"))
+           (floor(sum((col("discount") * 100).cast(LongType)).cast(DoubleType) /
+                  count(lit(1)) + 0.5) / 100).as("average_discount"))
       .orderBy(desc("total_sales"))
 
   /** q10 — cumulative % of sales by state: window-over-aggregate + scalar
@@ -132,8 +139,11 @@ object Queries13 {
       .withColumn("accumulated_sales",
         sum("total_sales").over(Window.orderBy("state_name")))
       .withColumn("grand_total", sum("total_sales").over(Window.partitionBy()))
+      // pct rounded via the engine-portable double snap (cf. q9's note):
+      // one double division + fixed op order, floor(x*100+0.5)/100
       .select(col("state_name"), col("total_sales"), col("accumulated_sales"),
-              round(col("accumulated_sales") / col("grand_total") * 100, 2)
+              (floor(col("accumulated_sales").cast(DoubleType) /
+                     col("grand_total").cast(DoubleType) * 100 * 100 + 0.5) / 100)
                 .as("cumulative_percentage"))
       .orderBy("cumulative_percentage")
   }
@@ -252,7 +262,9 @@ object Queries13 {
          GROUP BY 1 ORDER BY lost_value DESC""",
     "ss_q9_category_stats" ->
       """SELECT cat.category_name, SUM(i.sales) AS total_sales,
-           SUM(i.profit) AS total_profit, ROUND(AVG(i.discount), 2) AS average_discount
+           SUM(i.profit) AS total_profit,
+           FLOOR(CAST(SUM(CAST(i.discount * 100 AS BIGINT)) AS DOUBLE)
+             / COUNT(*) + 0.5) / 100 AS average_discount
          FROM Item i
          JOIN Product p ON i.product_id = p.product_id
          JOIN Category cat ON p.category_id = cat.category_id
@@ -260,8 +272,9 @@ object Queries13 {
     "ss_q10_cumulative_pct" ->
       """SELECT s.state_name, SUM(o.sales_order) AS total_sales,
            SUM(SUM(o.sales_order)) OVER (ORDER BY s.state_name) AS accumulated_sales,
-           ROUND(SUM(SUM(o.sales_order)) OVER (ORDER BY s.state_name)
-             / (SELECT SUM(sales_order) FROM Orders) * 100, 2) AS cumulative_percentage
+           FLOOR(CAST(SUM(SUM(o.sales_order)) OVER (ORDER BY s.state_name) AS DOUBLE)
+             / CAST((SELECT SUM(sales_order) FROM Orders) AS DOUBLE)
+             * 100 * 100 + 0.5) / 100 AS cumulative_percentage
          FROM Orders o
          JOIN Location l ON o.location_id = l.location_id
          JOIN State s ON l.state_id = s.state_id
@@ -301,4 +314,127 @@ object Queries13 {
   /** Register the warehouse tables as temp views for the SQL twins. */
   def registerViews(wh: Map[String, DataFrame]): Unit =
     wh.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+
+  /** DuckDB oracles for the driver's hash gate, over the parquet warehouse
+    * [[WarehouseCache]] materializes (`__WH__` is replaced by
+    * [[graft.Verify]] with the actual export path). Dialect notes:
+    * decimal measure sums are CAST to DOUBLE at the boundary (the
+    * SparkEntry wrappers do the same — exact decimal → one
+    * correctly-rounded conversion, identical in both engines); MySQL's
+    * GROUP_CONCAT+SUBSTRING_INDEX becomes string_agg → split → first-10
+    * slice, which reproduces substring_index's count-separators-anywhere
+    * semantics; ss_q12's 0.8 threshold is compared in double exactly as
+    * Spark evaluates decimal < decimal*double. */
+  private def wt(t: String): String = s"read_parquet('__WH__/$t/*.parquet')"
+
+  val duckOracles: Map[String, String] = Map(
+    "ss_q1_monthly_sales" ->
+      s"""SELECT cm.year_number AS "year", cm.calendar_month_number AS month_num,
+            cm.calendar_month_name AS month_name,
+            CAST(SUM(o.sales_order) AS DOUBLE) AS total_sales
+          FROM ${wt("Orders")} o
+          JOIN ${wt("CalendarMonth")} cm ON o.order_calendar_id = cm.calendar_month_id
+          GROUP BY 1, 2, 3""",
+    "ss_q2_region_profit" ->
+      s"""SELECT r.region_name AS region,
+            CAST(SUM(o.profit_order) AS DOUBLE) AS total_profit
+          FROM ${wt("Orders")} o
+          JOIN ${wt("Location")} l ON o.location_id = l.location_id
+          JOIN ${wt("State")} s ON l.state_id = s.state_id
+          JOIN ${wt("Region")} r ON s.region_id = r.region_id
+          GROUP BY 1""",
+    "ss_q3_top_products_qty" ->
+      s"""SELECT p.product_name, CAST(SUM(i.quantity) AS BIGINT) AS total_quantity
+          FROM ${wt("Item")} i JOIN ${wt("Product")} p ON i.product_id = p.product_id
+          GROUP BY 1 ORDER BY total_quantity DESC, p.product_name LIMIT 10""",
+    "ss_q4_segment_rollup" ->
+      s"""SELECT CASE WHEN GROUPING(c.segment) = 1 THEN 'TOTAL' ELSE c.segment END AS segment,
+            CAST(SUM(o.sales_order) AS DOUBLE) AS total_sales
+          FROM ${wt("Orders")} o JOIN ${wt("Customer")} c ON o.customer_id = c.customer_id
+          GROUP BY ROLLUP (c.segment)""",
+    "ss_q5_profit_rank" ->
+      s"""SELECT product_name, CAST(total_profit AS DOUBLE) AS total_profit,
+            RANK() OVER (ORDER BY total_profit DESC) AS ranking
+          FROM (SELECT p.product_name, SUM(i.profit) AS total_profit
+                FROM ${wt("Item")} i JOIN ${wt("Product")} p ON i.product_id = p.product_id
+                GROUP BY 1)
+          ORDER BY ranking, product_name LIMIT 10""",
+    "ss_q6_running_state_sales" ->
+      s"""SELECT s.state_name, c.full_date,
+            CAST(o.sales_order AS DOUBLE) AS sales_order, o.order_code,
+            CAST(SUM(o.sales_order) OVER (PARTITION BY s.state_name ORDER BY c.full_date)
+              AS DOUBLE) AS running_total
+          FROM ${wt("Orders")} o
+          JOIN ${wt("Location")} l ON o.location_id = l.location_id
+          JOIN ${wt("State")} s ON l.state_id = s.state_id
+          JOIN ${wt("Calendar")} c ON o.order_calendar_id = c.calendar_id""",
+    "ss_q7_delivery_time" ->
+      s"""SELECT sh.ship_mode,
+            AVG(date_diff('day', c1.full_date, c2.full_date)) AS average_delivery_time
+          FROM ${wt("Orders")} o
+          JOIN ${wt("Shipping")} sh ON o.shipping_id = sh.shipping_id
+          JOIN ${wt("Calendar")} c1 ON o.order_calendar_id = c1.calendar_id
+          JOIN ${wt("Calendar")} c2 ON o.shipping_calendar_id = c2.calendar_id
+          GROUP BY 1""",
+    "ss_q8_lost_value" ->
+      s"""SELECT sh.ship_mode, CAST(SUM(o.lost_value_order) AS DOUBLE) AS lost_value
+          FROM ${wt("Orders")} o JOIN ${wt("Shipping")} sh ON o.shipping_id = sh.shipping_id
+          GROUP BY 1""",
+    "ss_q9_category_stats" ->
+      s"""SELECT cat.category_name, CAST(SUM(i.sales) AS DOUBLE) AS total_sales,
+            CAST(SUM(i.profit) AS DOUBLE) AS total_profit,
+            FLOOR(CAST(SUM(CAST(i.discount * 100 AS BIGINT)) AS DOUBLE)
+              / COUNT(*) + 0.5) / 100 AS average_discount
+          FROM ${wt("Item")} i
+          JOIN ${wt("Product")} p ON i.product_id = p.product_id
+          JOIN ${wt("Category")} cat ON p.category_id = cat.category_id
+          GROUP BY 1""",
+    "ss_q10_cumulative_pct" ->
+      s"""SELECT s.state_name, CAST(SUM(o.sales_order) AS DOUBLE) AS total_sales,
+            CAST(SUM(SUM(o.sales_order)) OVER (ORDER BY s.state_name) AS DOUBLE)
+              AS accumulated_sales,
+            FLOOR(CAST(SUM(SUM(o.sales_order)) OVER (ORDER BY s.state_name) AS DOUBLE)
+              / CAST((SELECT SUM(sales_order) FROM ${wt("Orders")}) AS DOUBLE)
+              * 100 * 100 + 0.5) / 100 AS cumulative_percentage
+          FROM ${wt("Orders")} o
+          JOIN ${wt("Location")} l ON o.location_id = l.location_id
+          JOIN ${wt("State")} s ON l.state_id = s.state_id
+          GROUP BY s.state_name""",
+    "ss_q11_orderm_detail" ->
+      s"""SELECT s.state_name, cm.year_number, cm.calendar_month_number,
+            cm.calendar_month_name,
+            CAST(om.sales_month AS DOUBLE) AS sales_month,
+            CAST(om.profit_month AS DOUBLE) AS profit_month,
+            CAST(om.quantity_month AS DOUBLE) AS quantity_month,
+            CAST(om.lost_value_month AS DOUBLE) AS lost_value_month
+          FROM ${wt("OrderM")} om
+          JOIN ${wt("CalendarMonth")} cm ON om.calendar_month_id = cm.calendar_month_id
+          JOIN ${wt("State")} s ON om.state_id = s.state_id""",
+    "ss_q12_pareto" ->
+      s"""WITH sales_cte AS (
+            SELECT cat.category_name, p.product_name, i.sales,
+              SUM(i.sales) OVER (PARTITION BY cat.category_name
+                ORDER BY i.sales DESC, p.product_name ROWS UNBOUNDED PRECEDING) AS running_sales,
+              SUM(i.sales) OVER (PARTITION BY cat.category_name) AS total_category_sales
+            FROM ${wt("Item")} i
+            JOIN ${wt("Product")} p ON i.product_id = p.product_id
+            JOIN ${wt("Category")} cat ON p.category_id = cat.category_id)
+          SELECT category_name, product_name, CAST(sales AS DOUBLE) AS sales,
+            CAST(running_sales AS DOUBLE) AS running_sales,
+            CAST(total_category_sales AS DOUBLE) AS total_category_sales
+          FROM sales_cte
+          WHERE CAST(running_sales - sales AS DOUBLE)
+            < CAST(total_category_sales AS DOUBLE) * CAST(0.8 AS DOUBLE)
+          ORDER BY category_name, running_sales DESC, product_name LIMIT 10""",
+    "ss_q13_top_concat" ->
+      s"""SELECT cat.category_name,
+            array_to_string(list_slice(string_split(
+              string_agg(p.product_name, ', ' ORDER BY i.sales DESC, p.product_name),
+              ', '), 1, 10), ', ') AS top_products,
+            CAST(SUM(i.sales) AS DOUBLE) AS total_sales
+          FROM ${wt("Item")} i
+          JOIN ${wt("Product")} p ON i.product_id = p.product_id
+          JOIN ${wt("Category")} cat ON p.category_id = cat.category_id
+          GROUP BY 1""",
+  )
 }

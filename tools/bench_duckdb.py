@@ -17,6 +17,9 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 times = {}
 for name in sorted(oracle):
+    if name.startswith("ss_"):  # fixed-size reference workload: correctness
+        continue                # surface, excluded from the scaling bench
+
     sql = oracle[name]
     try:
         con.execute(sql).fetchall()  # warmup
