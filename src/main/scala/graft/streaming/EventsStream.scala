@@ -107,6 +107,100 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  // --------------------------------------- stream-stream LEFT OUTER join
+  /** Stream-stream LEFT OUTER: every click, with its purchase within the
+    * following hour when one exists, else nulls — the "abandoned click"
+    * stream. State TTL is watermark-driven: both sides are watermarked and
+    * the join condition bounds event-time distance, so a click's join
+    * state expires (and its unmatched row EMITS, with null purchase
+    * columns) once the watermark proves no matching purchase can still
+    * arrive — bounded state at any input rate, no manual TTL clock.
+    * Batch twin: [[batchClickPurchaseLeft]] (matched rows must be
+    * identical; unmatched rows appear once the watermark passes them —
+    * asserted in EventsStreamSpec). */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+              col("purchase_id"), col("purchase_ts"))
+  }
+
+  /** Run the left-outer join to completion on the static events table. */
+  def runClickPurchaseLeft(spark: SparkSession, dir: String,
+                           queryName: String = "events_left_join"): DataFrame = {
+    val q = clickPurchaseLeftJoin(source(spark, dir))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Batch twin of [[clickPurchaseLeftJoin]] — same projection, same
+    * condition, plain left outer over the static table. */
+  def batchClickPurchaseLeft(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+              col("purchase_id"), col("purchase_ts"))
+  }
+
+  // --------------------------------------------- native session_window
+  /** Native `session_window` twin of the sessionizers: Spark's built-in
+    * gap-based session aggregation (30-min inactivity). Convention note:
+    * session_window's window is half-open — an event at exactly
+    * last_ts + gap starts a NEW session, where the custom fold
+    * ([[foldSession]], `> GapUs`) would extend; `window.end` is
+    * last_ts + gap, not last_ts. Works identically over a batch frame and
+    * a watermarked stream — EventsStreamSpec asserts the two agree. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(money(col("value"))).cast(DoubleType).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"), col("total_value"))
+
+  /** Streaming run of [[sessionWindowAgg]]: watermarked, Append mode (the
+    * production shape — finalized sessions only). */
+  def runSessionWindow(spark: SparkSession, dir: String,
+                       queryName: String = "events_session_window"): DataFrame = {
+    val q = sessionWindowAgg(source(spark, dir).withWatermark("ts", "2 hours"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Batch run of [[sessionWindowAgg]] over the static events table. */
+  def batchSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowAgg(graft.Tables.events(spark, dir))
+
   // ------------------------------------------- incremental aggregate fact
   /** foreachBatch incremental materialization: update-mode re-emissions
     * carry the full cumulative aggregate for their window, so each append

@@ -63,6 +63,71 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  /** Replay the real events table through a MemoryStream in two ordered
+    * batches plus a far-future sentinel (user_id -1, advancing every
+    * watermark so all state finalizes), returning the named memory table.
+    */
+  private def replayEvents(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                           queryName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long, Double)](spark)
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "event_id", "value")
+    val q = build(df).writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    val rows = Tables.events(spark, sf)
+      .select("ts", "user_id", "event_type", "event_id", "value")
+      .orderBy("ts", "event_id").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+                 r.getLong(3), r.getDouble(4)))
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    mem.addData(h1.toSeq); q.processAllAvailable()
+    mem.addData(h2.toSeq); q.processAllAvailable()
+    val far = new java.sql.Timestamp(rows.last._1.getTime + 365L * 24 * 3600 * 1000)
+    mem.addData(Seq((far, -1L, "click", -1L, 0.0), (far, -1L, "purchase", -2L, 0.0)))
+    q.processAllAvailable()
+    // one more nudge: state finalized at watermark W emits in the batch
+    // AFTER the one that moved the watermark past W
+    mem.addData(Seq((new java.sql.Timestamp(far.getTime + 3600_000), -1L, "click", -3L, 0.0),
+                    (new java.sql.Timestamp(far.getTime + 3600_000), -1L, "purchase", -4L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName).filter(col("user_id") =!= -1L)
+  }
+
+  test("stream-stream LEFT OUTER join equals the batch left outer exactly") {
+    val streamed = replayEvents(EventsStream.clickPurchaseLeftJoin, "left_join_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val batch = EventsStream.batchClickPurchaseLeft(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(streamed == batch,
+      s"drift: ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+    // the interesting rows — clicks with NO purchase in the hour — exist
+    // and were emitted by watermark-driven state expiry, not a final flush
+    assert(batch.exists(_._3.isEmpty))
+  }
+
+  test("native session_window streaming equals the batch session_window exactly") {
+    val streamed = replayEvents(
+      df => EventsStream.sessionWindowAgg(df.withWatermark("ts", "2 hours")),
+      "session_window_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                 r.getLong(3), r.getDouble(4))).toSet
+    val batch = EventsStream.batchSessionWindow(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                 r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == batch,
+      s"drift: ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+    assert(batch.size > 100)
+  }
+
   test("foreachBatch incremental hourly fact equals the batch aggregate") {
     val out = java.nio.file.Files.createTempDirectory("graft_incr").toString
     EventsStream.runIncrementalHourly(spark, sf, out)
