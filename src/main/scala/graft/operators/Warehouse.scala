@@ -186,11 +186,35 @@ object Warehouse {
       .orderBy("user_id", "purchase_id", "click_id")
   }
 
+  /** q49's exact semantics through the custom whole-operator path
+    * (graft.plans.BandJoinExec: LogicalPlan + Strategy + SparkPlan,
+    * registered via extraStrategies): one shuffle per side on user_id,
+    * sorted merge, per-left-row window by binary search — no fan-out rows
+    * and no re-filter, unlike the hour-bucket rewrite above. Same DuckDB
+    * oracle as q49. */
+  val q49b_band_join_exec: Q = (s, d) => {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    graft.plans.BandJoin.bandJoin(purchases, clicks,
+        Seq("user_id" -> "c_user"), "purchase_ts", "click_ts",
+        lowerUs = -3600L * 1000000, upperUs = 0L)
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+              expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+                .as("gap_sec"))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
     "q47_asof_click_purchase"   -> q47_asof_click_purchase,
     "q48_value_band_join"       -> q48_value_band_join,
     "q49_interval_join"         -> q49_interval_join,
+    "q49b_band_join_exec"       -> q49b_band_join_exec,
     "q25_events_sessionize"     -> q25_events_sessionize,
     "q26_order_month"           -> q26_order_month,
     "q27_product_performance"   -> q27_product_performance,
@@ -199,6 +223,22 @@ object Warehouse {
 
   val oracles: Map[String, String] = Map(
     "q49_interval_join" ->
+      """WITH clicks AS (
+           SELECT user_id, ts AS click_ts, event_id AS click_id
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, purchase_id, click_id,
+           (epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000 AS gap_sec
+         FROM purchases p JOIN clicks c
+           ON p.user_id = c.user_id
+          AND c.click_ts <= p.purchase_ts
+          AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+         ORDER BY p.user_id, purchase_id, click_id""",
+
+    // identical semantics, reached through the custom BandJoinExec operator
+    "q49b_band_join_exec" ->
       """WITH clicks AS (
            SELECT user_id, ts AS click_ts, event_id AS click_id
            FROM events WHERE event_type = 'click'),

@@ -1,0 +1,213 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BoundReference, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** Whole-operator band join: `l ⋈ r ON keys AND r.time ∈ [l.time + lower,
+  * l.time + upper]` for two LARGE inputs — the case the hour-bucket
+  * rewrite (Warehouse.q49) approximates with bounded fan-out and a
+  * re-filter, and a plain range-condition join degenerates into
+  * per-key-group nested loops inside SortMergeJoin.
+  *
+  * Physical algorithm (BandJoinExec): both children hash-partitioned on
+  * the keys (one shuffle each, exactly like an equi-SMJ) and sorted by
+  * (keys, time). Within each co-partition a single merge pass buffers one
+  * right key-group at a time (the same memory envelope as SMJ's buffered
+  * side) and, because the band `[t+lower, t+upper]` moves monotonically
+  * with the streamed side's time, finds each left row's window by binary
+  * search + forward scan — O(|group| log + matches), never |l|×|r|.
+  *
+  * At 100 TB this is the plan you want: shuffle on keys only, sorted
+  * merge, state bounded by one key-group; skewed keys are the same
+  * concern (and get the same salting/AQE remedies) as any SMJ.
+  *
+  * Keys and time columns are carried as resolved Attributes so Catalyst
+  * sees real `references` — column pruning, through-the-node projection,
+  * and attribute rewriting all behave exactly as for a built-in Join;
+  * the exec resolves them to child ordinals at execution time.
+  *
+  * Inner-join null semantics: rows with a null key never match (dropped
+  * up front in [[BandJoin.bandJoin]] via IsNotNull filters, mirroring
+  * what an equi-join's null-safe planning does).
+  */
+case class BandJoinPlan(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    lowerUs: Long, upperUs: Long,
+    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override def references: AttributeSet =
+    AttributeSet(leftKeys ++ rightKeys :+ leftTime :+ rightTime)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): BandJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class BandJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    lowerUs: Long, upperUs: Long,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  // one shuffle per side, co-partitioned on the keys — EnsureRequirements
+  // aligns the two hash partitionings exactly as it does for SMJ
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // sorted by (keys, time) so the merge is a single forward pass
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(a => SortOrder(a, Ascending)),
+    (rightKeys :+ rightTime).map(a => SortOrder(a, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  private def ordinalOf(out: Seq[Attribute], a: Attribute): Int = {
+    val i = out.indexWhere(_.exprId == a.exprId)
+    require(i >= 0, s"attribute $a not found in $out")
+    i
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lSchema = left.output; val rSchema = right.output
+    val lKeyOrds = leftKeys.map(ordinalOf(lSchema, _))
+    val rKeyOrds = rightKeys.map(ordinalOf(rSchema, _))
+    val lTimeOrd = ordinalOf(lSchema, leftTime)
+    val rTimeOrd = ordinalOf(rSchema, rightTime)
+    val lo = lowerUs; val hi = upperUs
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lRaw, rRaw) =>
+      val lIter = lRaw.buffered; val rIter = rRaw.buffered
+      val keyTypes = lKeyOrds.map(lSchema(_).dataType)
+      val ord = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val lKeyProj = UnsafeProjection.create(lKeyOrds.map(i =>
+        BoundReference(i, lSchema(i).dataType, lSchema(i).nullable)))
+      val rKeyProj = UnsafeProjection.create(rKeyOrds.map(i =>
+        BoundReference(i, rSchema(i).dataType, rSchema(i).nullable)))
+      val resultProj = UnsafeProjection.create(outAttrs, lSchema ++ rSchema)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var curKey: UnsafeRow = _                  // copied
+        private val group = new ArrayBuffer[InternalRow]() // copied right rows of curKey
+        private val times = new ArrayBuffer[Long]()
+        private var curLeft: InternalRow = _               // copied
+        private var cursor = 0                             // next group index for curLeft
+        private var windowEnd = 0L
+
+        // first group index with time >= t
+        private def lowerBound(t: Long): Int = {
+          var a = 0; var b = times.length
+          while (a < b) {
+            val m = (a + b) >>> 1
+            if (times(m) < t) a = m + 1 else b = m
+          }
+          a
+        }
+
+        private def loadRightGroup(key: UnsafeRow): Unit = {
+          group.clear(); times.clear()
+          while (rIter.hasNext && ord.compare(rKeyProj(rIter.head), key) < 0)
+            rIter.next()
+          while (rIter.hasNext && ord.compare(rKeyProj(rIter.head), key) == 0) {
+            val r = rIter.next().copy()
+            group += r; times += r.getLong(rTimeOrd)
+          }
+        }
+
+        /** Position (curLeft, cursor) on the next left row with matches. */
+        private def advance(): Boolean = {
+          while (lIter.hasNext) {
+            val lk = lKeyProj(lIter.head)
+            if (curKey == null || ord.compare(lk, curKey) != 0) {
+              curKey = lk.copy()
+              loadRightGroup(curKey)
+            }
+            val l = lIter.next()
+            if (group.nonEmpty) {
+              val lt = l.getLong(lTimeOrd)
+              val start = lowerBound(lt + lo)
+              if (start < group.length && times(start) <= lt + hi) {
+                curLeft = l.copy(); cursor = start; windowEnd = lt + hi
+                return true
+              }
+            }
+          }
+          false
+        }
+
+        override def hasNext: Boolean = {
+          if (curLeft != null && cursor < group.length && times(cursor) <= windowEnd)
+            return true
+          curLeft = null
+          advance()
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = group(cursor); cursor += 1
+          resultProj(joined(curLeft, r))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BandJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object BandJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case BandJoinPlan(lk, rk, lt, rt, lo, hi, l, r) =>
+      BandJoinExec(lk, rk, lt, rt, lo, hi, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+object BandJoin {
+  /** Register the planning strategy once per session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(BandJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ BandJoinStrategy
+  }
+
+  /** `left ⋈ right ON keys AND right.time ∈ [left.time+lowerUs,
+    * left.time+upperUs]` (inner). Time columns must be TimestampType or
+    * LongType (micros). The right side is re-aliased so self-joins get
+    * fresh attribute ids, and null keys are filtered up front (inner-join
+    * semantics: null never matches). */
+  def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+               leftTime: String, rightTime: String,
+               lowerUs: Long, upperUs: Long): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    def fresh(df: DataFrame, notNull: Seq[String]): DataFrame = {
+      val filtered = notNull.foldLeft(df)((d, k) => d.filter(col(k).isNotNull))
+      filtered.select(filtered.columns.map(n => col(n).as(n)).toSeq: _*)
+    }
+    val l = fresh(left, keys.map(_._1)); val r = fresh(right, keys.map(_._2))
+    val lPlan = l.queryExecution.analyzed; val rPlan = r.queryExecution.analyzed
+    def attr(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${out.map(_.name)}"))
+    GraftBridge.ofRows(spark, BandJoinPlan(
+      keys.map(k => attr(lPlan.output, k._1)),
+      keys.map(k => attr(rPlan.output, k._2)),
+      attr(lPlan.output, leftTime), attr(rPlan.output, rightTime),
+      lowerUs, upperUs, lPlan, rPlan))
+  }
+}
