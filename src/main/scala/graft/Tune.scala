@@ -67,9 +67,45 @@ object Tune {
     spark.stop()
   }
 
+  /** `SPARK_DRIVER_MEM=1g sbt "runMain graft.Tune spill <sfDir>"`:
+    * constrained-memory audit — run every query once under a listener and
+    * report per-query shuffle spill (memory/disk bytes) and failures.
+    * Passing = no OOM and bounded spill (operators degrade to disk, not
+    * to death), the behavior a production executor needs under pressure. */
+  def spillAudit(sfDir: String): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val mem = new java.util.concurrent.atomic.AtomicLong
+    val disk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) { mem.addAndGet(m.memoryBytesSpilled); disk.addAndGet(m.diskBytesSpilled) }
+      }
+    })
+    var failed = 0
+    SparkEntry.queries.toSeq.filterNot(_._1.startsWith("ss_")).sortBy(_._1)
+      .foreach { case (name, fn) =>
+        val m0 = mem.get; val d0 = disk.get
+        try {
+          fn(spark, sfDir).count()
+          val dm = mem.get - m0; val dd = disk.get - d0
+          if (dm + dd > 0) println(f"SPILL $name mem=${dm / 1e6}%.1fMB disk=${dd / 1e6}%.1fMB")
+        } catch { case e: Throwable =>
+          failed += 1; println(s"SPILL_FAIL $name ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
+        }
+      }
+    println(f"SPILL_TOTAL mem=${mem.get / 1e6}%.1fMB disk=${disk.get / 1e6}%.1fMB failed=$failed heap=${Runtime.getRuntime.maxMemory / 1e9}%.1fGB")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.nonEmpty && args(0) == "sums") { sumShapes(args(1)); return }
     if (args.nonEmpty && args(0) == "q12parts") { q12Parts(args(1)); return }
+    if (args.nonEmpty && args(0) == "spill") { spillAudit(args(1)); return }
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val names = (if (args.length > 1) args(1) else "q19_dup_groups,q12_rank_parts,q6_ship_delay,q10_distinct_customers")
       .split(",").toSeq
