@@ -233,6 +233,70 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
+  // --------------------------------------------- near-dup CLUSTERING
+  /** Connected components over the near-dup pair graph + canonical
+    * survivor election — the step a training pipeline runs AFTER pair
+    * generation (q34/q35/q36): near-duplication is transitive in effect
+    * (A~B, B~C ⇒ keep one of {A,B,C}), so pairs must become clusters
+    * before dedup can drop anything.
+    *
+    * Algorithm: iterative min-label propagation (hash-min). Every doc
+    * starts labeled with its own id; each round, every node takes the min
+    * label among itself and its neighbors; converged when no label
+    * changes. Rounds = graph diameter — near-dup clusters are shallow
+    * (chains longer than a few hops are rare by construction), and each
+    * round is ONE shuffle (join + min-agg), the GraphX/Pregel pattern
+    * without the GraphX dependency. Iteration state is localCheckpointed
+    * to cut the O(iterations)-deep lineage — the standard iterative-
+    * algorithm discipline (NOT an in-query cache; checkpoints are
+    * dropped as soon as the next round materializes).
+    *
+    * Output: one row per document — its cluster id (min doc_id of the
+    * component), the cluster size, and is_survivor (the canonical
+    * min-id member; singletons survive trivially). Deterministic:
+    * min-label is order-free, the edge set comes from the exact-integer
+    * shingle pipeline. Oracle: recursive CTE in DuckDB computing min
+    * reachable label over the same pair graph. */
+  val q37_neardup_clusters: Q = (s, d) => {
+    // edges = q34's Jaccard pairs (same shingle pipeline, df-cap 50,
+    // threshold 0.2), symmetrized
+    val shf = shingles(s, d, dfCap = 50)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val a = shf.select(col("shingle"), col("doc_id").as("d1"), col("n_sh").as("n1"))
+    val b = shf.select(col("shingle"), col("doc_id").as("d2"), col("n_sh").as("n2"))
+    val pairs = a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2", "n1", "n2")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common").cast(DoubleType) /
+        (col("n1") + col("n2") - col("n_common")).cast(DoubleType) >= 0.2)
+      .select("d1", "d2")
+    val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = documents(s, d).select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 15) {
+      val viaEdges = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.union(viaEdges)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $iter rounds")
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("doc_id"), col("label").as("cluster_id"),
+              col("cluster_size"),
+              (col("doc_id") === col("label")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------- deterministic sampling
   /** Content-hash sampling — the training-pipeline form of TABLESAMPLE:
     * membership is a pure function of the row key (md5-prefix < threshold),
@@ -290,6 +354,7 @@ object TextOps {
     "q33_fingerprint_dedup" -> q33_fingerprint_dedup,
     "q34_ngram_jaccard"     -> q34_ngram_jaccard,
     "q35_minhash_lsh"       -> q35_minhash_lsh,
+    "q37_neardup_clusters"  -> q37_neardup_clusters,
   )
 
   private def hitsSql(words: String) =
@@ -402,6 +467,34 @@ object TextOps {
          JOIN sizes s2 ON s2.doc_id = d2
          WHERE CAST(n_common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.2
          ORDER BY d1, d2""",
+
+    // connected components as a recursive CTE: min reachable label per
+    // node over the same symmetrized Jaccard-pair graph (UNION dedups, so
+    // the recursion is finite on the (node,label) lattice)
+    "q37_neardup_clusters" ->
+      s"""WITH RECURSIVE ${shinglesSql(50)},
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
+         prs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+           FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         pairs AS (
+           SELECT d1, d2 FROM prs
+           JOIN sizes s1 ON s1.doc_id = d1
+           JOIN sizes s2 ON s2.doc_id = d2
+           WHERE CAST(n_common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.2),
+         edges AS (
+           SELECT d1 AS src, d2 AS dst FROM pairs
+           UNION ALL SELECT d2, d1 FROM pairs),
+         reach(node, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst),
+         comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)
+         SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_survivor
+         FROM comp ORDER BY doc_id""",
 
     "q35_minhash_lsh" ->
       s"""WITH ${shinglesSql(50)},

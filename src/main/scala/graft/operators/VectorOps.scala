@@ -70,7 +70,7 @@ object VectorOps {
     * cosine ≥ 0.2. */
   val q42_lsh_neardup: Q = (s, d) => {
     register(s)
-    val vecs = embeddings(s, d)
+    def vecs = embeddings(s, d)
       .select(col("vec_id"), expr(VECD).as("v"),
               expr(
                 """aggregate(sequence(0, 7),
@@ -79,8 +79,23 @@ object VectorOps {
                 .as("bucket"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
     val a = vecs.select(col("bucket"), col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1"))
-    val b = vecs.select(col("bucket"), col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2"))
-    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+    // side b derives from an INDEPENDENTLY RESOLVED scan (fresh relation →
+    // fresh exprIds end to end, join key aliased) so the self-join never
+    // depends on DeduplicateRelations rewriting a shared subtree: in a
+    // long warm session that rewrite was observed to miss, failing
+    // executor-side with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (binding
+    // embedding#old against the deduped scan). Same discipline as
+    // plans.BandJoin.bandJoin's fresh().
+    val b = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), expr(VECD).as("v"),
+              expr(
+                """aggregate(sequence(0, 7),
+                     0, (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > CAST(0 AS FLOAT)
+                                               THEN CAST(shiftleft(1, i) AS INT) ELSE 0 END)""")
+                .as("bucket_b"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+      .select(col("bucket_b"), col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2"))
+    a.join(b, col("bucket") === col("bucket_b")).filter(col("d1") < col("d2"))
       .withColumn("cosine", dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= 0.2)
       .select("bucket", "d1", "d2", "cosine")

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Properties of the connected-components near-dup clustering (q37):
+  * endpoint agreement for every candidate pair, min-id canonicality,
+  * partition integrity, and survivor count = cluster count. */
+class NeardupClusterSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private lazy val clusters = TextOps.q37_neardup_clusters(spark, sf)
+  private lazy val byDoc = clusters.collect()
+    .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+
+  test("every near-dup pair's endpoints land in the same cluster") {
+    val pairs = TextOps.q34_ngram_jaccard(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a)._1 == byDoc(b)._1, s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("cluster ids are the min member; survivors are exactly one per cluster") {
+    val members = byDoc.toSeq.groupBy(_._2._1)
+    members.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid, s"cluster $cid is not its min member")
+      assert(ms.count(_._2._3) == 1, s"cluster $cid has != 1 survivor")
+      assert(ms.find(_._2._3).get._1 == cid)
+      ms.foreach { case (_, (_, size, _)) => assert(size == ms.size) }
+    }
+    // every document appears exactly once
+    assert(byDoc.size == Tables.documents(spark, sf).count())
+    // and there is at least one non-trivial cluster on this data
+    assert(members.exists(_._2.size > 1))
+  }
+}
