@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query gets one untimed warmup execution (codegen compilation + JIT
   * dominate a single local run and are irrelevant at cluster scale), then
-  * the MINIMUM of two timed runs is reported: a single timed sample is
+  * the MINIMUM of three timed runs is reported: a single timed sample is
   * exposed to GC pauses and OS noise — round 1 recorded a 6.6 s outlier for
   * a 0.5 s broadcast-join query that never reproduced — and min-of-N is the
   * standard way to report the query's actual cost.
@@ -31,7 +31,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.filterNot(_._1.startsWith("ss_"))
       .sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }  // warmup
-      val samples = (1 to 2).map { _ =>
+      val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

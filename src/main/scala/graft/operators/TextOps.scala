@@ -272,28 +272,38 @@ object TextOps {
       .select("d1", "d2")
     val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
       .localCheckpoint(true)
-    var labels = documents(s, d).select(col("doc_id"), col("doc_id").as("label"))
+    // propagate only over docs that appear in some pair — singletons (the
+    // overwhelming majority of a deduped corpus) never change label and
+    // rejoin at the end, so each round's shuffle carries just the
+    // near-dup subgraph
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 15) {
       val viaEdges = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .select(col("src").as("doc_id"), col("label"))
+      // fold the convergence flag into the same checkpointed pass — one
+      // materialization + one cheap count per round, not two joins
       val next = labels.union(viaEdges)
         .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .select(col("doc_id"), col("label"),
+                (col("label") =!= col("old")).as("moved"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("moved")).count()
+      labels = next.select("doc_id", "label")
       iter += 1
     }
     require(changed == 0, s"label propagation did not converge in $iter rounds")
-    labels
+    documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("label")))
-      .select(col("doc_id"), col("label").as("cluster_id"),
-              col("cluster_size"),
-              (col("doc_id") === col("label")).as("is_survivor"))
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+              (col("doc_id") === col("cluster_id")).as("is_survivor"))
       .orderBy("doc_id")
   }
 

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Comparator for BENCH: run every SparkEntry oracle SQL text in DuckDB over
-the same parquet tables and report per-query seconds (warmup + min of 2,
+the same parquet tables and report per-query seconds (warmup + min of 3,
 mirroring graft.Bench). Usage: bench_duckdb.py <sfDir> <verifyOutDir>
 
 <verifyOutDir> must contain oracle_sql.json (written by graft.Verify).
@@ -24,7 +24,7 @@ for name in sorted(oracle):
     try:
         con.execute(sql).fetchall()  # warmup
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             samples.append(time.perf_counter() - t0)
