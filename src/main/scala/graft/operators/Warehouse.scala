@@ -209,12 +209,34 @@ object Warehouse {
       .orderBy("user_id", "purchase_id", "click_id")
   }
 
+  /** LEFT OUTER through the same custom operator: every click with its
+    * purchases in the following hour, or nulls — the batch analog of
+    * streaming.EventsStream.clickPurchaseLeftJoin, as one merge pass
+    * (unmatched rows emit in-line; no second anti-join scan). */
+  val q49c_band_left_outer: Q = (s, d) => {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+    graft.plans.BandJoin.bandJoin(clicks, purchases,
+        Seq("user_id" -> "p_user"), "click_ts", "purchase_ts",
+        lowerUs = 0L, upperUs = 3600L * 1000000, leftOuter = true)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+                .as("gap_sec"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
     "q47_asof_click_purchase"   -> q47_asof_click_purchase,
     "q48_value_band_join"       -> q48_value_band_join,
     "q49_interval_join"         -> q49_interval_join,
     "q49b_band_join_exec"       -> q49b_band_join_exec,
+    "q49c_band_left_outer"      -> q49c_band_left_outer,
     "q25_events_sessionize"     -> q25_events_sessionize,
     "q26_order_month"           -> q26_order_month,
     "q27_product_performance"   -> q27_product_performance,
@@ -252,6 +274,22 @@ object Warehouse {
           AND c.click_ts <= p.purchase_ts
           AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
          ORDER BY p.user_id, purchase_id, click_id""",
+
+    "q49c_band_left_outer" ->
+      """WITH clicks AS (
+           SELECT user_id, ts AS click_ts, event_id AS click_id
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, click_id, purchase_id,
+           CASE WHEN purchase_ts IS NULL THEN NULL
+                ELSE (epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000 END AS gap_sec
+         FROM clicks c LEFT JOIN purchases p
+           ON c.user_id = p.user_id
+          AND p.purchase_ts >= c.click_ts
+          AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+         ORDER BY c.user_id, click_id, purchase_id""",
 
     "q47_asof_click_purchase" ->
       """WITH clicks AS (

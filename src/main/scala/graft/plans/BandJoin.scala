@@ -34,16 +34,18 @@ import org.apache.spark.sql.functions.col
   * and attribute rewriting all behave exactly as for a built-in Join;
   * the exec resolves them to child ordinals at execution time.
   *
-  * Inner-join null semantics: rows with a null key never match (dropped
-  * up front in [[BandJoin.bandJoin]] via IsNotNull filters, mirroring
-  * what an equi-join's null-safe planning does).
+  * Supports inner and LEFT OUTER (unmatched left rows emit once with
+  * null right columns — same merge pass, no second scan). Null keys
+  * never match, matching SQL join semantics (see [[BandJoin.bandJoin]]).
   */
 case class BandJoinPlan(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    lowerUs: Long, upperUs: Long,
+    lowerUs: Long, upperUs: Long, leftOuter: Boolean,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override def references: AttributeSet =
     AttributeSet(leftKeys ++ rightKeys :+ leftTime :+ rightTime)
   override protected def withNewChildrenInternal(
@@ -54,10 +56,12 @@ case class BandJoinPlan(
 case class BandJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    lowerUs: Long, upperUs: Long,
+    lowerUs: Long, upperUs: Long, leftOuter: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   // one shuffle per side, co-partitioned on the keys — EnsureRequirements
   // aligns the two hash partitionings exactly as it does for SMJ
@@ -95,8 +99,15 @@ case class BandJoinExec(
         BoundReference(i, lSchema(i).dataType, lSchema(i).nullable)))
       val rKeyProj = UnsafeProjection.create(rKeyOrds.map(i =>
         BoundReference(i, rSchema(i).dataType, rSchema(i).nullable)))
-      val resultProj = UnsafeProjection.create(outAttrs, lSchema ++ rSchema)
+      // left outer: bind against nullable right attrs, else the generated
+      // projection skips the null check and reads 0 from the null row
+      val rBindSchema =
+        if (leftOuter) rSchema.map(_.withNullability(true)) else rSchema
+      val resultProj = UnsafeProjection.create(outAttrs, lSchema ++ rBindSchema)
       val joined = new JoinedRow
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rSchema.length)
+      val outer = leftOuter
 
       new Iterator[InternalRow] {
         private var curKey: UnsafeRow = _                  // copied
@@ -105,6 +116,7 @@ case class BandJoinExec(
         private var curLeft: InternalRow = _               // copied
         private var cursor = 0                             // next group index for curLeft
         private var windowEnd = 0L
+        private var emitNull = false                       // left_outer: unmatched curLeft
 
         // first group index with time >= t
         private def lowerBound(t: Long): Int = {
@@ -126,7 +138,9 @@ case class BandJoinExec(
           }
         }
 
-        /** Position (curLeft, cursor) on the next left row with matches. */
+        /** Position (curLeft, cursor) on the next left row with matches —
+          * or, in left-outer mode, on the next unmatched left row with
+          * emitNull set. */
         private def advance(): Boolean = {
           while (lIter.hasNext) {
             val lk = lKeyProj(lIter.head)
@@ -135,19 +149,21 @@ case class BandJoinExec(
               loadRightGroup(curKey)
             }
             val l = lIter.next()
-            if (group.nonEmpty) {
-              val lt = l.getLong(lTimeOrd)
-              val start = lowerBound(lt + lo)
-              if (start < group.length && times(start) <= lt + hi) {
-                curLeft = l.copy(); cursor = start; windowEnd = lt + hi
-                return true
-              }
+            val lt = l.getLong(lTimeOrd)
+            val start = if (group.isEmpty) 0 else lowerBound(lt + lo)
+            if (start < group.length && times(start) <= lt + hi) {
+              curLeft = l.copy(); cursor = start; windowEnd = lt + hi
+              return true
+            } else if (outer) {
+              curLeft = l.copy(); emitNull = true
+              return true
             }
           }
           false
         }
 
         override def hasNext: Boolean = {
+          if (emitNull) return true
           if (curLeft != null && cursor < group.length && times(cursor) <= windowEnd)
             return true
           curLeft = null
@@ -156,6 +172,12 @@ case class BandJoinExec(
 
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException
+          if (emitNull) {
+            emitNull = false
+            val out = resultProj(joined(curLeft, nullRight))
+            curLeft = null
+            return out
+          }
           val r = group(cursor); cursor += 1
           resultProj(joined(curLeft, r))
         }
@@ -170,8 +192,8 @@ case class BandJoinExec(
 
 object BandJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case BandJoinPlan(lk, rk, lt, rt, lo, hi, l, r) =>
-      BandJoinExec(lk, rk, lt, rt, lo, hi, planLater(l), planLater(r)) :: Nil
+    case BandJoinPlan(lk, rk, lt, rt, lo, hi, outer, l, r) =>
+      BandJoinExec(lk, rk, lt, rt, lo, hi, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -185,20 +207,25 @@ object BandJoin {
   }
 
   /** `left ⋈ right ON keys AND right.time ∈ [left.time+lowerUs,
-    * left.time+upperUs]` (inner). Time columns must be TimestampType or
-    * LongType (micros). The right side is re-aliased so self-joins get
-    * fresh attribute ids, and null keys are filtered up front (inner-join
-    * semantics: null never matches). */
+    * left.time+upperUs]` (inner, or left outer with `leftOuter = true`).
+    * Time columns must be TimestampType or LongType (micros). The right
+    * side is re-aliased so self-joins get fresh attribute ids. Null keys
+    * never match (SQL semantics): they are filtered from the right side
+    * and — inner only — from the left; under left outer a null-key left
+    * row flows through with null right columns (it sorts before every
+    * non-null key group and finds an empty window). */
   def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
                leftTime: String, rightTime: String,
-               lowerUs: Long, upperUs: Long): DataFrame = {
+               lowerUs: Long, upperUs: Long,
+               leftOuter: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     def fresh(df: DataFrame, notNull: Seq[String]): DataFrame = {
       val filtered = notNull.foldLeft(df)((d, k) => d.filter(col(k).isNotNull))
       filtered.select(filtered.columns.map(n => col(n).as(n)).toSeq: _*)
     }
-    val l = fresh(left, keys.map(_._1)); val r = fresh(right, keys.map(_._2))
+    val l = fresh(left, if (leftOuter) Seq.empty else keys.map(_._1))
+    val r = fresh(right, keys.map(_._2))
     val lPlan = l.queryExecution.analyzed; val rPlan = r.queryExecution.analyzed
     def attr(out: Seq[Attribute], name: String): Attribute =
       out.find(_.name == name).getOrElse(
@@ -208,6 +235,6 @@ object BandJoin {
       keys.map(k => attr(lPlan.output, k._1)),
       keys.map(k => attr(rPlan.output, k._2)),
       attr(lPlan.output, leftTime), attr(rPlan.output, rightTime),
-      lowerUs, upperUs, lPlan, rPlan))
+      lowerUs, upperUs, leftOuter, lPlan, rPlan))
   }
 }

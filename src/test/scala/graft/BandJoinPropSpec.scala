@@ -29,27 +29,35 @@ class BandJoinPropSpec extends AnyFunSuite {
     bUs <- Gen.choose(-1200L, 1200L)
   } yield (left, right, math.min(aUs, bUs) * 1000000, math.max(aUs, bUs) * 1000000)
 
-  test("BandJoinExec equals the built-in range join on 40 random cases") {
+  private def runCase(i: Int, leftOuter: Boolean): Unit = {
     val params = org.scalacheck.Gen.Parameters.default
-    (1 to 40).foreach { i =>
-      val (l, r, lo, hi) = genCase(params, Seed(i.toLong)).get
-      val left = l.zipWithIndex
-        .map { case ((k, s), id) => (k, new Timestamp(s * 1000), id.toLong) }
-        .toDF("k", "t", "lid")
-      val right = r.zipWithIndex
-        .map { case ((k, s), id) => (k, new Timestamp(s * 1000), id.toLong) }
-        .toDF("rk", "rt", "rid")
-      val custom = BandJoin.bandJoin(left, right, Seq("k" -> "rk"),
-          "t", "rt", lo, hi)
-        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-      val expected = left.join(right,
-          col("k") === col("rk") &&
-            col("rt") >= col("t") + expr(s"INTERVAL $lo MICROSECOND") &&
-            col("rt") <= col("t") + expr(s"INTERVAL $hi MICROSECOND"))
-        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-      assert(custom == expected,
-        s"case $i (lo=$lo hi=$hi |l|=${l.size} |r|=${r.size}): " +
-          s"missing=${(expected -- custom).take(5)} extra=${(custom -- expected).take(5)}")
-    }
+    val (l, r, lo, hi) = genCase(params, Seed(i.toLong)).get
+    val left = l.zipWithIndex
+      .map { case ((k, s), id) => (k, new Timestamp(s * 1000), id.toLong) }
+      .toDF("k", "t", "lid")
+    val right = r.zipWithIndex
+      .map { case ((k, s), id) => (k, new Timestamp(s * 1000), id.toLong) }
+      .toDF("rk", "rt", "rid")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    val custom = pairs(BandJoin.bandJoin(left, right, Seq("k" -> "rk"),
+      "t", "rt", lo, hi, leftOuter))
+    val cond = col("k") === col("rk") &&
+      col("rt") >= col("t") + expr(s"INTERVAL $lo MICROSECOND") &&
+      col("rt") <= col("t") + expr(s"INTERVAL $hi MICROSECOND")
+    val expected = pairs(
+      left.join(right, cond, if (leftOuter) "left_outer" else "inner"))
+    assert(custom == expected,
+      s"case $i outer=$leftOuter (lo=$lo hi=$hi |l|=${l.size} |r|=${r.size}): " +
+        s"missing=${(expected -- custom).take(5)} extra=${(custom -- expected).take(5)}")
+  }
+
+  test("BandJoinExec equals the built-in range join on 40 random cases") {
+    (1 to 40).foreach(runCase(_, leftOuter = false))
+  }
+
+  test("LEFT OUTER BandJoinExec equals the built-in left join on 40 random cases") {
+    (1 to 40).foreach(runCase(_, leftOuter = true))
   }
 }
