@@ -307,6 +307,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- benchmark decontamination
+  /** Train-split decontamination against the test split — the standard
+    * pre-training hygiene step: a training document whose 3-gram shingles
+    * overlap an evaluation set is contaminated and must be dropped or
+    * down-weighted. Splits come from q57's content-hash ranges (so the
+    * check is reproducible), the test-side shingle set is distinct and
+    * BROADCAST (eval benchmarks are small by construction — this is the
+    * 100 TB shape: train side streams, benchmark side broadcasts), and
+    * the overlap fraction is exact integer counting. Emits every train
+    * doc with ≥ 5% shingle overlap. */
+  val q38_decontamination: Q = (s, d) => {
+    val sh = documents(s, d)
+      .withColumn("h", expr("substring(md5(CAST(doc_id AS STRING)), 1, 2)"))
+      .select(col("doc_id"), col("h"), expr(TOKENS).as("t"))
+      .select(col("doc_id"), col("h"), explode(expr(
+        """CASE WHEN size(t) >= 3
+             THEN array_distinct(transform(sequence(1, size(t) - 2),
+                    i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+             ELSE array() END""")).as("shingle"))
+    val testShingles = sh.filter(col("h") >= "e6").select("shingle").distinct()
+    val train = sh.filter(col("h") < "cc")
+    train
+      .join(broadcast(testShingles.withColumn("hit", lit(1))),
+            Seq("shingle"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+      .filter(col("contamination") >= 0.05)
+      .select(col("doc_id"), col("n_shingles"),
+              col("n_contaminated").cast(LongType).as("n_contaminated"),
+              col("contamination"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------- deterministic sampling
   /** Content-hash sampling — the training-pipeline form of TABLESAMPLE:
     * membership is a pure function of the row key (md5-prefix < threshold),
@@ -365,6 +401,7 @@ object TextOps {
     "q34_ngram_jaccard"     -> q34_ngram_jaccard,
     "q35_minhash_lsh"       -> q35_minhash_lsh,
     "q37_neardup_clusters"  -> q37_neardup_clusters,
+    "q38_decontamination"   -> q38_decontamination,
   )
 
   private def hitsSql(words: String) =
@@ -477,6 +514,26 @@ object TextOps {
          JOIN sizes s2 ON s2.doc_id = d2
          WHERE CAST(n_common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.2
          ORDER BY d1, d2""",
+
+    "q38_decontamination" ->
+      """WITH sh AS (
+           SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         test_sh AS (SELECT DISTINCT shingle FROM sh WHERE h >= 'e6'),
+         train AS (SELECT doc_id, shingle FROM sh WHERE h < 'cc')
+         SELECT t.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS contamination
+         FROM train t LEFT JOIN test_sh ts ON t.shingle = ts.shingle
+         GROUP BY t.doc_id
+         HAVING CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) >= 0.05
+         ORDER BY t.doc_id""",
 
     // connected components as a recursive CTE: min reachable label per
     // node over the same symmetrized Jaccard-pair graph (UNION dedups, so
