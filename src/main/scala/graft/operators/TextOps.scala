@@ -240,16 +240,10 @@ object TextOps {
     * (A~B, B~C ⇒ keep one of {A,B,C}), so pairs must become clusters
     * before dedup can drop anything.
     *
-    * Algorithm: iterative min-label propagation (hash-min). Every doc
-    * starts labeled with its own id; each round, every node takes the min
-    * label among itself and its neighbors; converged when no label
-    * changes. Rounds = graph diameter — near-dup clusters are shallow
-    * (chains longer than a few hops are rare by construction), and each
-    * round is ONE shuffle (join + min-agg), the GraphX/Pregel pattern
-    * without the GraphX dependency. Iteration state is localCheckpointed
-    * to cut the O(iterations)-deep lineage — the standard iterative-
-    * algorithm discipline (NOT an in-query cache; checkpoints are
-    * dropped as soon as the next round materializes).
+    * Components come from [[connectedComponents]] (driver union-find for
+    * bounded edge sets, distributed hash-min propagation beyond — see its
+    * doc for the size-switch rationale); only docs appearing in a pair
+    * enter the component computation, singletons rejoin at the end.
     *
     * Output: one row per document — its cluster id (min doc_id of the
     * component), the cluster size, and is_survivor (the canonical
@@ -272,39 +266,76 @@ object TextOps {
       .select("d1", "d2")
     val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
       .localCheckpoint(true)
-    // propagate only over docs that appear in some pair — singletons (the
-    // overwhelming majority of a deduped corpus) never change label and
-    // rejoin at the end, so each round's shuffle carries just the
-    // near-dup subgraph
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 15) {
-      val viaEdges = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .select(col("src").as("doc_id"), col("label"))
-      // fold the convergence flag into the same checkpointed pass — one
-      // materialization + one cheap count per round, not two joins
-      val next = labels.union(viaEdges)
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .select(col("doc_id"), col("label"),
-                (col("label") =!= col("old")).as("moved"))
-        .localCheckpoint(true)
-      changed = next.filter(col("moved")).count()
-      labels = next.select("doc_id", "label")
-      iter += 1
-    }
-    require(changed == 0, s"label propagation did not converge in $iter rounds")
     documents(s, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left_outer")
+      .join(connectedComponents(edges), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
               (col("doc_id") === col("cluster_id")).as("is_survivor"))
       .orderBy("doc_id")
+  }
+
+  /** Min-label connected components over a symmetric edge list →
+    * (doc_id, label) for every node WITH an edge (callers rejoin
+    * singletons). Two paths behind a size switch:
+    *
+    * - edge set fits the driver (≤ `collectThreshold` edges): path-halving
+    *   union-find on collected longs, broadcast back — the same bounded
+    *   lineage-cut judgment as k-means centroids (the near-dup subgraph
+    *   is bounded by candidate-pair volume, not corpus size; a corpus
+    *   whose dedup graph exceeds the driver is mostly duplicates and has
+    *   bigger problems).
+    * - larger: iterative hash-min propagation, one shuffle per round
+    *   (graph diameter rounds), state localCheckpointed — the
+    *   GraphX/Pregel pattern without the dependency.
+    *
+    * Both are deterministic (min is order-free); the spec asserts they
+    * agree on the same graph. */
+  private[graft] def connectedComponents(
+      edges: DataFrame, collectThreshold: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    if (edges.count() <= collectThreshold) {
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      import spark.implicits._
+      parent.keys.toSeq.map(k => (k, find(k))).toDF("doc_id", "label")
+    } else {
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 25) {
+        val viaEdges = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+          .select(col("src").as("doc_id"), col("label"))
+        // fold the convergence flag into the same checkpointed pass — one
+        // materialization + one cheap count per round, not two joins
+        val next = labels.union(viaEdges)
+          .groupBy("doc_id").agg(min(col("label")).as("label"))
+          .join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .select(col("doc_id"), col("label"),
+                  (col("label") =!= col("old")).as("moved"))
+          .localCheckpoint(true)
+        changed = next.filter(col("moved")).count()
+        labels = next.select("doc_id", "label")
+        iter += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $iter rounds")
+      labels
+    }
   }
 
   // ------------------------------------------- benchmark decontamination

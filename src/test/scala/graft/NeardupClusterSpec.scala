@@ -37,4 +37,19 @@ class NeardupClusterSpec extends AnyFunSuite {
     // and there is at least one non-trivial cluster on this data
     assert(members.exists(_._2.size > 1))
   }
+
+  test("driver union-find and distributed propagation agree") {
+    import TestSpark.spark.implicits._
+    // chain, triangle, two singleton-free pairs, cross-links
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 31L), (4L, 5L), (5L, 1L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    def comp(threshold: Long) =
+      TextOps.connectedComponents(edges, threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val small = comp(Long.MaxValue) // union-find path
+    val big = comp(0L)              // iterative path
+    assert(small == big, s"paths disagree: $small vs $big")
+    assert(small(5L) == 1L && small(12L) == 10L && small(21L) == 20L)
+  }
 }
