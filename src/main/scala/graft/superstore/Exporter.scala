@@ -31,6 +31,120 @@ object Exporter {
         .format(format).save(s"$outDir/$name")
     }
 
+  /** S6 at full fidelity — the reference's `generate_excel.py:50-111`
+    * analog: one .xlsx workbook, one sheet per table, bold header row,
+    * column widths sized to content and capped. Written with zero
+    * dependencies (an xlsx is a zip of XML; strings go as inlineStr,
+    * numbers as native cells, dates as ISO strings) and validated by
+    * round-tripping through the same stdlib extractor
+    * (tools/extract_xlsx.py) that produced the golden fixtures from the
+    * reference's export.
+    *
+    * Driver-side by design, exactly like the reference's script: this is
+    * a PRESENTATION export of bounded dimension/aggregate tables (a few
+    * ten-thousand rows), not a data path — big facts ship via
+    * [[exportAll]]/parquet. Rows are ordered by each table's first
+    * (surrogate-id) column for determinism. */
+  def exportXlsx(wh: Map[String, DataFrame], path: String,
+                 maxColWidth: Int = 50): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val names = wh.keys.toSeq.sorted
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(entry: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(entry))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+      """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
+      names.indices.map(i =>
+        s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString +
+      "</Types>")
+    put("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+      "</Relationships>")
+    put("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+      names.zipWithIndex.map { case (n, i) =>
+        s"""<sheet name="${esc(n)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>""" }.mkString +
+      "</sheets></workbook>")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      names.indices.map(i =>
+        s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""").mkString +
+      s"""<Relationship Id="rId${names.length + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
+      "</Relationships>")
+    // style 1 = bold (header row), matching generate_excel.py's header font
+    put("xl/styles.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<fonts count="2"><font/><font><b/></font></fonts>""" +
+      """<fills count="1"><fill><patternFill patternType="none"/></fill></fills>""" +
+      """<borders count="1"><border/></borders>""" +
+      """<cellStyleXfs count="1"><xf/></cellStyleXfs>""" +
+      """<cellXfs count="2"><xf xfId="0"/><xf xfId="0" fontId="1" applyFont="1"/></cellXfs>""" +
+      "</styleSheet>")
+    def colRef(i: Int): String = {
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    names.zipWithIndex.foreach { case (table, si) =>
+      val df = wh(table)
+      val cols = df.columns
+      val rows = df.orderBy(cols.head).collect()
+      def cellText(v: Any): String = v match {
+        case null => ""
+        case d: java.sql.Date => d.toString
+        case x => x.toString
+      }
+      val widths = cols.indices.map { i =>
+        val m = (cols(i).length +: rows.map(r => cellText(r.get(i)).length))
+          .max
+        math.min(m + 2, maxColWidth)
+      }
+      val sb = new StringBuilder
+      sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+      sb ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><cols>"""
+      widths.zipWithIndex.foreach { case (w, i) =>
+        sb ++= s"""<col min="${i + 1}" max="${i + 1}" width="$w" customWidth="1"/>""" }
+      sb ++= "</cols><sheetData>"
+      sb ++= "<row r=\"1\">"
+      cols.zipWithIndex.foreach { case (c, i) =>
+        sb ++= s"""<c r="${colRef(i)}1" t="inlineStr" s="1"><is><t>${esc(c)}</t></is></c>""" }
+      sb ++= "</row>"
+      rows.zipWithIndex.foreach { case (r, ri) =>
+        sb ++= s"""<row r="${ri + 2}">"""
+        cols.indices.foreach { i =>
+          val ref = s"${colRef(i)}${ri + 2}"
+          r.get(i) match {
+            case null => ()
+            case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) =>
+              sb ++= s"""<c r="$ref"><v>$n</v></c>"""
+            case n: java.math.BigDecimal =>
+              sb ++= s"""<c r="$ref"><v>${n.toPlainString}</v></c>"""
+            case v =>
+              sb ++= s"""<c r="$ref" t="inlineStr"><is><t>${esc(cellText(v))}</t></is></c>"""
+          }
+        }
+        sb ++= "</row>"
+      }
+      sb ++= "</sheetData></worksheet>"
+      put(s"xl/worksheets/sheet${si + 1}.xml", sb.toString)
+    }
+    zos.close()
+  }
+
   /** S9 — rows of the processed frame whose Item-fact dimension lookups
     * would miss (left-anti of each lookup), tagged with the failing
     * dimension. Empty on well-formed input; nonempty input lands in
