@@ -60,6 +60,29 @@ object Demo {
     } catch {
       case e: Exception => println(s"DEMO rerun_same_name failed: ${e.getMessage.take(120)}")
     }
+
+    // 6. the custom whole-operator band join through its DataFrame API
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val banded = graft.plans.BandJoin.bandJoin(purchases, clicks,
+      Seq("user_id" -> "c_user"), "purchase_ts", "click_ts", -3600L * 1000000, 0L)
+    println(s"DEMO band_join rows=${banded.count()} " +
+      s"plan_has_BandJoin=${banded.queryExecution.executedPlan.toString.contains("BandJoin")}")
+
+    // 7. near-dup clustering + survivor election over documents
+    val clusters = graft.operators.TextOps.q37_neardup_clusters(spark, dir)
+    println(s"DEMO neardup_clusters docs=${clusters.count()} " +
+      s"survivors=${clusters.filter(col("is_survivor")).count()}")
+
+    // 8. the presentation xlsx export, round-trippable by any xlsx reader
+    val whDir = java.nio.file.Files.createTempDirectory("demo_wh").toString
+    System.setProperty("graft.wh.dir", whDir)
+    val wh = graft.superstore.WarehouseCache.get(spark)
+    graft.superstore.Exporter.exportXlsx(wh, s"$whDir/superstore_dw_export.xlsx")
+    println(s"DEMO xlsx_export bytes=${new java.io.File(s"$whDir/superstore_dw_export.xlsx").length()}")
     spark.stop()
   }
 }
