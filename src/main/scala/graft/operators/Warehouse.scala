@@ -209,6 +209,29 @@ object Warehouse {
       .orderBy("user_id", "purchase_id", "click_id")
   }
 
+  /** q47's as-of semantics through the custom operator's matchLatest
+    * mode (plans.BandJoin.asofJoin): latest click at-or-before each
+    * purchase, LEFT OUTER, clicks pre-deduped per (user, ts) exactly as
+    * q47 does. Same DuckDB native ASOF LEFT JOIN oracle. */
+  val q47b_asof_exec: Q = (s, d) => {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+    graft.plans.BandJoin.asofJoin(purchases, clicks,
+        Seq("user_id" -> "c_user"), "purchase_ts", "click_ts",
+        leftOuter = true)
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+              col("click_id"),
+              expr("CASE WHEN click_ts IS NULL THEN NULL " +
+                   "ELSE (unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000 END")
+                .as("gap_sec"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** LEFT OUTER through the same custom operator: every click with its
     * purchases in the following hour, or nulls — the batch analog of
     * streaming.EventsStream.clickPurchaseLeftJoin, as one merge pass
@@ -237,6 +260,7 @@ object Warehouse {
     "q49_interval_join"         -> q49_interval_join,
     "q49b_band_join_exec"       -> q49b_band_join_exec,
     "q49c_band_left_outer"      -> q49c_band_left_outer,
+    "q47b_asof_exec"            -> q47b_asof_exec,
     "q25_events_sessionize"     -> q25_events_sessionize,
     "q26_order_month"           -> q26_order_month,
     "q27_product_performance"   -> q27_product_performance,
@@ -292,6 +316,22 @@ object Warehouse {
          ORDER BY c.user_id, click_id, purchase_id""",
 
     "q47_asof_click_purchase" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, MAX(event_id) AS event_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         purchases AS (
+           SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           CASE WHEN c.ts IS NULL THEN NULL
+                ELSE (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 END AS gap_sec
+         FROM purchases p
+         ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND c.ts <= p.ts
+         ORDER BY p.user_id, purchase_id""",
+
+    // identical semantics through BandJoinExec's as-of (matchLatest) mode
+    "q47b_asof_exec" ->
       """WITH clicks AS (
            SELECT user_id, ts, MAX(event_id) AS event_id
            FROM events WHERE event_type = 'click' GROUP BY user_id, ts),

@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions.col
 case class BandJoinPlan(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    lowerUs: Long, upperUs: Long, leftOuter: Boolean,
+    lowerUs: Long, upperUs: Long, leftOuter: Boolean, matchLatest: Boolean,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -56,7 +56,7 @@ case class BandJoinPlan(
 case class BandJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    lowerUs: Long, upperUs: Long, leftOuter: Boolean,
+    lowerUs: Long, upperUs: Long, leftOuter: Boolean, matchLatest: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -152,7 +152,17 @@ case class BandJoinExec(
             val lt = l.getLong(lTimeOrd)
             val start = if (group.isEmpty) 0 else lowerBound(lt + lo)
             if (start < group.length && times(start) <= lt + hi) {
-              curLeft = l.copy(); cursor = start; windowEnd = lt + hi
+              curLeft = l.copy()
+              if (matchLatest) {
+                // as-of: only the greatest right time in the window — the
+                // last index with time <= lt+hi; windowEnd = its own time
+                // stops the emit loop after exactly one row (the next
+                // index, if any, is strictly greater)
+                cursor = lowerBound(lt + hi + 1) - 1
+                windowEnd = times(cursor)
+              } else {
+                cursor = start; windowEnd = lt + hi
+              }
               return true
             } else if (outer) {
               curLeft = l.copy(); emitNull = true
@@ -192,8 +202,9 @@ case class BandJoinExec(
 
 object BandJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case BandJoinPlan(lk, rk, lt, rt, lo, hi, outer, l, r) =>
-      BandJoinExec(lk, rk, lt, rt, lo, hi, outer, planLater(l), planLater(r)) :: Nil
+    case BandJoinPlan(lk, rk, lt, rt, lo, hi, outer, latest, l, r) =>
+      BandJoinExec(lk, rk, lt, rt, lo, hi, outer, latest,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -217,7 +228,8 @@ object BandJoin {
   def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
                leftTime: String, rightTime: String,
                lowerUs: Long, upperUs: Long,
-               leftOuter: Boolean = false): DataFrame = {
+               leftOuter: Boolean = false,
+               matchLatest: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     def fresh(df: DataFrame, notNull: Seq[String]): DataFrame = {
@@ -235,6 +247,23 @@ object BandJoin {
       keys.map(k => attr(lPlan.output, k._1)),
       keys.map(k => attr(rPlan.output, k._2)),
       attr(lPlan.output, leftTime), attr(rPlan.output, rightTime),
-      lowerUs, upperUs, leftOuter, lPlan, rPlan))
+      lowerUs, upperUs, leftOuter, matchLatest, lPlan, rPlan))
   }
+
+  /** ~100 TB of lookback still fits a long: an effectively-unbounded
+    * as-of window that can never overflow `time + lower`. */
+  private val AsofLookbackUs: Long = 10000L * 365 * 24 * 3600 * 1000000L
+
+  /** As-of join through the same operator: for each left row, the single
+    * LATEST right row with `right.time <= left.time` (DuckDB/kdb ASOF
+    * semantics), optionally LEFT OUTER. Ties at the exact same right
+    * time are broken arbitrarily — pre-dedup the right side per
+    * (keys, time) if ties exist (see Warehouse.q47's MAX(event_id)
+    * dedup). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+               leftTime: String, rightTime: String,
+               leftOuter: Boolean = false): DataFrame =
+    bandJoin(left, right, keys, leftTime, rightTime,
+      lowerUs = -AsofLookbackUs, upperUs = 0L,
+      leftOuter = leftOuter, matchLatest = true)
 }

@@ -60,4 +60,48 @@ class BandJoinPropSpec extends AnyFunSuite {
   test("LEFT OUTER BandJoinExec equals the built-in left join on 40 random cases") {
     (1 to 40).foreach(runCase(_, leftOuter = true))
   }
+
+  test("asofJoin (matchLatest) picks exactly the latest prior right row, 25 random cases") {
+    val params = org.scalacheck.Gen.Parameters.default
+    (1 to 25).foreach { i =>
+      val (l, r, _, _) = genCase(params, Seed(1000L + i)).get
+      // dedup right per (key, time): as-of ties are documented-arbitrary
+      val rDedup = r.distinct
+      val left = l.zipWithIndex
+        .map { case ((k, s), id) => (k, new Timestamp(s * 1000), id.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rDedup.zipWithIndex
+        .map { case ((k, s), id) => (k, new Timestamp(s * 1000), id.toLong) }
+        .toDF("rk", "rt", "rid")
+      val custom = BandJoin.asofJoin(left, right, Seq("k" -> "rk"),
+          "t", "rt", leftOuter = true)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+      // reference: max right time <= left time per (left row, key)
+      val byKey = rDedup.zipWithIndex.groupBy(_._1._1)
+      val expected = l.zipWithIndex.map { case ((k, s), lid) =>
+        val prior = byKey.getOrElse(k, Nil).filter(_._1._2 <= s)
+        if (prior.isEmpty) (lid.toLong, -1L)
+        else {
+          val best = prior.maxBy(p => (p._1._2, p._2))._2
+          // ties at equal max time: any of the tied rids is acceptable
+          (lid.toLong, best.toLong)
+        }
+      }.toSet
+      val tiedOk = custom.map { case (lid, rid) =>
+        val (k, s) = l(lid.toInt)
+        val prior = byKey.getOrElse(k, Nil).filter(_._1._2 <= s)
+        if (prior.isEmpty) (lid, -1L)
+        else {
+          val maxT = prior.map(_._1._2).max
+          if (rid >= 0 && prior.exists(p => p._2.toLong == rid && p._1._2 == maxT))
+            (lid, rid) // custom picked one of the max-time rows: accept
+          else (lid, -2L)
+        }
+      }
+      assert(!tiedOk.exists(_._2 == -2L) && custom.map(_._1) == expected.map(_._1),
+        s"case $i: as-of mismatch")
+      assert(custom.size == l.size, s"case $i: not exactly one row per left")
+    }
+  }
 }
