@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev diagnostic: time selected queries under runtime-settable config
+  * variants (AQE on/off, shuffle partition counts) to locate fixed
+  * per-query overhead vs real plan cost. Usage:
+  *   runMain graft.BenchDiag confs q10_distinct_customers,...
+  *   runMain graft.BenchDiag samples q51_month_over_month,...
+  */
+object BenchDiag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val mode = args.head
+    val names = args(1).split(",").toSeq
+    val qs = SparkEntry.queries
+
+    def minOf(name: String, n: Int = 3): Double = {
+      val fn = qs(name)
+      (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    mode match {
+      case "samples" =>
+        names.foreach { name =>
+          qs(name)(spark, sfDir).count()
+          val s = (1 to 5).map { _ =>
+            val t0 = System.nanoTime(); qs(name)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"$name%-28s samples=${s.map(x => f"$x%.3f").mkString(",")}")
+        }
+      case "confs" =>
+        val variants = Seq(
+          "base"        -> Seq(),
+          "aqe_off"     -> Seq("spark.sql.adaptive.enabled" -> "false"),
+          "shuffle8"    -> Seq("spark.sql.shuffle.partitions" -> "8"),
+          "aqe_off_sh8" -> Seq("spark.sql.adaptive.enabled" -> "false",
+                               "spark.sql.shuffle.partitions" -> "8"))
+        names.foreach { name =>
+          qs(name)(spark, sfDir).count() // warm
+          val cells = variants.map { case (vn, confs) =>
+            confs.foreach { case (k, v) => spark.conf.set(k, v) }
+            val t = minOf(name)
+            confs.foreach { case (k, _) => spark.conf.unset(k) }
+            spark.conf.set("spark.sql.shuffle.partitions", cpus)
+            f"$vn=$t%.3f"
+          }
+          println(f"$name%-28s ${cells.mkString(" ")}")
+        }
+    }
+    spark.stop()
+  }
+}
+
+/** Print the formatted physical plan of named queries. */
+object ExplainQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { name =>
+      println(s"===== $name =====")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.count() // materialize AQE final plan
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
+
+/** Per-stage wall/task-time breakdown of one query execution. */
+object StageTime {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.scheduler._
+    import scala.collection.mutable
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).count(); fn(spark, sfDir).count() // warm
+      val stages = mutable.ArrayBuffer[(Int, Long, Long, Int, String)]()
+      val jobs = mutable.ArrayBuffer[(Int, Long, Long)]()
+      val jobStart = mutable.Map[Int, Long]()
+      val listener = new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+          stages += ((si.stageId, wall, si.taskMetrics.executorRunTime,
+            si.numTasks, si.name.split(" ").head))
+        }
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          jobStart(js.jobId) = js.time
+        override def onJobEnd(je: SparkListenerJobEnd): Unit =
+          jobs += ((je.jobId, jobStart.getOrElse(je.jobId, je.time), je.time))
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"===== $name total=$wall%.3f s, ${jobs.size} jobs, ${stages.size} stages")
+      jobs.sortBy(_._1).foreach { case (id, s, e) =>
+        println(f"  job $id%3d wall=${(e - s) / 1e3}%.3f s")
+      }
+      stages.sortBy(_._1).foreach { case (id, wall, run, n, nm) =>
+        println(f"  stage $id%3d wall=${wall / 1e3}%.3f s taskSum=${run / 1e3}%.3f s tasks=$n%3d $nm")
+      }
+    }
+    spark.stop()
+  }
+}
+
+/** Micro shapes: what does the single-threaded lineitem scan+agg cost? */
+object Micro {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = Tables.lineitem(spark, sfDir)
+    def dec(c: String) = col(c).cast(DecimalType(18, 2))
+    val rev = dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec("l_discount"))
+    val revD = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val revL = (col("l_extendedprice") * 100).cast(LongType) * (lit(10000L) - (col("l_discount") * 100).cast(LongType) * 100)
+    val shapes: Seq[(String, () => Long)] = Seq(
+      "count_only"      -> (() => li.count()),
+      "scan1col"        -> (() => li.agg(sum("l_partkey")).count()),
+      "scan3col_double" -> (() => li.agg(sum(revD)).count()),
+      "scan3col_dec"    -> (() => li.agg(sum(rev)).count()),
+      "scan3col_long"   -> (() => li.agg(sum(revL)).count()),
+      "grp_nosum"       -> (() => li.groupBy("l_partkey").agg(count(lit(1))).count()),
+      "grp_dec"         -> (() => li.groupBy("l_partkey").agg(sum(rev)).count()),
+      "grp_double"      -> (() => li.groupBy("l_partkey").agg(sum(revD)).count()),
+      "grp_long"        -> (() => li.groupBy("l_partkey").agg(sum(revL)).count()),
+      "grp_repart_dec"  -> (() => li.repartition(32).groupBy("l_partkey").agg(sum(rev)).count())
+    )
+    shapes.foreach { case (_, f) => f() } // warm all
+    val times = scala.collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
+    (1 to 5).foreach { _ =>
+      shapes.foreach { case (n, f) =>
+        val t0 = System.nanoTime(); f(); times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    shapes.foreach { case (n, _) => println(f"$n%-18s min=${times(n).min}%.3f med=${times(n).sorted.apply(2)}%.3f") }
+    spark.stop()
+  }
+}

