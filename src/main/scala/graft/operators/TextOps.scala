@@ -126,19 +126,23 @@ object TextOps {
   /** Distinct 3-gram word shingles per document, document-frequency capped.
     * The guard (`size >= 3`) matters: Spark's sequence(1, n) generates a
     * DESCENDING range when n < 1, unlike DuckDB's empty generate_series. */
-  private def shingles(s: SparkSession, d: String, dfCap: Int): DataFrame = {
-    val sh = docsWide(s, d)
+  private def shingles(s: SparkSession, d: String, dfCap: Int): DataFrame =
+    docsWide(s, d)
       .select(col("doc_id"), expr(TOKENS).as("t"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(t) >= 3
              THEN array_distinct(transform(sequence(1, size(t) - 2),
                     i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
              ELSE array() END""")).as("shingle"))
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      // df-cap as a count window over the shingle partition: ONE shuffle
+      // (the groupBy-then-join-back form shuffled the exploded set twice),
+      // and the output STAYS hash-partitioned AND sorted by shingle — a
+      // candidate self-join on shingle downstream is co-partitioned, no
+      // further exchange (verify: explain shows one Exchange on this
+      // subtree). Same rows as the HAVING df<=cap oracle form.
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("df") <= dfCap)
-      .select("shingle")
-    sh.join(rare, "shingle")
-  }
+      .select("doc_id", "shingle")
 
   private def shinglesSql(dfCap: Int): String =
     s"""sh AS (
@@ -155,34 +159,46 @@ object TextOps {
     * ≥1 (rare) shingle; J = |∩| / |∪| from per-doc shingle-set sizes.
     * The shingle self-join is the scale-limiting step — bounded by the
     * document-frequency cap, never by corpus size squared. */
-  val q34_ngram_jaccard: Q = (s, d) => {
-    // Window-based df-cap + per-doc size on the SAME pass, so each join
-    // side is one scan→explode→two-window chain (the naive shape — df-cap
-    // via broadcast join + separate sizes joins — recomputed the shingle
-    // subtree 8×, visible as 8 parquet scans in explain("formatted")).
-    // NOT cached: pinning it would hold memory for the whole session.
-    val sh = docsWide(s, d)
-      .select(col("doc_id"), expr(TOKENS).as("t"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(t) >= 3
-             THEN array_distinct(transform(sequence(1, size(t) - 2),
-                    i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-             ELSE array() END""")).as("shingle"))
-    val shf = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= 50)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val a = shf.select(col("shingle"), col("doc_id").as("d1"), col("n_sh").as("n1"))
-    val b = shf.select(col("shingle"), col("doc_id").as("d2"), col("n_sh").as("n2"))
+  val q34_ngram_jaccard: Q = (s, d) =>
+    jaccardPairs(s, d, dfCap = 50, threshold = 0.2)
+      .select("d1", "d2", "n_common", "jaccard")
+      .orderBy("d1", "d2")
+
+  /** Shared Jaccard pair pipeline (q34 + the q37 edge set): candidate
+    * pairs from the co-partitioned shingle self-join, per-doc rare-shingle
+    * sizes attached by broadcast AFTER pair aggregation.
+    *
+    * Shuffle ledger (the reason for this shape): (1) explode output by
+    * shingle for the df-cap window — the only full-width shuffle; the
+    * self-join reuses that partitioning on both sides, so it adds NO
+    * exchange; (2) the narrow (doc_id) projection for sizes; (3) the
+    * aggregated pair set by (d1, d2). The previous form shuffled the full
+    * exploded set two extra times (per-doc size window + join
+    * repartitioning) and carried n1/n2 through the join. At corpus scale
+    * the sizes table is per-doc counts — broadcast here (bench scale);
+    * swap to a shuffle join keyed on d1/d2 when |docs| outgrows the
+    * broadcast threshold (the pair table is the small side by then). */
+  private def jaccardPairs(s: SparkSession, d: String,
+                           dfCap: Int, threshold: Double): DataFrame = {
+    // The rare-shingle set feeds a diamond (self-join sides + the two
+    // sizes lookups). The static plan prints the subtree four times, but
+    // AQE's runtime stage reuse dedups the canonically-equal shuffle
+    // stages, so no materialization is needed (measured: an explicit
+    // localCheckpoint here is a net LOSS — it pays a full write of the
+    // exploded set to block storage to save work AQE already avoids).
+    val shf = shingles(s, d, dfCap)
+    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = shf.select(col("shingle"), col("doc_id").as("d1"))
+    val b = shf.select(col("shingle"), col("doc_id").as("d2"))
     a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2", "n1", "n2")
+      .groupBy("d1", "d2")
       .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1"))), Seq("d1"))
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2"))), Seq("d2"))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) /
           (col("n1") + col("n2") - col("n_common")).cast(DoubleType))
-      .filter(col("jaccard") >= 0.2)
-      .select("d1", "d2", "n_common", "jaccard")
-      .orderBy("d1", "d2")
+      .filter(col("jaccard") >= threshold)
   }
 
   // ------------------------------------------------------- MinHash + LSH
@@ -221,22 +237,25 @@ object TextOps {
     * share ≥1 exact band), verified by popcount of the XOR. All integer
     * arithmetic ⇒ exact in both engines. */
   val q36_simhash_pairs: Q = (s, d) => {
-    // Bit votes as 60 plain codegen'd sums over (doc, token-hash, count)
-    // rows — NOT a nested higher-order lambda (interpreted, 40× slower).
-    // Semantics identical to the oracle's per-bit ±multiplicity vote.
-    val tokenCounts = docsWide(s, d)
+    // Bit votes as 60 plain codegen'd sums over (doc, token-hash) rows —
+    // NOT a nested higher-order lambda (interpreted, 40× slower). Voting
+    // per OCCURRENCE sums to the same total as ±multiplicity over
+    // distinct hashes, so the (doc, h) pre-aggregation the first version
+    // had was a wasted shuffle: one groupBy(doc_id) with map-side partial
+    // sums (60 longs per doc in the combine buffer) replaces both.
+    val tokenHashes = docsWide(s, d)
       .select(col("doc_id"), explode(expr(TOKENS)).as("tok"))
-      .groupBy(col("doc_id"),
-               expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"),
+              expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
     val voteAggs = (0 until 60).map(b =>
-      sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN cnt ELSE -cnt END")).as(s"v$b"))
+      sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"v$b"))
     val simhashExpr = (0 until 60)
       .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
-    val sims = tokenCounts.groupBy("doc_id")
+    val sims = tokenHashes.groupBy("doc_id")
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .localCheckpoint() // tiny (one row per doc); feeds both join sides
     val bands = sims.select(col("doc_id"), col("simhash"), explode(expr(
       """transform(sequence(0, 3),
            b -> concat(CAST(b AS STRING), ':',
@@ -269,17 +288,9 @@ object TextOps {
     * shingle pipeline. Oracle: recursive CTE in DuckDB computing min
     * reachable label over the same pair graph. */
   val q37_neardup_clusters: Q = (s, d) => {
-    // edges = q34's Jaccard pairs (same shingle pipeline, df-cap 50,
-    // threshold 0.2), symmetrized
-    val shf = shingles(s, d, dfCap = 50)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val a = shf.select(col("shingle"), col("doc_id").as("d1"), col("n_sh").as("n1"))
-    val b = shf.select(col("shingle"), col("doc_id").as("d2"), col("n_sh").as("n2"))
-    val pairs = a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2", "n1", "n2")
-      .agg(count(lit(1)).as("n_common"))
-      .filter(col("n_common").cast(DoubleType) /
-        (col("n1") + col("n2") - col("n_common")).cast(DoubleType) >= 0.2)
+    // edges = q34's Jaccard pairs (shared jaccardPairs pipeline: df-cap
+    // 50, threshold 0.2), symmetrized
+    val pairs = jaccardPairs(s, d, dfCap = 50, threshold = 0.2)
       .select("d1", "d2")
     val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
       .localCheckpoint(true)

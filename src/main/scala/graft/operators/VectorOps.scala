@@ -25,6 +25,15 @@ object VectorOps {
   /** Elementwise-double copy of the embedding. */
   private val VECD = "transform(embedding, x -> CAST(x AS DOUBLE))"
 
+  /** Embeddings fanned out across the shuffle width before the O(Q·N·dim)
+    * scoring loops — same rationale as TextOps.docsWide: the table is tiny
+    * relative to the compute seeded per row (dot products against every
+    * broadcast probe), so scan splits under-provision it (one parquet row
+    * group at bench scale = one task for the whole scoring pass). */
+  private def vecsWide(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
+
   private def dotSql(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
@@ -33,10 +42,12 @@ object VectorOps {
     * broadcast the probes, scan candidates once, rank per probe. */
   val q40_cosine_topk: Q = (s, d) => {
     register(s)
-    val vecs = embeddings(s, d)
+    val vecs = vecsWide(s, d)
       .select(col("vec_id"), expr(VECD).as("v"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
-    val probes = vecs.filter(col("vec_id") < 20)
+    val probes = embeddings(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id"), expr(VECD).as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
     val scored = vecs.join(broadcast(probes), col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
@@ -108,10 +119,12 @@ object VectorOps {
     * label; per-label accuracy out. */
   val q43_knn_accuracy: Q = (s, d) => {
     register(s)
-    val vecs = embeddings(s, d)
+    val vecs = vecsWide(s, d)
       .select(col("vec_id"), col("label"), expr(VECD).as("v"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
-    val probes = vecs.filter(col("vec_id") < 50)
+    val probes = embeddings(s, d).filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("label"), expr(VECD).as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
               col("v").as("qv"), col("norm").as("qn"))
     val top5 = vecs.join(broadcast(probes), col("vec_id") =!= col("q_id"))
