@@ -14,6 +14,7 @@ object BenchDiag {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -69,7 +70,9 @@ object BenchDiag {
 object ExplainQ {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
+      .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -91,7 +94,9 @@ object StageTime {
     import org.apache.spark.scheduler._
     import scala.collection.mutable
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
+      .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -138,7 +143,9 @@ object Micro {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
+      .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -168,6 +175,36 @@ object Micro {
       }
     }
     shapes.foreach { case (n, _) => println(f"$n%-18s min=${times(n).min}%.3f med=${times(n).sorted.apply(2)}%.3f") }
+    spark.stop()
+  }
+}
+
+/** Full-suite A/B under a session conf tweak: runMain graft.AbConf k=v [k=v...] */
+object AbConf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) }
+    val queries = SparkEntry.queries.toSeq.filterNot(_._1.startsWith("ss_")).sortBy(_._1)
+    queries.foreach { case (_, fn) => try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
+    (1 to 3).foreach { _ =>
+      System.gc()
+      queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val mins = queries.map { case (n, _) => n -> samples(n).min }
+    println(f"ABCONF total=${mins.map(_._2).sum}%.2f " + args.mkString(" "))
+    mins.sortBy(-_._2).take(10).foreach { case (n, v) => println(f"  $n%-30s $v%.3f") }
     spark.stop()
   }
 }

@@ -52,8 +52,14 @@ object Tables {
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects by default. Read nanos as long and rebuild a (µs)
     * TimestampType column — same truncation DuckDB applies to ns. */
+  /** Requires `spark.sql.legacy.parquet.nanosAsLong=true` — set at SESSION
+    * BUILD by every entry point in this repo (Bench/Verify/Smoke/tests),
+    * not here: a conf mutation inside a reader would silently change how
+    * later scans in the same session decode nanos columns. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(events.parquet stores ts as TIMESTAMP(NANOS))")
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

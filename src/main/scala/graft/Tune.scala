@@ -13,7 +13,9 @@ object Tune {
   def sumShapes(sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
+      .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -41,7 +43,9 @@ object Tune {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.expressions.Window
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
+      .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -74,7 +78,9 @@ object Tune {
     * to death), the behavior a production executor needs under pressure. */
   def spillAudit(sfDir: String): Unit = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
+      .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -120,7 +126,8 @@ object Tune {
     )
     for ((vname, conf) <- variants) {
       val b = SparkSession.builder()
-        .master("local[32]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
+      .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -34,21 +34,30 @@ import graft.functions.DotProduct.register
   */
 object IvfIndex {
 
-  /** Fixed index location: the oracle SQL is a static string, so the path
-    * cannot depend on the sf dir — the meta marker records which sf the
-    * index was built from and triggers a rebuild on mismatch. */
-  val IndexDir = "/root/repo/target/ivf_index/current"
-
   val K = 16
   val Iters = 3
   val NProbe = 2
+
+  /** Index location derived from the build inputs (sfDir, K, Iters): each
+    * configuration owns its directory, so a run for one sf can never
+    * silently swap the centroids out from under another sf's oracle
+    * replay (the round-2 fixed `current/` path rebuilt in place on
+    * mismatch — racy across JVMs and across a Verify run vs the driver's
+    * later DuckDB read). The oracle SQL carries an `__IVF__` placeholder
+    * that Verify resolves via this same function at dump time. */
+  def indexDir(sfDir: String, k: Int = K, iters: Int = Iters): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|$k|$iters".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"/root/repo/target/ivf_index/$h"
+  }
 
   private val VECD = "transform(embedding, x -> CAST(x AS DOUBLE))"
   private def sqdist = expr(
     "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
 
   /** Train + persist the index for `sfDir` into `indexDir`. */
-  def build(s: SparkSession, sfDir: String, indexDir: String = IndexDir,
+  def build(s: SparkSession, sfDir: String, indexDir: String,
             k: Int = K, iters: Int = Iters): Unit = {
     register(s)
     import s.implicits._
@@ -83,18 +92,25 @@ object IvfIndex {
     cent.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
     finalAssign.write.mode("overwrite").partitionBy("cid")
       .parquet(s"$indexDir/assignments")
-    Files.writeString(Paths.get(s"$indexDir/_meta.json"),
-      s"""{"sfDir":"$sfDir","k":$k,"iters":$iters}""")
+    // _meta.json is the build-complete marker, written LAST via atomic
+    // rename: a concurrent reader either sees a complete index or none.
+    val tmp = Paths.get(s"$indexDir/_meta.json.tmp")
+    Files.writeString(tmp, s"""{"sfDir":"$sfDir","k":$k,"iters":$iters}""")
+    Files.move(tmp, Paths.get(s"$indexDir/_meta.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Ensure an index built from `sfDir` exists at the fixed location;
-    * rebuild when missing or built from a different sf dir. */
+  /** Ensure an index built from `sfDir` exists at its derived location;
+    * build only when the completion marker is absent (per-config dirs
+    * never need the rebuild-on-mismatch dance). */
   def ensure(s: SparkSession, sfDir: String): String = synchronized {
-    val meta = Paths.get(s"$IndexDir/_meta.json")
+    val dir = indexDir(sfDir)
+    val meta = Paths.get(s"$dir/_meta.json")
     val want = s"""{"sfDir":"$sfDir","k":$K,"iters":$Iters}"""
     if (!Files.exists(meta) || Files.readString(meta) != want)
-      build(s, sfDir, IndexDir, K, Iters)
-    IndexDir
+      build(s, sfDir, dir, K, Iters)
+    dir
   }
 
   def centroids(s: SparkSession, indexDir: String): DataFrame =
@@ -106,17 +122,18 @@ object IvfIndex {
   /** Index-build CLI: `runMain graft.operators.IvfIndex <sfDir> [indexDir]`. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val indexDir = if (args.length > 1) args(1) else IndexDir
+    val outDir = if (args.length > 1) args(1) else indexDir(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    build(s, sfDir, indexDir)
-    println(s"IVF_INDEX_BUILT $indexDir k=$K iters=$Iters")
+    build(s, sfDir, outDir)
+    println(s"IVF_INDEX_BUILT $outDir k=$K iters=$Iters")
     s.stop()
   }
 }

@@ -120,8 +120,14 @@ object Relational {
     val cal = graft.Tables.calendar(s, d)
     val oc = broadcast(cal).as("oc")
     val sc = broadcast(cal).as("sc")
+    // fact-to-fact join: SHUFFLE_HASH, not broadcast. At warehouse scale
+    // orders is never broadcastable next to lineitem, and at bench scale
+    // the broadcast plan fuses the whole join+agg into the unsplittable
+    // single-row-group lineitem scan task — the exchange distributes the
+    // probe side across the cluster width. The calendar roles stay
+    // broadcast (bounded dimension).
     lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(orders(s, d).hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(oc, col("o_orderdate").cast(DateType) === col("oc.full_date"))
       .join(sc, col("l_shipdate").cast(DateType) === col("sc.full_date"))
       .groupBy("o_orderpriority")
@@ -474,8 +480,16 @@ object Relational {
     * 1995 and 2000 (INTERSECT) and active in 1995 but gone by 2000
     * (EXCEPT). */
   val q52_set_ops: Q = (s, d) => {
+    // year(col) === y defeats scan pushdown (the function call hides the
+    // column — so would a cast, o_orderdate is TIMESTAMP); the equivalent
+    // half-open range on the raw column folds to timestamp literals and
+    // reaches the scan as PushedFilters ⇒ row-group stats pruning at
+    // scale. Session timezone is UTC in every entry point, so the literal
+    // bounds and year() agree.
     def active(y: Int) = orders(s, d)
-      .filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast(TimestampType) &&
+              col("o_orderdate") < lit(s"${y + 1}-01-01").cast(TimestampType))
+      .select("o_custkey").distinct()
     val both = active(1995).intersect(active(2000))
       .withColumn("cohort", lit("retained"))
     val churned = active(1995).except(active(2000))

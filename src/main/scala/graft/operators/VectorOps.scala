@@ -206,7 +206,7 @@ object VectorOps {
     "q46_ivf_ann" ->
       s"""WITH cent AS (
            SELECT cid, cv
-           FROM read_parquet('${IvfIndex.IndexDir}/centroids.parquet/*.parquet')),
+           FROM read_parquet('__IVF__/centroids.parquet/*.parquet')),
          vecs AS (
            SELECT vec_id, $VECD_SQL AS v FROM embeddings),
          dist AS (

@@ -92,7 +92,7 @@ case class BandJoinExec(
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lRaw, rRaw) =>
-      val lIter = lRaw.buffered; val rIter = rRaw.buffered
+      val lIter = lRaw; val rIter = rRaw.buffered
       val keyTypes = lKeyOrds.map(lSchema(_).dataType)
       val ord = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val lKeyProj = UnsafeProjection.create(lKeyOrds.map(i =>
@@ -133,40 +133,64 @@ case class BandJoinExec(
           while (rIter.hasNext && ord.compare(rKeyProj(rIter.head), key) < 0)
             rIter.next()
           while (rIter.hasNext && ord.compare(rKeyProj(rIter.head), key) == 0) {
-            val r = rIter.next().copy()
-            group += r; times += r.getLong(rTimeOrd)
+            val r = rIter.next()
+            // a NULL right time matches nothing (SQL range semantics) and
+            // would corrupt the sorted times buffer (getLong on a null
+            // field reads 0 = epoch); the API filters them, this guards
+            // direct Exec construction too. Nulls sort first under the
+            // required ascending order, so skipping preserves sortedness.
+            if (!r.isNullAt(rTimeOrd)) {
+              val c = r.copy()
+              group += c; times += c.getLong(rTimeOrd)
+            }
           }
         }
 
         /** Position (curLeft, cursor) on the next left row with matches —
           * or, in left-outer mode, on the next unmatched left row with
-          * emitNull set. */
+          * emitNull set.
+          *
+          * No copy of the streamed left row: the child's iterator may
+          * reuse the row object, but it is only mutated by the NEXT
+          * lIter.next(), which cannot happen until this left row's
+          * matches are fully emitted (consume-then-process, the same
+          * zero-copy discipline as SortMergeJoin's streamed side —
+          * round 2 peeked via a BufferedIterator, which forced a
+          * defensive copy of EVERY left row). The key projection is
+          * copied only on group change. */
         private def advance(): Boolean = {
           while (lIter.hasNext) {
-            val lk = lKeyProj(lIter.head)
+            val l = lIter.next()
+            val lk = lKeyProj(l)
             if (curKey == null || ord.compare(lk, curKey) != 0) {
               curKey = lk.copy()
               loadRightGroup(curKey)
             }
-            val l = lIter.next()
-            val lt = l.getLong(lTimeOrd)
-            val start = if (group.isEmpty) 0 else lowerBound(lt + lo)
-            if (start < group.length && times(start) <= lt + hi) {
-              curLeft = l.copy()
-              if (matchLatest) {
-                // as-of: only the greatest right time in the window — the
-                // last index with time <= lt+hi; windowEnd = its own time
-                // stops the emit loop after exactly one row (the next
-                // index, if any, is strictly greater)
-                cursor = lowerBound(lt + hi + 1) - 1
-                windowEnd = times(cursor)
-              } else {
-                cursor = start; windowEnd = lt + hi
+            if (l.isNullAt(lTimeOrd)) {
+              // NULL left time: matches nothing. Inner: drop (the API
+              // already filters; this covers direct Exec use). Left
+              // outer: emit null-extended, like any unmatched row.
+              if (outer) { curLeft = l; emitNull = true; return true }
+            } else {
+              val lt = l.getLong(lTimeOrd)
+              val start = if (group.isEmpty) 0 else lowerBound(lt + lo)
+              if (start < group.length && times(start) <= lt + hi) {
+                curLeft = l
+                if (matchLatest) {
+                  // as-of: only the greatest right time in the window — the
+                  // last index with time <= lt+hi; windowEnd = its own time
+                  // stops the emit loop after exactly one row (the next
+                  // index, if any, is strictly greater)
+                  cursor = lowerBound(lt + hi + 1) - 1
+                  windowEnd = times(cursor)
+                } else {
+                  cursor = start; windowEnd = lt + hi
+                }
+                return true
+              } else if (outer) {
+                curLeft = l; emitNull = true
+                return true
               }
-              return true
-            } else if (outer) {
-              curLeft = l.copy(); emitNull = true
-              return true
             }
           }
           false
@@ -224,7 +248,9 @@ object BandJoin {
     * never match (SQL semantics): they are filtered from the right side
     * and — inner only — from the left; under left outer a null-key left
     * row flows through with null right columns (it sorts before every
-    * non-null key group and finds an empty window). */
+    * non-null key group and finds an empty window). Null TIME values get
+    * the same treatment: a null timestamp matches nothing (inner) or
+    * emits null-extended (left outer) — never a spurious epoch-0 match. */
   def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
                leftTime: String, rightTime: String,
                lowerUs: Long, upperUs: Long,
@@ -236,8 +262,13 @@ object BandJoin {
       val filtered = notNull.foldLeft(df)((d, k) => d.filter(col(k).isNotNull))
       filtered.select(filtered.columns.map(n => col(n).as(n)).toSeq: _*)
     }
-    val l = fresh(left, if (leftOuter) Seq.empty else keys.map(_._1))
-    val r = fresh(right, keys.map(_._2))
+    // Null TIME values match nothing (SQL range/ASOF semantics): filter
+    // them with the null keys — right side always; left side only under
+    // inner (a left-outer null-time row must surface null-extended, which
+    // the exec handles explicitly).
+    val l = fresh(left,
+      if (leftOuter) Seq.empty else keys.map(_._1) :+ leftTime)
+    val r = fresh(right, keys.map(_._2) :+ rightTime)
     val lPlan = l.queryExecution.analyzed; val rPlan = r.queryExecution.analyzed
     def attr(out: Seq[Attribute], name: String): Attribute =
       out.find(_.name == name).getOrElse(

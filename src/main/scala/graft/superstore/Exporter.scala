@@ -43,7 +43,11 @@ object Exporter {
     * Driver-side by design, exactly like the reference's script: this is
     * a PRESENTATION export of bounded dimension/aggregate tables (a few
     * ten-thousand rows), not a data path — big facts ship via
-    * [[exportAll]]/parquet. Rows are ordered by each table's first
+    * [[exportAll]]/parquet. HARD BOUND: every table is `.collect()`ed to
+    * the driver, so inputs must fit driver memory — do NOT point this at
+    * a fact table; there is deliberately no spill path because a
+    * one-workbook xlsx cannot be written distributed anyway. Rows are
+    * ordered by each table's first
     * (surrogate-id) column for determinism. */
   def exportXlsx(wh: Map[String, DataFrame], path: String,
                  maxColWidth: Int = 50): Unit = {

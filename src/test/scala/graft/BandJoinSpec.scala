@@ -42,6 +42,32 @@ class BandJoinSpec extends AnyFunSuite {
       s"got $pairs")
   }
 
+  test("null timestamps: never match; left-outer null-extends them") {
+    val left = Seq(
+      (1L, Option(ts("2024-01-01 10:00:00")), "ok"),
+      (1L, Option.empty[Timestamp], "lnull"),   // null left time
+      (2L, Option(ts("2024-01-01 10:00:00")), "nomatch")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, Option(ts("2024-01-01 09:30:00")), "c1"),
+      (1L, Option.empty[Timestamp], "rnull"),   // null right time: no match ever
+      (1L, Option(ts("1970-01-01 00:00:30")), "epoch") // would match an epoch-0 bug
+    ).toDF("rk", "rt", "rtag")
+    val win = (-3600L * 1000000, 0L)
+
+    val inner = BandJoin.bandJoin(left, right, Seq("k" -> "rk"), "t", "rt",
+        win._1, win._2)
+      .select("tag", "rtag").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inner == Set(("ok", "c1")), s"inner got $inner")
+
+    val outer = BandJoin.bandJoin(left, right, Seq("k" -> "rk"), "t", "rt",
+        win._1, win._2, leftOuter = true)
+      .select("tag", "rtag").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(outer == Set(("ok", Some("c1")), ("lnull", None), ("nomatch", None)),
+      s"outer got $outer")
+  }
+
   test("matches the plain range-condition join on the events table") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.filter(col("event_type") === "purchase")
