@@ -60,8 +60,13 @@ object Tables {
     require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
         "(events.parquet stores ts as TIMESTAMP(NANOS))")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val t = table(s, d, "events")
+    t.schema("ts").dataType match {
+      // driver testdata: TIMESTAMP(NANOS) surfaced as long → micros,
+      // the same truncation DuckDB applies to ns
+      case LongType => t.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => t // scaled copies (ScaleGen) are already micros timestamps
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

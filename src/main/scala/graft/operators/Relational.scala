@@ -435,6 +435,20 @@ object Relational {
            count(lit(1)).as("n_items"))
       .orderBy("l_returnflag")
 
+  /** q29's sketch twin at 100 TB: approx_percentile (t-digest-style
+    * quantile summary — mergeable, bounded memory, one pass). No DuckDB
+    * oracle: the sketch is engine-specific, so the driver records a
+    * rows-only check; ApproxPercentileSpec attests the estimates sit
+    * within the documented accuracy envelope of the exact percentiles
+    * and are deterministic. Mirrors the q10b pattern exactly. */
+  val q29b_approx_percentiles: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"),
+           expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_price"),
+           count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+
   // ----------------------------------------------- q50: cube + grouping_id
   /** Full CUBE with grouping-set ids — the generalization of the
     * reference's ROLLUP (A9): every (returnflag × linestatus) subtotal
@@ -543,6 +557,7 @@ object Relational {
   // ===================================================================
   val queries: Map[String, Q] = Map(
     "q29_percentiles"       -> q29_percentiles,
+    "q29b_approx_percentiles" -> q29b_approx_percentiles,
     "q50_cube_sales"        -> q50_cube_sales,
     "q51_month_over_month"  -> q51_month_over_month,
     "q52_set_ops"           -> q52_set_ops,

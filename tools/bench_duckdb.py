@@ -12,7 +12,10 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(p):  # multi-file tables (e.g. ScaleGen output)
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 times = {}
