@@ -108,10 +108,48 @@ object Tune {
     spark.stop()
   }
 
+  /** `runMain graft.Tune bsweep <sfDir>`: broadcast-threshold sweep for
+    * the star join (UNhinted lineitem ⋈ part), timing the plan Catalyst
+    * picks as spark.sql.autoBroadcastJoinThreshold moves through
+    * {off, 64KB, 1MB, 10MB(default)} — locates the dim-size crossover
+    * where broadcast beats shuffle at this scale and backs the explicit
+    * broadcast() hints used across the suite. */
+  def broadcastSweep(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val variants = Seq("-1" -> "off", "65536" -> "64KB",
+      "1048576" -> "1MB", "10485760" -> "10MB")
+    def starJoin() = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(col("l_extendedprice")).as("s"))
+    starJoin().count() // warm
+    val cells = variants.map { case (v, label) =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); starJoin().count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val plan = starJoin().queryExecution.executedPlan.toString
+      val strat = if (plan.contains("BroadcastHashJoin")) "BHJ"
+        else if (plan.contains("SortMergeJoin")) "SMJ"
+        else if (plan.contains("ShuffledHashJoin")) "SHJ" else "?"
+      f"$label=$t%.3f($strat)"
+    }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    println(s"TUNE bsweep ${cells.mkString(" ")}")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.nonEmpty && args(0) == "sums") { sumShapes(args(1)); return }
     if (args.nonEmpty && args(0) == "q12parts") { q12Parts(args(1)); return }
     if (args.nonEmpty && args(0) == "spill") { spillAudit(args(1)); return }
+    if (args.nonEmpty && args(0) == "bsweep") { broadcastSweep(args(1)); return }
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val names = (if (args.length > 1) args(1) else "q19_dup_groups,q12_rank_parts,q6_ship_delay,q10_distinct_customers")
       .split(",").toSeq

@@ -48,8 +48,11 @@ object Warehouse {
       .groupBy(col("p_brand"),
                year(col("l_shipdate")).as("year_number"),
                month(col("l_shipdate")).as("month_number"))
-      .agg(sum(money(col("l_extendedprice")) *
-               (lit(1).cast(D18_2) - money(col("l_discount")))).as("rev_d"))
+      // long-e4 hot path (exact; bounded brandxmonth groups) converted to
+      // decimal at the aggregate boundary -- see Relational.revenueE4
+      .agg(graft.Num.e4ToDecimal(sum(
+        graft.Num.cents(col("l_extendedprice")) *
+          (lit(100L) - graft.Num.cents(col("l_discount"))))).as("rev_d"))
     val w = Window.partitionBy("p_brand")
       .orderBy("year_number", "month_number")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -71,7 +74,9 @@ object Warehouse {
     * SuperstoreETL.shippingBehaviorFacts, which uses bround. */
   val q28_shipping_behavior: Q = (s, d) =>
     lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      // fact-to-fact: SHUFFLE_HASH (see Relational.q6) -- orders is never
+      // broadcastable next to lineitem at warehouse scale
+      .join(orders(s, d).hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority", "l_returnflag")
       .agg(
         floor(sum(datediff(col("l_shipdate").cast(DateType),
