@@ -79,6 +79,14 @@ object Bench {
 
     def fmt(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Per-query seconds rounded to ms: the driver's artifact keeps only the
+    // LAST ~2000 chars of output, so the stdout line must be compact enough
+    // to survive whole (rounds 1-3 shipped full-precision mins + medians on
+    // one line -> the driver's tail cut the line's head -> "parsed": null
+    // in every BENCH_r*.json). Full precision + medians go to stderr FIRST.
+    def fmt3(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+        .mkString("{", ",", "}")
     val mins = queries.map { case (name, _) =>
       name -> (if (failed(name) || samples(name).isEmpty) -1.0 else samples(name).min)
     }
@@ -86,8 +94,18 @@ object Bench {
       val s = samples(name).sorted
       name -> (if (failed(name) || s.isEmpty) -1.0 else s(s.size / 2))
     }
-    val total = mins.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(mins)},"medians":${fmt(medians)},"sf":"$sfDir"}""")
+    // Queries with no DuckDB oracle can't appear in the DuckDB-side total
+    // (tools/bench_duckdb.py iterates oracle_sql keys), so keep the two
+    // compared totals over the SAME query set: exclude them from the
+    // headline map + total and report them separately on stderr.
+    val noOracle = queries.map(_._1).filterNot(SparkEntry.oracleSql.contains).toSet
+    val gated = mins.filterNot { case (n, _) => noOracle(n) }
+    val total = math.rint(gated.collect { case (_, v) if v >= 0 => v }.sum * 1000) / 1000
+    System.err.println(s"""[bench-detail] {"mins":${fmt(mins)},"medians":${fmt(medians)},"no_oracle":${noOracle.toSeq.sorted.mkString("[\"", "\",\"", "\"]")}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt3(gated)},"no_oracle_excluded":${noOracle.size},"sf":"$sfDir"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING stdout line ${line.length} chars > 1800 — may not survive the driver's tail capture")
+    println(line)
     spark.stop()
   }
 }

@@ -85,15 +85,25 @@ object Tables {
     * (U1/O4); role-playing consumers (q6) join this dimension. */
   def calendar(s: SparkSession, d: String): DataFrame = {
     evictStopped()
-    calendars.computeIfAbsent((s, d), { case (ss, dd) =>
-      val cal = orders(ss, dd)
+    // Build OUTSIDE the map operation: the build path calls orders()/
+    // lineitem() -> table() -> evictStopped() -> calendars.keySet.removeIf,
+    // and a computeIfAbsent mapping function must not modify the map it is
+    // computing into (IllegalStateException "recursive update" / bin
+    // corruption). putIfAbsent makes a lost race cost one duplicate build,
+    // never a corrupted map; the loser's persisted copy is unpersisted.
+    val k = (s, d)
+    val cached = calendars.get(k)
+    if (cached != null) cached
+    else {
+      val cal = orders(s, d)
         .select(col("o_orderdate").cast(DateType).as("full_date"))
-        .union(lineitem(ss, dd).select(col("l_shipdate").cast(DateType)))
+        .union(lineitem(s, d).select(col("l_shipdate").cast(DateType)))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       cal.count() // materialize eagerly, like a dim-table load
-      cal
-    })
+      val prior = calendars.putIfAbsent(k, cal)
+      if (prior != null) { cal.unpersist(false); prior } else cal
+    }
   }
 }
 

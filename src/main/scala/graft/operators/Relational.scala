@@ -32,9 +32,13 @@ object Relational {
     * arithmetic is double/long codegen instead of BigDecimal allocations —
     * ~3× cheaper on the scan-fused aggregation stage, which at bench scale
     * runs single-threaded (one parquet row group). Only for BOUNDED-group
-    * sums (per-partkey / per-type): a long e4 sum overflows at ~9·10¹⁴
-    * units ≈ $92B per group; convert to decimal via [[Num.e4ToDecimal]]
-    * at the aggregate boundary before any wider accumulation. */
+    * sums (per-partkey / per-type): a long e4 sum overflows at
+    * Long.MaxValue ≈ 9.2·10¹⁸ units ≈ $9.2·10¹⁴ (~$920T) per group;
+    * convert to decimal via [[Num.e4ToDecimal]] at the aggregate boundary
+    * before any wider accumulation. The invariant is enforced loudly, not
+    * just documented: spark.sql.ansi.enabled defaults to TRUE on Spark 4
+    * (no entry point in this repo overrides it), so sum(LongType) throws
+    * ARITHMETIC_OVERFLOW instead of wrapping. */
   private def revenueE4: Column =
     cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
 
