@@ -24,9 +24,16 @@ import org.apache.spark.sql.SparkSession
   *     with the failure printed — a broken query must look broken, not
   *     fast (a near-zero elapsed for an instant throw would otherwise
   *     make a regression read as a speedup).
-  *   - Medians are reported alongside mins in a separate "medians" field
-  *     so drift is visible in the artifact itself (min much-less-than
-  *     median flags a noisy box).
+  *   - Full-precision mins AND medians go to a [bench-detail] line on
+  *     stderr (min much-less-than median flags a noisy box); stdout gets
+  *     only the compact ms-rounded mins line, sized to survive the
+  *     driver's ~2000-char tail capture.
+  *   - The headline total excludes queries with no DuckDB oracle
+  *     (q10b/q29b approx variants) so the Spark and DuckDB totals cover
+  *     the SAME query set. NOTE: this makes totals from round 4 onward
+  *     ~0.3-0.5 s lower than BENCH_r1-r3 totals by construction — a
+  *     baseline discontinuity, not a pure speedup ("no_oracle_excluded"
+  *     in the stdout line marks it).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -101,7 +108,8 @@ object Bench {
     val noOracle = queries.map(_._1).filterNot(SparkEntry.oracleSql.contains).toSet
     val gated = mins.filterNot { case (n, _) => noOracle(n) }
     val total = math.rint(gated.collect { case (_, v) if v >= 0 => v }.sum * 1000) / 1000
-    System.err.println(s"""[bench-detail] {"mins":${fmt(mins)},"medians":${fmt(medians)},"no_oracle":${noOracle.toSeq.sorted.mkString("[\"", "\",\"", "\"]")}}""")
+    val noOracleJson = noOracle.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    System.err.println(s"""[bench-detail] {"mins":${fmt(mins)},"medians":${fmt(medians)},"no_oracle":$noOracleJson}""")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt3(gated)},"no_oracle_excluded":${noOracle.size},"sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING stdout line ${line.length} chars > 1800 — may not survive the driver's tail capture")

@@ -102,7 +102,12 @@ object Tables {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       cal.count() // materialize eagerly, like a dim-table load
       val prior = calendars.putIfAbsent(k, cal)
-      if (prior != null) { cal.unpersist(false); prior } else cal
+      // On a lost race, do NOT unpersist: Spark's CacheManager is keyed by
+      // logical plan, not DataFrame instance — both racers built the same
+      // plan from the same cached scans, so the loser's persist() was a
+      // no-op and an unpersist here would evict the WINNER's materialized
+      // calendar. The duplicate count() cost one redundant materialization.
+      if (prior != null) prior else cal
     }
   }
 }
