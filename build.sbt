@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr through verbatim instead of
+// routing them through sbt's logger: the driver parses graft.Bench's one
+// stdout JSON line, and the logger's "[info] " prefix broke that parse
+// ("parsed": null in every BENCH_r*.json).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,6 +34,28 @@ object BenchDiag {
     }
 
     mode match {
+      case "plan" =>
+        // Split the per-query wall into DataFrame build (Scala-side plan
+        // construction), driver planning (analysis+optimization+physical,
+        // forced via executedPlan), and execution (count(), which re-plans
+        // its own Aggregate on top — so "exec" is an upper bound that still
+        // contains one more optimizer pass). min of 3 per component.
+        names.foreach { name =>
+          val fn = qs(name)
+          fn(spark, sfDir).count() // warm
+          val t = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            val df = fn(spark, sfDir)
+            val t1 = System.nanoTime()
+            df.queryExecution.executedPlan
+            val t2 = System.nanoTime()
+            df.count()
+            val t3 = System.nanoTime()
+            ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+          }
+          val b = t.map(_._1).min; val p = t.map(_._2).min; val e = t.map(_._3).min
+          println(f"$name%-28s build=$b%.3f plan=$p%.3f exec=$e%.3f")
+        }
       case "samples" =>
         names.foreach { name =>
           qs(name)(spark, sfDir).count()

@@ -90,7 +90,9 @@ object Tables {
     // and a computeIfAbsent mapping function must not modify the map it is
     // computing into (IllegalStateException "recursive update" / bin
     // corruption). putIfAbsent makes a lost race cost one duplicate build,
-    // never a corrupted map; the loser's persisted copy is unpersisted.
+    // never a corrupted map; the loser's copy is intentionally LEFT
+    // persisted — it is the same CacheManager entry as the winner's (see
+    // the lost-race comment below).
     val k = (s, d)
     val cached = calendars.get(k)
     if (cached != null) cached

@@ -67,6 +67,16 @@ object Relational {
     * so the value itself tiebreaks) — deterministic, unlike bare first(). */
   val q2_dedup_merge: Q = (s, d) =>
     lineitem(s, d)
+      // Hash-partition by the dedup keys BEFORE aggregating. The keys are
+      // near-unique (dup groups are the exception, etl.py:74-84), so
+      // map-side partial aggregation reduces ~nothing — it only burns CPU
+      // building a 600k-entry hash table inside the scan task, and the
+      // single-row-group bench files make that scan ONE task (serial
+      // bottleneck, measured 0.67 s of a 1.0 s query). One shuffle either
+      // way; this form ships raw rows and does all agg work on the wide
+      // side — the plan you want at any scale when reduction ratio ≈ 1.
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey", "l_partkey")
       .agg(
         sum(money(col("l_quantity"))).cast(DoubleType).as("quantity"),
@@ -365,6 +375,10 @@ object Relational {
   /** F3/A1 — duplicate-group detection, filter on aggregate (etl.py:74-84). */
   val q19_dup_groups: Q = (s, d) =>
     lineitem(s, d)
+      // near-unique group keys → partial agg reduces nothing; shuffle raw
+      // rows and aggregate wide instead (same rationale as q2 above)
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey", "l_partkey")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)

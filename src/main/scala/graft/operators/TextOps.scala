@@ -408,13 +408,26 @@ object TextOps {
     * so samples are reproducible across runs, engines and cluster layouts,
     * and scale-stable (each shard samples independently, no coordination).
     * ~10% stratum-wise sample of lineitem (keyed by order+line). */
-  val q56_hash_sample: Q = (s, d) =>
+  val q56_hash_sample: Q = (s, d) => {
+    // Fan the per-row md5 out across the shuffle width: the hash compute
+    // dominates the scan (measured 0.71 s serial of a 0.88 s query on the
+    // single-row-group bench files). A plain filter-after-repartition
+    // doesn't achieve this — PushDownPredicates moves the filter back
+    // below the repartition onto the scan task — so the membership test is
+    // fused into the aggregate as conditional sums (count/sum over CASE),
+    // which evaluate where the partial aggregation runs: after the
+    // exchange. The trailing n_sampled > 0 filter reproduces the WHERE
+    // form's group elimination exactly (a flag with zero sampled rows
+    // appears in neither).
+    val keep = expr("substring(md5(concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))), 1, 2) < '1a'")
     lineitem(s, d)
-      .filter(expr("substring(md5(concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))), 1, 2) < '1a'"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_sampled"),
-           sum(money(col("l_quantity"))).cast(DoubleType).as("sampled_qty"))
+      .agg(count(when(keep, 1)).as("n_sampled"),
+           sum(when(keep, money(col("l_quantity")))).cast(DoubleType).as("sampled_qty"))
+      .filter(col("n_sampled") > 0)
       .orderBy("l_returnflag")
+  }
 
   /** Train/validation/test split by content hash (80/10/10): the split
     * label is a deterministic function of doc_id ⇒ no leakage across
