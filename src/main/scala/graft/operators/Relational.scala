@@ -376,9 +376,11 @@ object Relational {
   val q19_dup_groups: Q = (s, d) =>
     lineitem(s, d)
       // near-unique group keys → partial agg reduces nothing; shuffle raw
-      // rows and aggregate wide instead (same rationale as q2 above)
-      .repartition(s.sessionState.conf.numShufflePartitions,
-        col("l_orderkey"), col("l_partkey"))
+      // rows and aggregate wide instead (same rationale as q2 above). No
+      // explicit width: AQE right-sizes the exchange (at bench scale 32
+      // fixed tasks cost more scheduling than they parallelize; at 100 TB
+      // AQE widens to the data).
+      .repartition(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey", "l_partkey")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)

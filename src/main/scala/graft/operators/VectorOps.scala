@@ -26,14 +26,14 @@ object VectorOps {
   /** Elementwise-double copy of the embedding. */
   private val VECD = "transform(embedding, x -> CAST(x AS DOUBLE))"
 
-  /** Embeddings fanned out across the shuffle width before the O(Q·N·dim)
-    * scoring loops — same rationale as TextOps.docsWide: the table is tiny
-    * relative to the compute seeded per row (dot products against every
-    * broadcast probe), so scan splits under-provision it (one parquet row
-    * group at bench scale = one task for the whole scoring pass). */
-  private def vecsWide(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
+  // Scoring parallelism comes from the SCAN layout, not a pre-shuffle: a
+  // real corpus is many row groups/files wide, so the broadcast-probe join
+  // splits naturally. The round-2 repartition fan-out predated the codegen'd
+  // dot_product — with interpreted higher-order dot products the scoring was
+  // CPU-bound enough to need 32 tasks; codegen'd, the whole sf0.1 scoring
+  // pass is ~0.1 s, and the repartition's shuffle + 32-task stage cost ~2×
+  // the work it parallelized (measured round 6: q43 0.41 s → 0.22 s without
+  // it, identical rows).
 
   private def dotSql(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -43,7 +43,7 @@ object VectorOps {
     * broadcast the probes, scan candidates once, rank per probe. */
   val q40_cosine_topk: Q = (s, d) => {
     register(s)
-    val vecs = vecsWide(s, d)
+    val vecs = embeddings(s, d)
       .select(col("vec_id"), expr(VECD).as("v"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
     val probes = embeddings(s, d).filter(col("vec_id") < 20)
@@ -123,7 +123,7 @@ object VectorOps {
     * label; per-label accuracy out. */
   val q43_knn_accuracy: Q = (s, d) => {
     register(s)
-    val vecs = vecsWide(s, d)
+    val vecs = embeddings(s, d)
       .select(col("vec_id"), col("label"), expr(VECD).as("v"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
     val probes = embeddings(s, d).filter(col("vec_id") < 50)
@@ -139,14 +139,16 @@ object VectorOps {
       .withColumn("cosine", dot_product(col("qv"), col("v")) / (col("qn") * col("norm")))
       .groupBy("q_id", "q_label")
       .agg(top_k_by_score(5)(col("cosine"), col("vec_id"), col("label")).as("top"))
-      .select(col("q_id"), col("q_label"), explode(col("top._3")).as("label"))
-    val votes = top5.groupBy("q_id", "q_label", "label")
-      .agg(count(lit(1)).as("n_votes"))
-    val pred = votes
-      .withColumn("vr", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("n_votes").desc, col("label"))))
-      .filter(col("vr") === 1)
-      .select(col("q_id"), col("q_label"), col("label").as("predicted"))
+      .select(col("q_id"), col("q_label"), col("top._3").as("labels"))
+    // Majority vote IN-ROW over the 5-element label array (max votes, tie →
+    // smaller label, encoded as struct-max over (n, -l)): the exploded
+    // votes→window→rank-1 form re-shuffled the candidate rows twice to
+    // decide something each row already holds. Same winner by construction,
+    // so the oracle hash is unchanged.
+    val pred = top5.withColumn("best", expr(
+        """array_max(transform(array_distinct(labels),
+             l -> struct(size(filter(labels, x -> x = l)) AS n, -l AS negl)))"""))
+      .select(col("q_id"), col("q_label"), (-col("best.negl")).as("predicted"))
     pred.groupBy("q_label")
       .agg(count(lit(1)).as("n_probes"),
            sum(when(col("predicted") === col("q_label"), 1).otherwise(0)).as("n_correct"))
