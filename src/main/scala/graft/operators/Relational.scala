@@ -391,7 +391,10 @@ object Relational {
     * join: orders that have no line items. */
   val q20_orders_no_items: Q = (s, d) =>
     orders(s, d)
-      .join(lineitem(s, d).select("l_orderkey"),
+      // SHUFFLE_HASH: the anti join only needs a key-set of the right
+      // side — SMJ's two full sorts buy nothing here, and the build side
+      // is a single deduplicatable bigint column (bounded per partition).
+      .join(lineitem(s, d).select("l_orderkey").hint("shuffle_hash"),
             col("o_orderkey") === col("l_orderkey"), "left_anti")
       .select(col("o_orderkey"), col("o_totalprice"),
               col("o_orderdate").cast(DateType).as("order_date"))
