@@ -204,17 +204,20 @@ object TextOps {
   // ------------------------------------------------------- MinHash + LSH
   /** MinHash(16) + LSH(4 bands × 4 rows) candidate pairs. The 16 hash
     * families come from Kirsch–Mitzenmacher double hashing — hᵢ(s) =
-    * (h1 + i·h2) mod MinhashP, with h1/h2 two independent 48-bit
-    * md5-prefix hashes (2 md5 calls per shingle instead of 16). The
-    * no-overflow bound comes from the 48-bit prefixes themselves:
-    * h1 + 15·h2 < 2^53, well inside BIGINT in both engines.
-    * Band key = the 4 minima concatenated.
+    * (h1 + i·h2) mod MinhashP, with h1/h2 two DISJOINT 48-bit slices of
+    * ONE md5 digest per shingle (md5 output bits are independent, so the
+    * slices are as independent as two salted digests — and the single
+    * call halves the dominant per-shingle hash cost; was 2 salted md5
+    * calls through round 5). The no-overflow bound comes from the 48-bit
+    * slices themselves: h1 + 15·h2 < 2^53, well inside BIGINT in both
+    * engines. Band key = the 4 minima concatenated.
     * Docs sharing ≥1 band are candidates — the bucket join replaces the
     * quadratic pair scan at scale. */
   val q35_minhash_lsh: Q = (s, d) => {
     val shf = shingles(s, d, dfCap = 50)
-      .withColumn("h1", expr("CAST(conv(substring(md5(concat('a:', shingle)), 1, 12), 16, 10) AS BIGINT)"))
-      .withColumn("h2", expr("CAST(conv(substring(md5(concat('b:', shingle)), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("mh", md5(col("shingle")))
+      .withColumn("h1", expr("CAST(conv(substring(mh, 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substring(mh, 13, 12), 16, 10) AS BIGINT)"))
     val minAggs = (0 until 16).map(i =>
       min(expr(s"(h1 + $i * h2) % $MinhashP")).as(s"m$i"))
     val mins = shf.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
@@ -639,8 +642,8 @@ object TextOps {
       s"""WITH ${shinglesSql(50)},
          hashed AS (
            SELECT doc_id,
-             ('0x' || substring(md5('a:' || shingle), 1, 12))::BIGINT AS h1,
-             ('0x' || substring(md5('b:' || shingle), 1, 12))::BIGINT AS h2
+             ('0x' || substring(md5(shingle), 1, 12))::BIGINT AS h1,
+             ('0x' || substring(md5(shingle), 13, 12))::BIGINT AS h2
            FROM shf),
          mins AS (
            SELECT doc_id,
