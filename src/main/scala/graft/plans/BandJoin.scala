@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions.col
   * Physical algorithm (BandJoinExec): both children hash-partitioned on
   * the keys (one shuffle each, exactly like an equi-SMJ) and sorted by
   * (keys, time). Within each co-partition a single merge pass buffers one
-  * right key-group at a time (the same memory envelope as SMJ's buffered
-  * side) and, because the band `[t+lower, t+upper]` moves monotonically
-  * with the streamed side's time, finds each left row's window by binary
-  * search + forward scan — O(|group| log + matches), never |l|×|r|.
+  * right key-group at a time — in SortMergeJoin's own spill-aware buffer
+  * (ExternalAppendOnlyUnsafeRowArray behind GraftRowBuffer, same
+  * thresholds), so a pathological key group degrades to disk bandwidth
+  * instead of OOM, LITERALLY SMJ's memory envelope — and, because the
+  * band `[t+lower, t+upper]` moves monotonically with the streamed
+  * side's time, finds each left row's window by binary search over the
+  * on-heap sorted times (8 B/row residual) + forward scan —
+  * O(|group| log + matches), never |l|×|r|.
   *
   * At 100 TB this is the plan you want: shuffle on keys only, sorted
   * merge, state bounded by one key-group; skewed keys are the same
@@ -90,6 +94,11 @@ case class BandJoinExec(
     val rTimeOrd = ordinalOf(rSchema, rightTime)
     val lo = lowerUs; val hi = upperUs
     val outAttrs = output
+    // Same thresholds as SortMergeJoin's buffered side (captured on the
+    // driver — SQLConf is not available executor-side)
+    val inMemT = conf.sortMergeJoinExecBufferInMemoryThreshold
+    val spillT = conf.sortMergeJoinExecBufferSpillThreshold
+    val spillB = conf.sortMergeJoinExecBufferSpillSizeThreshold
 
     left.execute().zipPartitions(right.execute()) { (lRaw, rRaw) =>
       val lIter = lRaw; val rIter = rRaw.buffered
@@ -111,9 +120,16 @@ case class BandJoinExec(
 
       new Iterator[InternalRow] {
         private var curKey: UnsafeRow = _                  // copied
-        private val group = new ArrayBuffer[InternalRow]() // copied right rows of curKey
+        // Right key-group: rows in SortMergeJoin's spill-aware buffer (a
+        // pathological group degrades to disk instead of OOM); sorted
+        // event times kept on-heap for the binary search (8 B/row — the
+        // documented residual bound; the row payloads are the spillable
+        // bulk). Indexes align: times(i) is group row i's time.
+        private val group =
+          new org.apache.spark.sql.GraftRowBuffer(inMemT, spillT, spillB)
         private val times = new ArrayBuffer[Long]()
-        private var curLeft: InternalRow = _               // copied
+        private var groupIter: Iterator[UnsafeRow] = Iterator.empty
+        private var curLeft: InternalRow = _               // zero-copy streamed row
         private var cursor = 0                             // next group index for curLeft
         private var windowEnd = 0L
         private var emitNull = false                       // left_outer: unmatched curLeft
@@ -128,8 +144,14 @@ case class BandJoinExec(
           a
         }
 
+        // conversion fallback for direct Exec construction over non-Unsafe
+        // rows (the planned path always feeds UnsafeRows via SortExec);
+        // GraftRowBuffer.add copies internally, so the reused projection
+        // output is safe to pass
+        private val rToUnsafe = UnsafeProjection.create(rSchema.map(_.dataType).toArray)
+
         private def loadRightGroup(key: UnsafeRow): Unit = {
-          group.clear(); times.clear()
+          group.clear(); times.clear(); groupIter = Iterator.empty
           while (rIter.hasNext && ord.compare(rKeyProj(rIter.head), key) < 0)
             rIter.next()
           while (rIter.hasNext && ord.compare(rKeyProj(rIter.head), key) == 0) {
@@ -140,8 +162,11 @@ case class BandJoinExec(
             // direct Exec construction too. Nulls sort first under the
             // required ascending order, so skipping preserves sortedness.
             if (!r.isNullAt(rTimeOrd)) {
-              val c = r.copy()
-              group += c; times += c.getLong(rTimeOrd)
+              times += r.getLong(rTimeOrd)
+              group.add(r match {
+                case u: UnsafeRow => u
+                case other        => rToUnsafe(other)
+              })
             }
           }
         }
@@ -173,8 +198,8 @@ case class BandJoinExec(
               if (outer) { curLeft = l; emitNull = true; return true }
             } else {
               val lt = l.getLong(lTimeOrd)
-              val start = if (group.isEmpty) 0 else lowerBound(lt + lo)
-              if (start < group.length && times(start) <= lt + hi) {
+              val start = if (times.isEmpty) 0 else lowerBound(lt + lo)
+              if (start < times.length && times(start) <= lt + hi) {
                 curLeft = l
                 if (matchLatest) {
                   // as-of: only the greatest right time in the window — the
@@ -186,6 +211,12 @@ case class BandJoinExec(
                 } else {
                   cursor = start; windowEnd = lt + hi
                 }
+                // fresh iterator per left row: overlapping windows move the
+                // start backward relative to the previous row's last
+                // position. In-memory this is O(1) positioning; spilled it
+                // is a sequential skip — the same trade SortMergeJoin makes
+                // re-iterating its buffered group per streamed row.
+                groupIter = group.iteratorFrom(cursor)
                 return true
               } else if (outer) {
                 curLeft = l; emitNull = true
@@ -198,7 +229,7 @@ case class BandJoinExec(
 
         override def hasNext: Boolean = {
           if (emitNull) return true
-          if (curLeft != null && cursor < group.length && times(cursor) <= windowEnd)
+          if (curLeft != null && cursor < times.length && times(cursor) <= windowEnd)
             return true
           curLeft = null
           advance()
@@ -212,7 +243,10 @@ case class BandJoinExec(
             curLeft = null
             return out
           }
-          val r = group(cursor); cursor += 1
+          // groupIter is positioned at `cursor` (fresh per left row); the
+          // returned row may be a reused buffer on the spilled path, but it
+          // is fully consumed by resultProj before the next call
+          val r = groupIter.next(); cursor += 1
           resultProj(joined(curLeft, r))
         }
       }

@@ -102,6 +102,28 @@ class BandJoinSpec extends AnyFunSuite {
     assert(plan.contains("BandJoin"), s"custom operator missing from plan:\n$plan")
   }
 
+  test("forced spill of the right group buffer leaves results identical") {
+    // The group buffer is SortMergeJoin's spill-aware array; force every
+    // group straight through the spill path (1 in-memory row, spill after
+    // 2) and require bit-identical output vs the all-in-memory run —
+    // covers inner, LEFT OUTER, and matchLatest (as-of) modes.
+    val normal  = Warehouse.q49b_band_join_exec(spark, sf).collect().map(_.toSeq)
+    val outerN  = Warehouse.q49c_band_left_outer(spark, sf).collect().map(_.toSeq)
+    val asofN   = Warehouse.q47b_asof_exec(spark, sf).collect().map(_.toSeq)
+    val keys = Seq(
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "1",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "2")
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      assert(Warehouse.q49b_band_join_exec(spark, sf).collect().map(_.toSeq)
+        .sameElements(normal), "inner band join changed under forced spill")
+      assert(Warehouse.q49c_band_left_outer(spark, sf).collect().map(_.toSeq)
+        .sameElements(outerN), "left-outer band join changed under forced spill")
+      assert(Warehouse.q47b_asof_exec(spark, sf).collect().map(_.toSeq)
+        .sameElements(asofN), "as-of band join changed under forced spill")
+    } finally keys.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("self-join from the same DataFrame gets fresh attributes") {
     val df = Seq((1L, ts("2024-01-01 10:00:00"), 100L),
                  (1L, ts("2024-01-01 10:30:00"), 101L))
