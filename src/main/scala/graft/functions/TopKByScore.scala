@@ -19,7 +19,16 @@ import org.apache.spark.sql.functions.udaf
   * Ordering: score DESC, then id ASC — identical to the window's
   * `orderBy(cosine DESC, vec_id)`, so the survivors (and their order, via
   * posexplode) are exactly the window's rank ≤ k rows and the queries stay
-  * hash-identical to their DuckDB oracles.
+  * hash-identical to their DuckDB oracles (TopKByScoreSpec pins the
+  * equivalence on random tied data).
+  *
+  * The comparator is normalize-then-`java.lang.Double.compare`, NOT
+  * primitive `>`: Spark sort keys rank NaN above every double but
+  * normalize −0.0 to 0.0 first (NormalizeFloatingNumbers), so NaN-scored
+  * rows rank FIRST and ±0.0 tie on the id tiebreak — identical to the
+  * window this replaces. A primitive `>` comparator is not total on NaN
+  * (`NaN > x` and `x > NaN` are both false), which made survivor sets
+  * depend on insertion order — caught by TopKByScoreSpec's NaN case.
   *
   * `tag` is an arbitrary int payload carried alongside (q43's neighbor
   * label); pass a literal when unused.
@@ -27,8 +36,16 @@ import org.apache.spark.sql.functions.udaf
 class TopKByScore(k: Int)
     extends Aggregator[(Double, Long, Int), List[(Double, Long, Int)], Seq[(Double, Long, Int)]] {
 
-  private def lt(a: (Double, Long, Int), b: (Double, Long, Int)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // "better" comes first
+  // Spark sorts doubles in total IEEE order EXCEPT that sort keys pass
+  // through NormalizeFloatingNumbers first: -0.0 == 0.0 (they tie; the id
+  // tiebreak decides), while NaN stays greatest. Normalize-then-compare
+  // reproduces the window's order bit-for-bit; see class scaladoc.
+  private def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+
+  private def lt(a: (Double, Long, Int), b: (Double, Long, Int)): Boolean = {
+    val c = java.lang.Double.compare(norm(a._1), norm(b._1))
+    c > 0 || (c == 0 && a._2 < b._2) // "better" comes first
+  }
 
   private def insert(buf: List[(Double, Long, Int)], x: (Double, Long, Int)): List[(Double, Long, Int)] =
     if (buf.lengthCompare(k) >= 0 && lt(buf.last, x)) buf // full and x is worse than the worst
