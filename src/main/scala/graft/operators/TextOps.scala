@@ -292,11 +292,15 @@ object TextOps {
     * reachable label over the same pair graph. */
   val q37_neardup_clusters: Q = (s, d) => {
     // edges = q34's Jaccard pairs (shared jaccardPairs pipeline: df-cap
-    // 50, threshold 0.2), symmetrized
+    // 50, threshold 0.2), symmetrized. Checkpoint the DIRECTED pairs,
+    // not the symmetrized union: union's two branches are separate plan
+    // subtrees, so symmetrize-then-checkpoint evaluated the whole pair
+    // pipeline twice (stage reuse shares only the shuffle map sides);
+    // the union over the materialized checkpoint is a cheap rescan.
     val pairs = jaccardPairs(s, d, dfCap = 50, threshold = 0.2)
       .select("d1", "d2")
-    val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
       .localCheckpoint(true)
+    val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
     documents(s, d).select(col("doc_id"))
       .join(connectedComponents(edges), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
