@@ -21,5 +21,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "md5_long"),
+      (exprs: Seq[Expression]) => Md5Long(
+        exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_pairs"),
+      new ExpressionInfo(classOf[SortedPairs].getName, "sorted_pairs"),
+      (exprs: Seq[Expression]) => SortedPairs(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_doc_set"),
+      new ExpressionInfo(classOf[BoundedDocSetAgg].getName, "bounded_doc_set"),
+      (exprs: Seq[Expression]) => BoundedDocSetAgg(
+        exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression()))
   }
 }

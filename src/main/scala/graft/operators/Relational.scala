@@ -126,7 +126,19 @@ object Relational {
     * etl.py:598-599, DA:cell 14): one conformed date dimension joined twice
     * under different aliases, then DATEDIFF between the two roles. The
     * calendar stays tiny forever (it's bounded by days-in-history) →
-    * broadcast both roles. */
+    * broadcast both roles.
+    *
+    * Round-7 shape: PARTIAL-AGGREGATE THE FACT BEFORE THE EXCHANGE. The
+    * per-priority delay stats decompose per order — sum(datediff) =
+    * Σ day(ship) − n·day(orderdate); min/max likewise — so lineitem rolls
+    * up to one row per order (count, Σ/min/max ship-day) in the scan
+    * stage's map-side combine, and the fact-to-fact exchange carries
+    * |orders| pre-aggregated rows instead of |lineitem| raw ones (~4× at
+    * any scale; all arithmetic stays exact integers, so results are
+    * bit-identical to the raw form and the oracle). The two calendar
+    * ROLES then join at the per-order grain: the order-date role and the
+    * first-shipment role (min ship-day — a real role-playing use: its
+    * datediff IS the order's min delay). */
   val q6_ship_delay: Q = (s, d) => {
     // The conformed calendar is a MATERIALIZED dimension (Tables.calendar)
     // — built once per session like the reference's physical Calendar
@@ -140,17 +152,24 @@ object Relational {
     // single-row-group lineitem scan task — the exchange distributes the
     // probe side across the cluster width. The calendar roles stay
     // broadcast (bounded dimension).
-    lineitem(s, d)
+    val perOrder = lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items_o"),
+           sum(unix_date(col("l_shipdate").cast(DateType))).as("sum_sd"),
+           min(col("l_shipdate").cast(DateType)).as("first_ship"),
+           max(unix_date(col("l_shipdate").cast(DateType))).as("max_sd"))
+    perOrder
       .join(orders(s, d).hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(oc, col("o_orderdate").cast(DateType) === col("oc.full_date"))
-      .join(sc, col("l_shipdate").cast(DateType) === col("sc.full_date"))
+      .join(sc, col("first_ship") === col("sc.full_date"))
       .groupBy("o_orderpriority")
       .agg(
-        (sum(datediff(col("sc.full_date"), col("oc.full_date"))).cast(DoubleType) /
-          count(lit(1))).as("avg_delay_days"),
+        (sum(col("sum_sd") - col("n_items_o") * unix_date(col("oc.full_date")))
+          .cast(DoubleType) / sum(col("n_items_o"))).as("avg_delay_days"),
         min(datediff(col("sc.full_date"), col("oc.full_date"))).as("min_delay"),
-        max(datediff(col("sc.full_date"), col("oc.full_date"))).as("max_delay"),
-        count(lit(1)).as("n_items"))
+        max(col("max_sd") - unix_date(col("oc.full_date"))).cast(IntegerType)
+          .as("max_delay"),
+        sum(col("n_items_o")).as("n_items"))
       .orderBy("o_orderpriority")
   }
 

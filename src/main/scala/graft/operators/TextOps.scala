@@ -7,6 +7,8 @@ import org.apache.spark.sql.types._
 
 import graft.Tables._
 import graft.Num.money
+import graft.functions.Md5Long.md5_long
+import graft.functions.WordShingles.word_shingles
 
 /** Text-analysis + document-dedup operators for large-scale training-data
   * pipelines, over the `documents` table.
@@ -42,9 +44,12 @@ object TextOps {
     * it away on byte-size grounds. The same holds on a 1000-executor
     * cluster: seed tables for expansion pipelines must be spread wide
     * before the expansion, not after. */
-  private def docsWide(s: SparkSession, d: String): DataFrame =
+  private def docsWide(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Md5Long.register(s)
+    graft.functions.WordShingles.register(s)
     documents(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+  }
 
   // ------------------------------------------------------ token statistics
   /** Token counting per language: corpus-level stats a data pipeline reports
@@ -123,26 +128,31 @@ object TextOps {
       .orderBy("lang")
 
   // -------------------------------------------- shared shingle machinery
-  /** Distinct 3-gram word shingles per document, document-frequency capped.
-    * The guard (`size >= 3`) matters: Spark's sequence(1, n) generates a
-    * DESCENDING range when n < 1, unlike DuckDB's empty generate_series. */
-  private def shingles(s: SparkSession, d: String, dfCap: Int): DataFrame =
+  /** Distinct 3-gram word shingles per document, document-frequency
+    * capped, rolled up to one row per SURVIVING shingle:
+    * `(shingle, g.n = exact df, g.docs = all member doc ids ascending)`.
+    *
+    * Shingling is the native [[graft.functions.WordShingles]] expression —
+    * one compiled pass per document; the composed transform/array_distinct
+    * form ran interpreted (lambdas have no codegen) and measured ~8
+    * CPU-seconds per dedup query at sf0.1. The df-cap is the bounded
+    * [[graft.functions.BoundedDocSet]] aggregate — one exchange on the
+    * shingle (map-side combined, ≤ cap+1 longs of state per group — the
+    * hottest stop-shingle costs 51 longs, where the round-6 count window
+    * buffered every occurrence in one reducer partition before filtering).
+    * Same surviving (doc, shingle) set as the HAVING df <= cap oracle
+    * form; consumers explode `g.docs` (q35 minhash) or generate candidate
+    * pairs in-row (q34/q37 via sorted_pairs), which replaces the round-6
+    * shingle self-join outright. */
+  private def cappedShingleGroups(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    graft.functions.SortedPairs.register(s)
+    graft.functions.BoundedDocSetAgg.register(s)
     docsWide(s, d)
-      .select(col("doc_id"), expr(TOKENS).as("t"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(t) >= 3
-             THEN array_distinct(transform(sequence(1, size(t) - 2),
-                    i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-             ELSE array() END""")).as("shingle"))
-      // df-cap as a count window over the shingle partition: ONE shuffle
-      // (the groupBy-then-join-back form shuffled the exploded set twice),
-      // and the output STAYS hash-partitioned AND sorted by shingle — a
-      // candidate self-join on shingle downstream is co-partitioned, no
-      // further exchange (verify: explain shows one Exchange on this
-      // subtree). Same rows as the HAVING df<=cap oracle form.
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= dfCap)
-      .select("doc_id", "shingle")
+      .select(col("doc_id"), explode(word_shingles(col("text"))).as("shingle"))
+      .groupBy("shingle")
+      .agg(graft.functions.BoundedDocSetAgg.bounded_doc_set(dfCap)(col("doc_id")).as("g"))
+      .filter(col("g.n") <= dfCap)
+  }
 
   private def shinglesSql(dfCap: Int): String =
     s"""sh AS (
@@ -165,33 +175,38 @@ object TextOps {
       .orderBy("d1", "d2")
 
   /** Shared Jaccard pair pipeline (q34 + the q37 edge set): candidate
-    * pairs from the co-partitioned shingle self-join, per-doc rare-shingle
-    * sizes attached by broadcast AFTER pair aggregation.
+    * pairs generated IN-ROW from each df-capped shingle group
+    * (sorted_pairs over g.docs — ≤ C(cap,2) structs per shingle), per-doc
+    * rare-shingle sizes attached by broadcast AFTER pair aggregation.
     *
-    * Shuffle ledger (the reason for this shape): (1) explode output by
-    * shingle for the df-cap window — the only full-width shuffle; the
-    * self-join reuses that partitioning on both sides, so it adds NO
-    * exchange; (2) the narrow (doc_id) projection for sizes; (3) the
-    * aggregated pair set by (d1, d2). The previous form shuffled the full
-    * exploded set two extra times (per-doc size window + join
-    * repartitioning) and carried n1/n2 through the join. At corpus scale
-    * the sizes table is per-doc counts — broadcast here (bench scale);
-    * swap to a shuffle join keyed on d1/d2 when |docs| outgrows the
-    * broadcast threshold (the pair table is the small side by then). */
+    * Shuffle ledger (the reason for this shape): (1) the exploded
+    * (doc, shingle) set by shingle for the bounded group-by — the only
+    * full-width shuffle; (2) the exploded member lists for per-doc sizes
+    * (map-side combined to ~|docs| rows); (3) the aggregated pair set by
+    * (d1, d2). Round 6 shaped this as a count window + co-partitioned
+    * self-join: same shuffle count, but the window sorted the full
+    * occurrence set and the join re-merged it — both deleted here; the
+    * pair fan-out now happens inside a codegen'd expression bounded by
+    * the df-cap. At corpus scale the sizes table is per-doc counts —
+    * broadcast here (bench scale); swap to a shuffle join keyed on d1/d2
+    * when |docs| outgrows the broadcast threshold (the pair table is the
+    * small side by then). The capped-group subtree feeds a diamond (pairs
+    * + sizes); AQE's runtime stage reuse dedups the canonically-equal
+    * shuffle map sides, so no materialization is needed. */
   private def jaccardPairs(s: SparkSession, d: String,
                            dfCap: Int, threshold: Double): DataFrame = {
-    // The rare-shingle set feeds a diamond (self-join sides + the two
-    // sizes lookups). The static plan prints the subtree four times, but
-    // AQE's runtime stage reuse dedups the canonically-equal shuffle
-    // stages, so no materialization is needed (measured: an explicit
-    // localCheckpoint here is a net LOSS — it pays a full write of the
-    // exploded set to block storage to save work AQE already avoids).
-    val shf = shingles(s, d, dfCap)
-    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = shf.select(col("shingle"), col("doc_id").as("d1"))
-    val b = shf.select(col("shingle"), col("doc_id").as("d2"))
-    a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2")
+    val capped = cappedShingleGroups(s, d, dfCap)
+    val sizes = capped.select(explode(col("g.docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // Partition by DOWNSTREAM EXPANSION (same rationale as docsWide): the
+    // capped group table is ~|distinct shingles| skinny rows that AQE
+    // coalesces to a handful of tasks, but sorted_pairs fans each row out
+    // ≤ C(cap,2)× — re-spread it across the session width first (a
+    // ~nothing exchange) so pair generation + partial aggregation use the
+    // whole cluster instead of the coalesced tail.
+    capped.repartition(s.sessionState.conf.numShufflePartitions, col("shingle"))
+      .select(explode(graft.functions.SortedPairs.sorted_pairs(col("g.docs"))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_common"))
       .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1"))), Seq("d1"))
       .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2"))), Seq("d2"))
@@ -214,12 +229,21 @@ object TextOps {
     * Docs sharing ≥1 band are candidates — the bucket join replaces the
     * quadratic pair scan at scale. */
   val q35_minhash_lsh: Q = (s, d) => {
-    val shf = shingles(s, d, dfCap = 50)
-      .withColumn("mh", md5(col("shingle")))
-      .withColumn("h1", expr("CAST(conv(substring(mh, 1, 12), 16, 10) AS BIGINT)"))
-      .withColumn("h2", expr("CAST(conv(substring(mh, 13, 12), 16, 10) AS BIGINT)"))
-    val minAggs = (0 until 16).map(i =>
-      min(expr(s"(h1 + $i * h2) % $MinhashP")).as(s"m$i"))
+    // h1/h2 are the same two disjoint 48-bit md5 slices as the oracle's
+    // ('0x'||substring(md5,...))::BIGINT, via the native Md5Long expression
+    // (digest → nibble slice → long, no hex-string round trip). All 16
+    // family hashes are computed ONCE PER DISTINCT SHINGLE on the capped
+    // group row (~10× fewer digests than per-occurrence hashing at
+    // sf0.1), then fanned to the member docs by exploding g.docs.
+    val hashed = cappedShingleGroups(s, d, dfCap = 50)
+      .select(col("g.docs").as("docs"),
+              md5_long(col("shingle"), 0, 12).as("h1"),
+              md5_long(col("shingle"), 12, 12).as("h2"))
+      .select(col("docs") +:
+        (0 until 16).map(i => expr(s"(h1 + $i * h2) % $MinhashP").as(s"f$i")): _*)
+    val shf = hashed.select(explode(col("docs")).as("doc_id") +:
+      (0 until 16).map(i => col(s"f$i")): _*)
+    val minAggs = (0 until 16).map(i => min(col(s"f$i")).as(s"m$i"))
     val mins = shf.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val bands = mins.select(col("doc_id"), explode(array(
       (0 until 4).map(b => concat_ws("|",
@@ -240,29 +264,47 @@ object TextOps {
     * share ≥1 exact band), verified by popcount of the XOR. All integer
     * arithmetic ⇒ exact in both engines. */
   val q36_simhash_pairs: Q = (s, d) => {
-    // Bit votes as 60 plain codegen'd sums over (doc, token-hash) rows —
+    // Bit votes as PACKED codegen'd sums over (doc, token-hash) rows —
     // NOT a nested higher-order lambda (interpreted, 40× slower). Voting
     // per OCCURRENCE sums to the same total as ±multiplicity over
-    // distinct hashes, so the (doc, h) pre-aggregation the first version
-    // had was a wasted shuffle: one groupBy(doc_id) with map-side partial
-    // sums (60 longs per doc in the combine buffer) replaces both.
+    // distinct hashes, so no (doc, h) pre-aggregation is needed: one
+    // groupBy(doc_id) with map-side partial sums replaces both.
+    //
+    // Packing (round 7): the ±1 vote for bit b satisfies v_b = 2·ones_b −
+    // n, so it suffices to sum the raw BITS. Four bit-lanes ride in one
+    // long at 16-bit spacing — 15 aggregate buffer slots instead of 60,
+    // each updated by shift/and arithmetic with no CASE branch. Lanes
+    // cannot cross while every document has < 2^16 tokens; the guard
+    // below raises loudly at the boundary (a 100 TB pipeline splits
+    // longer documents upstream — and a 65k-token "document" is a
+    // concatenation bug, not a document).
     val tokenHashes = docsWide(s, d)
       .select(col("doc_id"), explode(expr(TOKENS)).as("tok"))
-      .select(col("doc_id"),
-              expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
-    val voteAggs = (0 until 60).map(b =>
-      sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"v$b"))
-    val simhashExpr = (0 until 60)
-      .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-      .mkString(" + ")
+      .select(col("doc_id"), md5_long(col("tok"), 0, 15).as("h"))
+    val packAggs = (0 until 15).map { j =>
+      val lanes = (0 until 4).map { k =>
+        s"shiftleft(shiftright(h, ${4 * j + k}) & 1, ${16 * k})"
+      }.mkString(" + ")
+      sum(expr(lanes)).as(s"p$j")
+    }
+    val simhashExpr = {
+      val bits = (0 until 60).map { b =>
+        val lane = s"(shiftright(p${b / 4}, ${16 * (b % 4)}) & 65535)"
+        s"CASE WHEN 2 * $lane > n THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(" + ")
+      s"""CASE WHEN n >= 65536 THEN CAST(raise_error(
+         |  'simhash packed votes overflow: document with >= 65536 tokens — split upstream') AS BIGINT)
+         |ELSE $bits END""".stripMargin
+    }
     val sims = tokenHashes.groupBy("doc_id")
-      .agg(voteAggs.head, voteAggs.tail: _*)
+      .agg(count(lit(1)).as("n"), packAggs: _*)
       .select(col("doc_id"), expr(simhashExpr).as("simhash"))
       .localCheckpoint() // tiny (one row per doc); feeds both join sides
-    val bands = sims.select(col("doc_id"), col("simhash"), explode(expr(
-      """transform(sequence(0, 3),
-           b -> concat(CAST(b AS STRING), ':',
-                       CAST(shiftright(simhash, b * 15) & 32767 AS STRING)))"""))
+    // band keys as a codegen'd array() of 4 concats — the transform()
+    // lambda form ran interpreted on both join sides
+    val bands = sims.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 4).map(b => concat(lit(s"$b:"),
+        shiftright(col("simhash"), b * 15).bitwiseAND(32767).cast(StringType))): _*))
       .as("band_key"))
     bands.as("a").join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
@@ -384,16 +426,17 @@ object TextOps {
     * the overlap fraction is exact integer counting. Emits every train
     * doc with ≥ 5% shingle overlap. */
   val q38_decontamination: Q = (s, d) => {
+    // Split membership: the first md5 hex byte as an integer (md5_long of
+    // 2 nibbles) — numerically identical to comparing the 2-char hex
+    // substring lexicographically ('cc' = 204, 'e6' = 230), minus the
+    // hex-string round trip. Shingling is the native WordShingles pass
+    // (see shingles() above).
     val sh = docsWide(s, d)
-      .withColumn("h", expr("substring(md5(CAST(doc_id AS STRING)), 1, 2)"))
-      .select(col("doc_id"), col("h"), expr(TOKENS).as("t"))
-      .select(col("doc_id"), col("h"), explode(expr(
-        """CASE WHEN size(t) >= 3
-             THEN array_distinct(transform(sequence(1, size(t) - 2),
-                    i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-             ELSE array() END""")).as("shingle"))
-    val testShingles = sh.filter(col("h") >= "e6").select("shingle").distinct()
-    val train = sh.filter(col("h") < "cc")
+      .withColumn("h", md5_long(col("doc_id").cast(StringType), 0, 2))
+      .select(col("doc_id"), col("h"),
+              explode(word_shingles(col("text"))).as("shingle"))
+    val testShingles = sh.filter(col("h") >= 230).select("shingle").distinct()
+    val train = sh.filter(col("h") < 204)
     train
       .join(broadcast(testShingles.withColumn("hit", lit(1))),
             Seq("shingle"), "left_outer")
@@ -426,7 +469,12 @@ object TextOps {
     // exchange. The trailing n_sampled > 0 filter reproduces the WHERE
     // form's group elimination exactly (a flag with zero sampled rows
     // appears in neither).
-    val keep = expr("substring(md5(concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))), 1, 2) < '1a'")
+    graft.functions.Md5Long.register(s)
+    // first md5 hex byte < '1a' ⇔ md5_long(…, 0, 2) < 26 — same rows,
+    // no hex string/substring per row (was 1.9 CPU-s of the query)
+    val keep = md5_long(
+      concat(col("l_orderkey").cast(StringType), lit(":"),
+             col("l_linenumber").cast(StringType)), 0, 2) < 26
     lineitem(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
       .groupBy("l_returnflag")

@@ -75,7 +75,13 @@ object Warehouse {
   val q28_shipping_behavior: Q = (s, d) =>
     lineitem(s, d)
       // fact-to-fact: SHUFFLE_HASH (see Relational.q6) -- orders is never
-      // broadcastable next to lineitem at warehouse scale
+      // broadcastable next to lineitem at warehouse scale. A round-7
+      // experiment pre-aggregated lineitem to (order, returnflag) grain
+      // before the exchange (the q6 decomposition): measured 2× SLOWER
+      // here — the (l_orderkey, l_returnflag) key is near-unique per map
+      // task, so the partial hash aggregate pays ~|lineitem| probe+insert
+      // work for <2× row reduction (vs q6's clean 4× on l_orderkey alone).
+      // Kept raw: the exchange is the cheaper of the two (EXPLAIN_r7).
       .join(orders(s, d).hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority", "l_returnflag")
       .agg(
