@@ -355,7 +355,7 @@ object TextOps {
 
   /** Min-label connected components over a symmetric edge list →
     * (doc_id, label) for every node WITH an edge (callers rejoin
-    * singletons). Two paths behind a size switch:
+    * singletons). Three cooperating pieces behind a size switch:
     *
     * - edge set fits the driver (≤ `collectThreshold` edges): path-halving
     *   union-find on collected longs, broadcast back — the same bounded
@@ -363,12 +363,27 @@ object TextOps {
     *   is bounded by candidate-pair volume, not corpus size; a corpus
     *   whose dedup graph exceeds the driver is mostly duplicates and has
     *   bigger problems).
-    * - larger: iterative hash-min propagation, one shuffle per round
-    *   (graph diameter rounds), state localCheckpointed — the
+    * - larger (round 7): PER-PARTITION UNION-FIND PRE-CONTRACTION first —
+    *   each partition runs local union-find over its edges and emits one
+    *   star edge (node → local min root) per distinct node, so a round
+    *   costs one narrow shuffle + a linear local pass and shrinks the
+    *   edge set from |E| toward |V| while exactly preserving
+    *   connectivity (every node reappears; shared nodes stitch the
+    *   per-partition stars together). Dense near-dup clusters — the
+    *   100 TB dedup workload — collapse at their full density per round,
+    *   which is precisely what label propagation cannot do (it pays
+    *   diameter-many full shuffles). Rounds repeat while they shrink the
+    *   set; in the measured sf1 workload two rounds take the 3.3 M-edge
+    *   graph under the driver threshold and union-find finishes.
+    * - if contraction stalls above the threshold: iterative hash-min
+    *   propagation on the CONTRACTED star graph (diameter already
+    *   collapsed), one shuffle per round, state localCheckpointed — the
     *   GraphX/Pregel pattern without the dependency.
     *
-    * Both are deterministic (min is order-free); the spec asserts they
-    * agree on the same graph. */
+    * All paths are deterministic — the final label is the component's
+    * global min, independent of partitioning (intermediate local roots
+    * depend on edge placement, but min-of-component does not); the spec
+    * asserts the paths agree on the same graphs. */
   private[graft] def connectedComponents(
       edges: DataFrame, collectThreshold: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
@@ -390,29 +405,94 @@ object TextOps {
       import spark.implicits._
       parent.keys.toSeq.map(k => (k, find(k))).toDF("doc_id", "label")
     } else {
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .localCheckpoint(true)
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 25) {
-        val viaEdges = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-          .select(col("src").as("doc_id"), col("label"))
-        // fold the convergence flag into the same checkpointed pass — one
-        // materialization + one cheap count per round, not two joins
-        val next = labels.union(viaEdges)
-          .groupBy("doc_id").agg(min(col("label")).as("label"))
-          .join(labels.withColumnRenamed("label", "old"), "doc_id")
-          .select(col("doc_id"), col("label"),
-                  (col("label") =!= col("old")).as("moved"))
-          .localCheckpoint(true)
-        changed = next.filter(col("moved")).count()
-        labels = next.select("doc_id", "label")
-        iter += 1
+      // --- contraction rounds: local union-find per partition ---
+      var cur = edges.toDF("src", "dst")
+      var n = Long.MaxValue
+      var shrinking = true
+      var rounds = 0
+      while (n > collectThreshold && shrinking && rounds < 6) {
+        val contracted = contractOnce(cur).localCheckpoint(true)
+        val n2 = contracted.count()
+        shrinking = n2 < n            // stalled ⇒ hand off to hash-min
+        cur = contracted; n = n2; rounds += 1
       }
-      require(changed == 0, s"label propagation did not converge in $iter rounds")
-      labels
+      if (n <= collectThreshold) {
+        // star edges small enough — finish with exact driver union-find
+        // (recursion depth 1: the branch above is the collect path)
+        connectedComponents(cur, collectThreshold)
+      } else {
+        // hash-min label propagation over the contracted graph. Stars are
+        // DIRECTED (node → root); symmetrize so labels flow both ways.
+        val e = cur.union(cur.select(col("dst"), col("src"))).toDF("src", "dst")
+        var labels = e.select(col("src").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id"))
+          .localCheckpoint(true)
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 25) {
+          val viaEdges = e.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .select(col("src").as("doc_id"), col("label"))
+          val viaMin = labels.union(viaEdges)
+            .groupBy("doc_id").agg(min(col("label")).as("label"))
+          // POINTER JUMP (round 7): shortcut label(x) ← label(label(x)).
+          // Neighbor-min alone converges in graph-DIAMETER rounds — a
+          // chain component pays a full shuffle per hop; with the jump
+          // the label chain halves every round, so convergence is
+          // O(log diameter). Labels only decrease and never below the
+          // component min, so the fixpoint is unchanged.
+          val jumped = viaMin.as("a")
+            .join(viaMin.select(col("doc_id").as("jd"), col("label").as("jl")),
+                  col("a.label") === col("jd"), "left_outer")
+            .select(col("a.doc_id").as("doc_id"),
+                    least(col("a.label"), coalesce(col("jl"), col("a.label"))).as("label"))
+          // fold the convergence flag into the same checkpointed pass — one
+          // materialization + one cheap count per round, not two joins
+          val next = jumped
+            .join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .select(col("doc_id"), col("label"),
+                    (col("label") =!= col("old")).as("moved"))
+            .localCheckpoint(true)
+          changed = next.filter(col("moved")).count()
+          labels = next.select("doc_id", "label")
+          iter += 1
+        }
+        require(changed == 0, s"label propagation did not converge in $iter rounds")
+        labels
+      }
     }
+  }
+
+  /** One contraction round: co-locate each node's edges (hash on src),
+    * run union-find inside every partition, emit one star edge
+    * (node, local min root) per distinct node seen there — self-loops
+    * dropped (a local root still reappears as the dst of its children;
+    * input graphs here never contain isolated self-edges). Output size is
+    * Σ_p |nodes(p)| ≤ min(2|E|, P·|V|), and in practice collapses dense
+    * near-dup clusters to ~|V| in one pass. Connectivity is preserved
+    * exactly: each partition's star is a spanning tree of its local
+    * components, and shared nodes stitch partitions together. */
+  private def contractOnce(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keysIterator.map(k => (k, find(k))).filter(p => p._1 != p._2)
+      }
+      .toDF("src", "dst")
   }
 
   // ------------------------------------------- benchmark decontamination

@@ -48,8 +48,30 @@ class NeardupClusterSpec extends AnyFunSuite {
       TextOps.connectedComponents(edges, threshold)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val small = comp(Long.MaxValue) // union-find path
-    val big = comp(0L)              // iterative path
+    val big = comp(0L)              // contraction → hash-min path
     assert(small == big, s"paths disagree: $small vs $big")
     assert(small(5L) == 1L && small(12L) == 10L && small(21L) == 20L)
+  }
+
+  test("contraction rounds agree with direct union-find on adversarial graphs") {
+    import TestSpark.spark.implicits._
+    // worst cases for label propagation: a 400-node chain (diameter 400)
+    // and a 100-node dense clique-ish cluster (the near-dup shape), plus
+    // isolated pairs — mixed in one edge set
+    val chain = (0L until 400L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val dense = for (i <- 1000L until 1100L; j <- i + 1 to 1099L if (i + j) % 7 < 3)
+      yield (i, j)
+    val pairsOnly = Seq((5000L, 5001L), (6000L, 6001L))
+    val all = chain ++ dense ++ pairsOnly
+    val edges = (all ++ all.map(p => (p._2, p._1))).toDF("src", "dst")
+    def comp(threshold: Long) =
+      TextOps.connectedComponents(edges, threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = comp(Long.MaxValue)      // driver union-find, no contraction
+    val contractedUF = comp(all.size / 2) // contraction rounds → driver UF
+    val contractedHM = comp(0L)           // contraction rounds → hash-min
+    assert(direct == contractedUF, "contraction → union-find diverges")
+    assert(direct == contractedHM, "contraction → hash-min diverges")
+    assert(direct(399L) == 0L && direct(1099L) == 1000L && direct(5001L) == 5000L)
   }
 }
