@@ -6,10 +6,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BoundReference, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.DataType
 
 /** Whole-operator band join: `l ⋈ r ON keys AND r.time ∈ [l.time + lower,
   * l.time + upper]` for two LARGE inputs — the case the hour-bucket
@@ -32,6 +34,21 @@ import org.apache.spark.sql.functions.col
   * At 100 TB this is the plan you want: shuffle on keys only, sorted
   * merge, state bounded by one key-group; skewed keys are the same
   * concern (and get the same salting/AQE remedies) as any SMJ.
+  *
+  * WHOLE-STAGE CODEGEN (round 7): BandJoinExec implements CodegenSupport
+  * the way SortMergeJoinExec does — both sorted children arrive as the
+  * stage's two input iterators (WholeStageCodegenExec zip-partitions a
+  * two-RDD stage), the merge state machine is the compiled
+  * [[BandMerger]], and the generated loop drives advance()/nextRight()
+  * and CONSUMES each joined row inline, so downstream projections,
+  * filters and partial aggregates fuse into the same generated function
+  * with no iterator hop or UnsafeProjection materialization per row.
+  * One stock-Spark asymmetry is out of reach: CollapseCodegenStages
+  * special-cases SMJ/SHJ *by class* to wrap their children in
+  * InputAdapter, so for a third-party join the two Sort operators sit
+  * outside the produce chain (they run their normal non-codegen
+  * doExecute). The join itself — and everything above it — is inside the
+  * WholeStageCodegen stage (BandJoinSpec pins this).
   *
   * Keys and time columns are carried as resolved Attributes so Catalyst
   * sees real `references` — column pruning, through-the-node projection,
@@ -57,11 +74,188 @@ case class BandJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-partition merge state machine shared by the codegen and iterator
+  * execution paths (one implementation ⇒ the two paths cannot diverge).
+  *
+  * Protocol: `hasPending || advance()` positions on a left row with work;
+  * `currentLeft()` is that row (zero-copy — the child iterator's reuse
+  * contract is honored because the row is fully consumed before the next
+  * advance); `nextRight()` yields the window's right rows and then null
+  * (for an unmatched LEFT OUTER row it yields the all-null right row
+  * once). The generated loop re-enters after shouldStop() returns and
+  * resumes exactly where it stopped via hasPending. */
+final class BandMerger(
+    lIter: Iterator[InternalRow], rIterRaw: Iterator[InternalRow],
+    lKeyOrds: Array[Int], rKeyOrds: Array[Int],
+    lTimeOrd: Int, rTimeOrd: Int,
+    keyTypes: Array[DataType],
+    lFieldTypes: Array[DataType], rFieldTypes: Array[DataType],
+    lo: Long, hi: Long, outer: Boolean, matchLatest: Boolean,
+    inMemT: Int, spillT: Int, spillB: Long) {
+
+  private val rIter = rIterRaw.buffered
+  private val ord = RowOrdering.createNaturalAscendingOrdering(keyTypes.toIndexedSeq)
+  private val lKeyProj = UnsafeProjection.create(lKeyOrds.map(i =>
+    BoundReference(i, lFieldTypes(i), nullable = true)).toIndexedSeq)
+  private val rKeyProj = UnsafeProjection.create(rKeyOrds.map(i =>
+    BoundReference(i, rFieldTypes(i), nullable = true)).toIndexedSeq)
+  /** all-null right row for LEFT OUTER emission */
+  val nullRight: InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rFieldTypes.length)
+
+  private var curKey: UnsafeRow = _                  // copied on group change
+  // Right key-group: rows in SortMergeJoin's spill-aware buffer (a
+  // pathological group degrades to disk instead of OOM); sorted event
+  // times kept on-heap for the binary search (8 B/row — the documented
+  // residual bound; the row payloads are the spillable bulk).
+  private val group = new org.apache.spark.sql.GraftRowBuffer(inMemT, spillT, spillB)
+  private val times = new ArrayBuffer[Long]()
+  private var groupIter: Iterator[UnsafeRow] = Iterator.empty
+  private var curLeft: InternalRow = _               // zero-copy streamed row
+  private var cursor = 0                             // next group index for curLeft
+  private var windowEnd = 0L
+  private var emitNull = false                       // left_outer: unmatched curLeft
+
+  // conversion fallback for direct construction over non-Unsafe rows (the
+  // planned path always feeds UnsafeRows via SortExec); GraftRowBuffer.add
+  // copies internally, so the reused projection output is safe to pass
+  private val rToUnsafe = UnsafeProjection.create(rFieldTypes)
+
+  // first group index with time >= t
+  private def lowerBound(t: Long): Int = {
+    var a = 0; var b = times.length
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (times(m) < t) a = m + 1 else b = m
+    }
+    a
+  }
+
+  private def loadRightGroup(key: UnsafeRow): Unit = {
+    group.clear(); times.clear(); groupIter = Iterator.empty
+    while (rIter.hasNext && ord.compare(rKeyProj(rIter.head), key) < 0)
+      rIter.next()
+    while (rIter.hasNext && ord.compare(rKeyProj(rIter.head), key) == 0) {
+      val r = rIter.next()
+      // a NULL right time matches nothing (SQL range semantics) and would
+      // corrupt the sorted times buffer (getLong on a null field reads
+      // 0 = epoch); the API filters them, this guards direct construction
+      // too. Nulls sort first under the required ascending order, so
+      // skipping preserves sortedness.
+      if (!r.isNullAt(rTimeOrd)) {
+        times += r.getLong(rTimeOrd)
+        group.add(r match {
+          case u: UnsafeRow => u
+          case other        => rToUnsafe(other)
+        })
+      }
+    }
+  }
+
+  def currentLeft(): InternalRow = curLeft
+
+  /** Matches (or the pending null-emit) remain for the current left row. */
+  def hasPending: Boolean =
+    emitNull || (curLeft != null && cursor < times.length && times(cursor) <= windowEnd)
+
+  /** Position on the next left row with matches — or, in left-outer mode,
+    * on the next unmatched left row with the null-emit pending.
+    *
+    * No copy of the streamed left row: the child's iterator may reuse the
+    * row object, but it is only mutated by the NEXT lIter.next(), which
+    * cannot happen until this left row's matches are fully emitted
+    * (consume-then-process, the same zero-copy discipline as
+    * SortMergeJoin's streamed side). The key projection is copied only on
+    * group change. */
+  def advance(): Boolean = {
+    curLeft = null
+    while (lIter.hasNext) {
+      val l = lIter.next()
+      val lk = lKeyProj(l)
+      if (curKey == null || ord.compare(lk, curKey) != 0) {
+        curKey = lk.copy()
+        loadRightGroup(curKey)
+      }
+      if (l.isNullAt(lTimeOrd)) {
+        // NULL left time: matches nothing. Inner: drop (the API already
+        // filters; this covers direct construction). Left outer: emit
+        // null-extended, like any unmatched row.
+        if (outer) { cursor = times.length; curLeft = l; emitNull = true; return true }
+      } else {
+        val lt = l.getLong(lTimeOrd)
+        val start = if (times.isEmpty) 0 else lowerBound(lt + lo)
+        if (start < times.length && times(start) <= lt + hi) {
+          curLeft = l
+          if (matchLatest) {
+            // as-of: only the greatest right time in the window — the
+            // last index with time <= lt+hi; windowEnd = its own time
+            // stops the emit loop after exactly one row (the next index,
+            // if any, is strictly greater)
+            cursor = lowerBound(lt + hi + 1) - 1
+            windowEnd = times(cursor)
+          } else {
+            cursor = start; windowEnd = lt + hi
+          }
+          // fresh iterator per left row: overlapping windows move the
+          // start backward relative to the previous row's last position.
+          // In-memory this is O(1) positioning; spilled it is a
+          // sequential skip — the same trade SortMergeJoin makes
+          // re-iterating its buffered group per streamed row.
+          groupIter = group.iteratorFrom(cursor)
+          return true
+        } else if (outer) {
+          // empty the window state: a stale cursor from the previous
+          // row could otherwise read as pending after the null-emit
+          cursor = times.length
+          curLeft = l; emitNull = true
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  /** Next right row of the current left row's window, or null when done.
+    * For an unmatched LEFT OUTER left row: the all-null right row once.
+    * Callers must capture currentLeft() BEFORE calling (the null-emit
+    * consumes the left row). */
+  def nextRight(): InternalRow = {
+    if (emitNull) { emitNull = false; curLeft = null; return nullRight }
+    if (curLeft == null) return null
+    if (cursor < times.length && times(cursor) <= windowEnd) {
+      // the returned row may be a reused buffer on the spilled path, but
+      // it is fully consumed (projected/consumed inline) before the next
+      // call
+      val r = groupIter.next(); cursor += 1
+      r
+    } else {
+      curLeft = null
+      null
+    }
+  }
+}
+
+/** Driver-built, task-serialized factory: captures ordinals, types and
+  * buffer thresholds (SQLConf is driver-side only) and builds one
+  * [[BandMerger]] per partition — from generated code (codegen path) or
+  * zipPartitions (iterator path). */
+case class BandMergerFactory(
+    lKeyOrds: Array[Int], rKeyOrds: Array[Int],
+    lTimeOrd: Int, rTimeOrd: Int,
+    keyTypes: Array[DataType],
+    lFieldTypes: Array[DataType], rFieldTypes: Array[DataType],
+    lo: Long, hi: Long, outer: Boolean, matchLatest: Boolean,
+    inMemT: Int, spillT: Int, spillB: Long) {
+  def create(l: Iterator[InternalRow], r: Iterator[InternalRow]): BandMerger =
+    new BandMerger(l, r, lKeyOrds, rKeyOrds, lTimeOrd, rTimeOrd, keyTypes,
+      lFieldTypes, rFieldTypes, lo, hi, outer, matchLatest, inMemT, spillT, spillB)
+}
+
 case class BandJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     lowerUs: Long, upperUs: Long, leftOuter: Boolean, matchLatest: Boolean,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -86,171 +280,100 @@ case class BandJoinExec(
     i
   }
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  private def mergerFactory: BandMergerFactory = {
     val lSchema = left.output; val rSchema = right.output
-    val lKeyOrds = leftKeys.map(ordinalOf(lSchema, _))
-    val rKeyOrds = rightKeys.map(ordinalOf(rSchema, _))
-    val lTimeOrd = ordinalOf(lSchema, leftTime)
-    val rTimeOrd = ordinalOf(rSchema, rightTime)
-    val lo = lowerUs; val hi = upperUs
+    BandMergerFactory(
+      leftKeys.map(ordinalOf(lSchema, _)).toArray,
+      rightKeys.map(ordinalOf(rSchema, _)).toArray,
+      ordinalOf(lSchema, leftTime), ordinalOf(rSchema, rightTime),
+      leftKeys.map(_.dataType).toArray,
+      lSchema.map(_.dataType).toArray, rSchema.map(_.dataType).toArray,
+      lowerUs, upperUs, leftOuter, matchLatest,
+      conf.sortMergeJoinExecBufferInMemoryThreshold,
+      conf.sortMergeJoinExecBufferSpillThreshold,
+      conf.sortMergeJoinExecBufferSpillSizeThreshold)
+  }
+
+  // ------------------------------------------------- iterator path
+  override protected def doExecute(): RDD[InternalRow] = {
+    val factory = mergerFactory
     val outAttrs = output
-    // Same thresholds as SortMergeJoin's buffered side (captured on the
-    // driver — SQLConf is not available executor-side)
-    val inMemT = conf.sortMergeJoinExecBufferInMemoryThreshold
-    val spillT = conf.sortMergeJoinExecBufferSpillThreshold
-    val spillB = conf.sortMergeJoinExecBufferSpillSizeThreshold
+    val lSchema = left.output
+    // left outer: bind against nullable right attrs, else the generated
+    // projection skips the null check and reads 0 from the null row
+    val rBindSchema =
+      if (leftOuter) right.output.map(_.withNullability(true)) else right.output
 
     left.execute().zipPartitions(right.execute()) { (lRaw, rRaw) =>
-      val lIter = lRaw; val rIter = rRaw.buffered
-      val keyTypes = lKeyOrds.map(lSchema(_).dataType)
-      val ord = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val lKeyProj = UnsafeProjection.create(lKeyOrds.map(i =>
-        BoundReference(i, lSchema(i).dataType, lSchema(i).nullable)))
-      val rKeyProj = UnsafeProjection.create(rKeyOrds.map(i =>
-        BoundReference(i, rSchema(i).dataType, rSchema(i).nullable)))
-      // left outer: bind against nullable right attrs, else the generated
-      // projection skips the null check and reads 0 from the null row
-      val rBindSchema =
-        if (leftOuter) rSchema.map(_.withNullability(true)) else rSchema
+      val merger = factory.create(lRaw, rRaw)
       val resultProj = UnsafeProjection.create(outAttrs, lSchema ++ rBindSchema)
       val joined = new JoinedRow
-      val nullRight: InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rSchema.length)
-      val outer = leftOuter
-
       new Iterator[InternalRow] {
-        private var curKey: UnsafeRow = _                  // copied
-        // Right key-group: rows in SortMergeJoin's spill-aware buffer (a
-        // pathological group degrades to disk instead of OOM); sorted
-        // event times kept on-heap for the binary search (8 B/row — the
-        // documented residual bound; the row payloads are the spillable
-        // bulk). Indexes align: times(i) is group row i's time.
-        private val group =
-          new org.apache.spark.sql.GraftRowBuffer(inMemT, spillT, spillB)
-        private val times = new ArrayBuffer[Long]()
-        private var groupIter: Iterator[UnsafeRow] = Iterator.empty
-        private var curLeft: InternalRow = _               // zero-copy streamed row
-        private var cursor = 0                             // next group index for curLeft
-        private var windowEnd = 0L
-        private var emitNull = false                       // left_outer: unmatched curLeft
-
-        // first group index with time >= t
-        private def lowerBound(t: Long): Int = {
-          var a = 0; var b = times.length
-          while (a < b) {
-            val m = (a + b) >>> 1
-            if (times(m) < t) a = m + 1 else b = m
-          }
-          a
-        }
-
-        // conversion fallback for direct Exec construction over non-Unsafe
-        // rows (the planned path always feeds UnsafeRows via SortExec);
-        // GraftRowBuffer.add copies internally, so the reused projection
-        // output is safe to pass
-        private val rToUnsafe = UnsafeProjection.create(rSchema.map(_.dataType).toArray)
-
-        private def loadRightGroup(key: UnsafeRow): Unit = {
-          group.clear(); times.clear(); groupIter = Iterator.empty
-          while (rIter.hasNext && ord.compare(rKeyProj(rIter.head), key) < 0)
-            rIter.next()
-          while (rIter.hasNext && ord.compare(rKeyProj(rIter.head), key) == 0) {
-            val r = rIter.next()
-            // a NULL right time matches nothing (SQL range semantics) and
-            // would corrupt the sorted times buffer (getLong on a null
-            // field reads 0 = epoch); the API filters them, this guards
-            // direct Exec construction too. Nulls sort first under the
-            // required ascending order, so skipping preserves sortedness.
-            if (!r.isNullAt(rTimeOrd)) {
-              times += r.getLong(rTimeOrd)
-              group.add(r match {
-                case u: UnsafeRow => u
-                case other        => rToUnsafe(other)
-              })
-            }
-          }
-        }
-
-        /** Position (curLeft, cursor) on the next left row with matches —
-          * or, in left-outer mode, on the next unmatched left row with
-          * emitNull set.
-          *
-          * No copy of the streamed left row: the child's iterator may
-          * reuse the row object, but it is only mutated by the NEXT
-          * lIter.next(), which cannot happen until this left row's
-          * matches are fully emitted (consume-then-process, the same
-          * zero-copy discipline as SortMergeJoin's streamed side —
-          * round 2 peeked via a BufferedIterator, which forced a
-          * defensive copy of EVERY left row). The key projection is
-          * copied only on group change. */
-        private def advance(): Boolean = {
-          while (lIter.hasNext) {
-            val l = lIter.next()
-            val lk = lKeyProj(l)
-            if (curKey == null || ord.compare(lk, curKey) != 0) {
-              curKey = lk.copy()
-              loadRightGroup(curKey)
-            }
-            if (l.isNullAt(lTimeOrd)) {
-              // NULL left time: matches nothing. Inner: drop (the API
-              // already filters; this covers direct Exec use). Left
-              // outer: emit null-extended, like any unmatched row.
-              if (outer) { curLeft = l; emitNull = true; return true }
-            } else {
-              val lt = l.getLong(lTimeOrd)
-              val start = if (times.isEmpty) 0 else lowerBound(lt + lo)
-              if (start < times.length && times(start) <= lt + hi) {
-                curLeft = l
-                if (matchLatest) {
-                  // as-of: only the greatest right time in the window — the
-                  // last index with time <= lt+hi; windowEnd = its own time
-                  // stops the emit loop after exactly one row (the next
-                  // index, if any, is strictly greater)
-                  cursor = lowerBound(lt + hi + 1) - 1
-                  windowEnd = times(cursor)
-                } else {
-                  cursor = start; windowEnd = lt + hi
-                }
-                // fresh iterator per left row: overlapping windows move the
-                // start backward relative to the previous row's last
-                // position. In-memory this is O(1) positioning; spilled it
-                // is a sequential skip — the same trade SortMergeJoin makes
-                // re-iterating its buffered group per streamed row.
-                groupIter = group.iteratorFrom(cursor)
-                return true
-              } else if (outer) {
-                curLeft = l; emitNull = true
-                return true
-              }
-            }
-          }
-          false
-        }
-
+        private var ready: InternalRow = _
         override def hasNext: Boolean = {
-          if (emitNull) return true
-          if (curLeft != null && cursor < times.length && times(cursor) <= windowEnd)
-            return true
-          curLeft = null
-          advance()
+          while (ready == null && (merger.hasPending || merger.advance())) {
+            val l = merger.currentLeft() // capture BEFORE nextRight (null-emit)
+            val r = merger.nextRight()
+            if (r != null) ready = resultProj(joined(l, r))
+          }
+          ready != null
         }
-
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException
-          if (emitNull) {
-            emitNull = false
-            val out = resultProj(joined(curLeft, nullRight))
-            curLeft = null
-            return out
-          }
-          // groupIter is positioned at `cursor` (fresh per left row); the
-          // returned row may be a reused buffer on the spilled path, but it
-          // is fully consumed by resultProj before the next call
-          val r = groupIter.next(); cursor += 1
-          resultProj(joined(curLeft, r))
+          val out = ready; ready = null; out
         }
       }
     }
+  }
+
+  // ------------------------------------------------- codegen path
+  // Both sorted children are stage inputs (WholeStageCodegenExec supports
+  // two input RDDs and zip-partitions them, the SMJ arrangement); the
+  // produce chain therefore STOPS here — children are executed, not fused.
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // each left row fans out to its whole window → downstream buffering
+  // operators must copy (same flag as SMJ)
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "leftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "rightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    val factoryRef = ctx.addReferenceObj("bandFactory", mergerFactory,
+      classOf[BandMergerFactory].getName)
+    val mergerCls = classOf[BandMerger].getName
+    val merger = ctx.addMutableState(mergerCls, "bandMerger",
+      v => s"$v = $factoryRef.create((scala.collection.Iterator)$leftInput, " +
+        s"(scala.collection.Iterator)$rightInput);", forceInline = true)
+    val joinedCls = classOf[JoinedRow].getName
+    val joinRow = ctx.addMutableState(joinedCls, "bandJoinRow",
+      v => s"$v = new $joinedCls();", forceInline = true)
+
+    val leftRow = ctx.freshName("leftRow")
+    val rightRow = ctx.freshName("rightRow")
+
+    // output columns read straight off the joined row (nullable right
+    // binding under LEFT OUTER comes from `output` itself)
+    ctx.currentVars = null
+    ctx.INPUT_ROW = joinRow
+    val resultVars = output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    s"""
+       |while ($merger.hasPending() || $merger.advance()) {
+       |  InternalRow $leftRow = $merger.currentLeft();
+       |  InternalRow $rightRow;
+       |  while (($rightRow = $merger.nextRight()) != null) {
+       |    $joinRow.apply($leftRow, $rightRow);
+       |    ${consume(ctx, resultVars)}
+       |    if (shouldStop()) return;
+       |  }
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

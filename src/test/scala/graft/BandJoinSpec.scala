@@ -137,4 +137,33 @@ class BandJoinSpec extends AnyFunSuite {
     // each row joins itself and 10:00 joins 10:30 (within +1h)
     assert(out == Set((100L, 100L), (100L, 101L), (101L, 101L)), s"got $out")
   }
+
+  test("BandJoinExec runs inside WholeStageCodegen and equals the iterator path") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    // executed-plan walk: the band join must sit under a WholeStageCodegen
+    // subtree (fused with its downstream operators)
+    def bandInWSCG(p: SparkPlan, in: Boolean): Option[Boolean] = p match {
+      case w: WholeStageCodegenExec => w.children.flatMap(bandInWSCG(_, true)).headOption
+      case a: AdaptiveSparkPlanExec => bandInWSCG(a.executedPlan, in)
+      case q: QueryStageExec        => bandInWSCG(q.plan, false)
+      case _: graft.plans.BandJoinExec => Some(in)
+      case other => other.children.flatMap(bandInWSCG(_, in)).headOption
+    }
+    val df = Warehouse.q49b_band_join_exec(spark, sf)
+    val withCodegen = df.collect().map(_.toSeq)
+    assert(bandInWSCG(df.queryExecution.executedPlan, false).contains(true),
+      "BandJoinExec is not inside a WholeStageCodegen stage")
+    // same rows with whole-stage codegen disabled (iterator doExecute path)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val q = Warehouse.q49b_band_join_exec(spark, sf)
+      assert(q.collect().map(_.toSeq).sameElements(withCodegen),
+        "codegen and iterator paths diverge")
+      assert(bandInWSCG(q.queryExecution.executedPlan, false).contains(false))
+      assert(Warehouse.q49c_band_left_outer(spark, sf).collect().length ==
+        { spark.conf.unset("spark.sql.codegen.wholeStage")
+          Warehouse.q49c_band_left_outer(spark, sf).collect().length })
+    } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+  }
 }
