@@ -141,7 +141,48 @@ object Bench {
     val total = math.rint(gated.collect { case (_, v) if v >= 0 => v }.sum * 1000) / 1000
     val noOracleJson = noOracle.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     System.err.println(s"""[bench-detail] {"mins":${fmt(mins)},"medians":${fmt(medians)},"no_oracle":$noOracleJson}""")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt3(gated)},"no_oracle_excluded":${noOracle.size},"sf":"$sfDir"}"""
+    // Sketch attestations: the two rows-only-by-design sketches (q10b
+    // HLL++, q29b quantile summary) carry their own evidence in the
+    // artifact — the MEASURED error on this run's data next to the
+    // documented bound (the specs' envelopes: 3σ of rsd=5% ⇒ 0.15
+    // relative for HLL; 2·n/B rank error for approx_percentile(B=1000)).
+    // Untimed — this is evidence harness, not operator cost.
+    val attest = try {
+      import org.apache.spark.sql.functions.{col, countDistinct}
+      val approxD = SparkEntry.queries("q10b_approx_distinct")(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exactD = Tables.orders(spark, sfDir).groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val relErr = exactD.map { case (k, n) =>
+        math.abs(approxD(k) - n).toDouble / math.max(1L, n) }.max
+      val approxP = SparkEntry.queries("q29b_approx_percentiles")(spark, sfDir)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val li = Tables.lineitem(spark, sfDir)
+      val rankErr = approxP.keys.flatMap { g =>
+        // ties (l_quantity is integer-valued) make a single rank
+        // meaningless: the estimate occupies the rank INTERVAL
+        // [count(<est), count(<=est)]; error = distance from the target
+        // rank p·n to that interval, in n/B units (B = 1000)
+        def err(colName: String, p: Double, est: Double): Double = {
+          val vs = li.filter(col("l_returnflag") === g)
+            .select(col(colName)).collect().map(_.getDouble(0)).sorted
+          val lo = vs.count(_ < est); val hi = vs.count(_ <= est)
+          val target = p * vs.length
+          val rows = if (target < lo) lo - target
+                     else if (target > hi) target - hi else 0.0
+          rows / (vs.length / 1000.0)
+        }
+        Seq(err("l_quantity", 0.5, approxP(g)._1),
+            err("l_extendedprice", 0.9, approxP(g)._2))
+      }.max
+      def r3(x: Double) = math.rint(x * 1000) / 1000
+      s""","attestations":{"q10b_approx_distinct":{"measured_max_rel_err":${r3(relErr)},"bound":0.15,"within":${relErr <= 0.15}},""" +
+        s""""q29b_approx_percentiles":{"measured_max_rank_err_nB":${r3(rankErr)},"bound":2.0,"within":${rankErr <= 2.0}}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] attestation failed: ${e.getMessage}"); ""
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt3(gated)},"no_oracle_excluded":${noOracle.size}$attest,"sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING stdout line ${line.length} chars > 1800 — may not survive the driver's tail capture")
     println(line)
