@@ -1,12 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Round-7 scratch diagnostics (deleted before round end). */
+/** Round-7 scratch diagnostics (deleted before round end): sizes
+  * broadcast-vs-shuffle A/B for the jaccard pipeline at a given SF. */
 object ProbeR7 {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf3")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -15,24 +15,19 @@ object ProbeR7 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    val df = SparkEntry.queries("q49b_band_join_exec")(spark, sfDir)
-    println("rows=" + df.collect().length) // execute THIS plan so AQE finalizes
-    val plan = df.queryExecution.executedPlan
-    println(plan.toString.split("\n").take(30).mkString("\n"))
-    // is BandJoinExec inside a WholeStageCodegen subtree?
-    import org.apache.spark.sql.execution._
-    import org.apache.spark.sql.execution.adaptive._
-    def find(p: SparkPlan, inWSCG: Boolean): Unit = p match {
-      case w: WholeStageCodegenExec => w.children.foreach(find(_, true))
-      case a: AdaptiveSparkPlanExec => find(a.executedPlan, inWSCG)
-      case q: QueryStageExec => find(q.plan, false)
-      case b: graft.plans.BandJoinExec =>
-        println(s"BANDJOIN inWholeStageCodegen=$inWSCG")
-        b.children.foreach(find(_, false))
-      case other => other.children.foreach(find(_, inWSCG))
+    val q34 = graft.operators.TextOps.q34_ngram_jaccard
+    def runs(label: String): Unit = {
+      q34(spark, sfDir).count() // warm
+      val t = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); q34(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label min=${t.min}%.3f med=${t.sorted.apply(2)}%.3f")
     }
-    find(plan, false)
+    runs("sizes_broadcast")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    runs("sizes_shuffle  ")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.stop()
   }
 }

@@ -188,9 +188,10 @@ object TextOps {
     * occurrence set and the join re-merged it — both deleted here; the
     * pair fan-out now happens inside a codegen'd expression bounded by
     * the df-cap. At corpus scale the sizes table is per-doc counts —
-    * broadcast here (bench scale); swap to a shuffle join keyed on d1/d2
-    * when |docs| outgrows the broadcast threshold (the pair table is the
-    * small side by then). The capped-group subtree feeds a diamond (pairs
+    * broadcast while it fits the session broadcast budget, swapped to a
+    * shuffle join keyed on d1/d2 beyond it (LIVE condition in the body
+    * below; the pair table is the small side by then). The capped-group
+    * subtree feeds a diamond (pairs
     * + sizes); AQE's runtime stage reuse dedups the canonically-equal
     * shuffle map sides, so no materialization is needed. */
   private def jaccardPairs(s: SparkSession, d: String,
@@ -198,6 +199,19 @@ object TextOps {
     val capped = cappedShingleGroups(s, d, dfCap)
     val sizes = capped.select(explode(col("g.docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // Broadcast→shuffle SWAP, decided per run (round 7 — previously a
+    // documented condition, now live code): the per-doc sizes table is
+    // one ~24 B row per document, broadcast while it fits the session's
+    // broadcast budget; beyond that the pair table (bounded by candidate
+    // volume, typically the small side by then) shuffles against it on
+    // d1/d2 like any equi-join. |docs| comes from parquet metadata (a
+    // count() on the unfiltered scan is a footer read, not a data scan).
+    val nDocs = documents(s, d).count()
+    val bcBudget = s.sessionState.conf.autoBroadcastJoinThreshold
+    val sizesFit = bcBudget > 0 && nDocs * 24 <= bcBudget
+    def keyed(as1: String, as2: String) =
+      sizes.select(col("doc_id").as(as1), col("n_sh").as(as2))
+    def sized(df: DataFrame) = if (sizesFit) broadcast(df) else df
     // Partition by DOWNSTREAM EXPANSION (same rationale as docsWide): the
     // capped group table is ~|distinct shingles| skinny rows that AQE
     // coalesces to a handful of tasks, but sorted_pairs fans each row out
@@ -208,8 +222,8 @@ object TextOps {
       .select(explode(graft.functions.SortedPairs.sorted_pairs(col("g.docs"))).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_common"))
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1"))), Seq("d1"))
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2"))), Seq("d2"))
+      .join(sized(keyed("d1", "n1")), Seq("d1"))
+      .join(sized(keyed("d2", "n2")), Seq("d2"))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) /
           (col("n1") + col("n2") - col("n_common")).cast(DoubleType))
@@ -299,18 +313,41 @@ object TextOps {
     val sims = tokenHashes.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), packAggs: _*)
       .select(col("doc_id"), expr(simhashExpr).as("simhash"))
-      .localCheckpoint() // tiny (one row per doc); feeds both join sides
-    // band keys as a codegen'd array() of 4 concats — the transform()
-    // lambda form ran interpreted on both join sides
-    val bands = sims.select(col("doc_id"), col("simhash"), explode(array(
+      .localCheckpoint() // tiny (one row per doc); feeds four consumers
+    // FINGERPRINT-GROUP banding (round 7, found by the sf3 probe): band
+    // and join DISTINCT simhashes, not documents. A duplicate-heavy
+    // corpus (ScaleGen sf3 is 97% replicas) puts every copy of a
+    // document into the same band bucket, so the per-document band join
+    // paid |bucket|² row comparisons — ×45 wall at ×30 data. The PAIR
+    // OUTPUT is inherently quadratic in duplicates (identical docs are
+    // hamming-0 results — the oracle demands them), but the candidate
+    // work is not: bands depend only on the fingerprint, so the band
+    // join runs on |distinct simhash| rows and member pairs stream out
+    // of two ordinary equi-joins (cross-group) plus one self-join
+    // (within-group, hamming 0) — output-bound, never candidate-bound.
+    // Same pair set and hamming values as the per-document form.
+    val fps = sims.select("simhash").distinct()
+    val bandsOf = (c: org.apache.spark.sql.Column) => array(
       (0 until 4).map(b => concat(lit(s"$b:"),
-        shiftright(col("simhash"), b * 15).bitwiseAND(32767).cast(StringType))): _*))
-      .as("band_key"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(min(expr("bit_count(a.simhash ^ b.simhash)")).as("hamming"))
+        shiftright(c, b * 15).bitwiseAND(32767).cast(StringType))): _*)
+    val bands = fps.select(col("simhash"), explode(bandsOf(col("simhash"))).as("band_key"))
+    val gpairs = bands.as("a").join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
       .filter(col("hamming") <= 3)
+    val cross = gpairs
+      .join(sims.select(col("simhash").as("s1"), col("doc_id").as("m1")), Seq("s1"))
+      .join(sims.select(col("simhash").as("s2"), col("doc_id").as("m2")), Seq("s2"))
+      .select(least(col("m1"), col("m2")).as("d1"),
+              greatest(col("m1"), col("m2")).as("d2"), col("hamming"))
+    val within = sims.as("x").join(sims.as("y"),
+        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+              lit(0).cast(IntegerType).as("hamming"))
+    cross.union(within)
+      .select(col("d1"), col("d2"), col("hamming").cast(IntegerType).as("hamming"))
       .orderBy("d1", "d2")
   }
 

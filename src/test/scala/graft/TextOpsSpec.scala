@@ -32,6 +32,16 @@ class TextOpsSpec extends AnyFunSuite {
     assert(p.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
   }
 
+  test("sizes broadcast→shuffle swap leaves q34 results identical") {
+    val bc = TextOps.q34_ngram_jaccard(spark, sf).collect().map(_.toSeq)
+    // a 1-byte budget forces the live swap condition onto the shuffle path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val sh = TextOps.q34_ngram_jaccard(spark, sf).collect().map(_.toSeq)
+      assert(sh.sameElements(bc), "swap changed the pair set")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("minhash LSH recalls the high-jaccard near-dup pairs") {
     val exact = TextOps.q34_ngram_jaccard(spark, sf)
       .filter(col("jaccard") >= 0.9)
