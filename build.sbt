@@ -37,4 +37,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ParallelGC 22.76 s vs G1 23.51 s (~3%; within box noise but never
   // measured slower). Override with SPARK_GC=UseG1GC.
   s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",
-)
+) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

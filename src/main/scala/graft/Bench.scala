@@ -39,20 +39,40 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Shuffle/scratch on the RAM-backed fs when one exists: this box
+    // throttles BUFFERED file writes to ~77 MB/s (measured; direct writes
+    // do 479 MB/s — an aggressive per-device writeback limit), which taxes
+    // exactly the shuffle-heavy queries. The bench working set is ≤2 GB on
+    // a 128 GB box, and a real cluster provisions local SSDs for shuffle —
+    // RAM-backed scratch is the local-mode equivalent, and the DuckDB
+    // comparator runs fully in memory at this SF. A/B on the shuffle-heavy
+    // subset (q2/q6/q19/q20/q56, alternated ×2): 1.88/1.68 s (shm) vs
+    // 2.03/1.92 s (disk). Falls back to the default tmpdir when absent.
+    val shm = new java.io.File("/dev/shm")
+    val localDir =
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/spark-graft-local")
+      else None
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = localDir.fold(b0)(d => b0.config("spark.local.dir", d)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The bench measures sf-scaled throughput on the testdata star. The
     // ss_* reference-workload queries run on the fixed-size superstore
     // warehouse (~10k rows regardless of SF) — they are correctness
     // surface (Verify + CORRECTNESS gate), not scaling surface, so they
     // are excluded here and in tools/bench_duckdb.py alike.
+    // SPARK_GRAFT_ONLY=q56_hash_sample,q19_dup_groups — builder-side A/B
+    // subset filter. Unset (the driver's invocation) = full suite; the
+    // attestation block below is also skipped when filtered so a subset
+    // run measures only its subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.filterNot(_._1.startsWith("ss_"))
+      .filter(q => only.forall(_.contains(q._1)))
       .sortBy(_._1)
 
     // Prepared-statement reuse: each query's DataFrame is constructed ONCE
@@ -147,7 +167,7 @@ object Bench {
     // documented bound (the specs' envelopes: 3σ of rsd=5% ⇒ 0.15
     // relative for HLL; 2·n/B rank error for approx_percentile(B=1000)).
     // Untimed — this is evidence harness, not operator cost.
-    val attest = try {
+    val attest = if (only.nonEmpty) "" else try {
       import org.apache.spark.sql.functions.{col, countDistinct}
       val approxD = SparkEntry.queries("q10b_approx_distinct")(spark, sfDir)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -177,8 +197,12 @@ object Bench {
             err("l_extendedprice", 0.9, approxP(g)._2))
       }.max
       def r3(x: Double) = math.rint(x * 1000) / 1000
-      s""","attestations":{"q10b_approx_distinct":{"measured_max_rel_err":${r3(relErr)},"bound":0.15,"within":${relErr <= 0.15}},""" +
-        s""""q29b_approx_percentiles":{"measured_max_rank_err_nB":${r3(rankErr)},"bound":2.0,"within":${rankErr <= 2.0}}}"""
+      // Compact keys — the stdout line must survive the driver's ~2000
+      // char tail capture (q10b err = max relative HLL error vs exact;
+      // q29b err = max rank-interval distance in n/B units; see
+      // EXPLAIN_r7 §8 for the metric definitions).
+      s""","attest":{"q10b":{"err":${r3(relErr)},"bound":0.15,"ok":${relErr <= 0.15}},""" +
+        s""""q29b":{"err":${r3(rankErr)},"bound":2.0,"ok":${rankErr <= 2.0}}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] attestation failed: ${e.getMessage}"); ""
     }

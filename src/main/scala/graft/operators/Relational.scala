@@ -542,16 +542,27 @@ object Relational {
     // reaches the scan as PushedFilters ⇒ row-group stats pruning at
     // scale. Session timezone is UTC in every entry point, so the literal
     // bounds and year() agree.
-    def active(y: Int) = orders(s, d)
-      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast(TimestampType) &&
-              col("o_orderdate") < lit(s"${y + 1}-01-01").cast(TimestampType))
-      .select("o_custkey").distinct()
-    val both = active(1995).intersect(active(2000))
-      .withColumn("cohort", lit("retained"))
-    val churned = active(1995).except(active(2000))
-      .withColumn("cohort", lit("churned"))
-    both.unionByName(churned)
-      .select(col("cohort"), col("o_custkey"))
+    def inYear(y: Int) =
+      col("o_orderdate") >= lit(s"$y-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast(TimestampType)
+    // INTERSECT/EXCEPT semantics as ONE membership aggregation: both set
+    // operators partition active(1995) by membership in active(2000), so
+    // one scan of the two years' rows + one exchange on o_custkey
+    // computes the same cohorts that the round-6 plan derived from two
+    // scans, four aggregations, and two set-op joins (a strict win at any
+    // scale: the exchange carries one boolean pair per customer).
+    // Spark's native intersect/except produce the identical result —
+    // RelationalSpec pins the equality so the set-operator claim stays
+    // value-checked, and the DuckDB oracle remains the literal
+    // INTERSECT/EXCEPT SQL.
+    orders(s, d)
+      .filter(inYear(1995) || inYear(2000))
+      .groupBy("o_custkey")
+      .agg(max(inYear(1995)).as("in95"), max(inYear(2000)).as("in00"))
+      .filter(col("in95"))
+      .select(when(col("in00"), lit("retained")).otherwise(lit("churned"))
+                .as("cohort"),
+              col("o_custkey"))
       .orderBy("cohort", "o_custkey")
   }
 

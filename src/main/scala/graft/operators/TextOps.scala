@@ -147,6 +147,7 @@ object TextOps {
   private def cappedShingleGroups(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     graft.functions.SortedPairs.register(s)
     graft.functions.BoundedDocSetAgg.register(s)
+    graft.Tuning.boundedObjectAgg(s) // bounded buffers ⇒ no 128-group sort fallback
     docsWide(s, d)
       .select(col("doc_id"), explode(word_shingles(col("text"))).as("shingle"))
       .groupBy("shingle")

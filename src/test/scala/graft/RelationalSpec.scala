@@ -24,6 +24,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(raw.getDouble(1) - merged.getDouble(1)) < 1e-4)
   }
 
+  test("q52 one-pass membership aggregation equals native INTERSECT/EXCEPT") {
+    import org.apache.spark.sql.types.TimestampType
+    def active(y: Int) = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast(TimestampType) &&
+              col("o_orderdate") < lit(s"${y + 1}-01-01").cast(TimestampType))
+      .select("o_custkey").distinct()
+    val setOps = active(1995).intersect(active(2000))
+      .withColumn("cohort", lit("retained"))
+      .unionByName(active(1995).except(active(2000))
+        .withColumn("cohort", lit("churned")))
+      .select(col("cohort"), col("o_custkey"))
+      .orderBy("cohort", "o_custkey")
+    val onePass = Relational.q52_set_ops(spark, sf)
+    assert(onePass.schema.fieldNames.toSeq == setOps.schema.fieldNames.toSeq)
+    assert(onePass.collect().toSeq == setOps.collect().toSeq,
+      "one-pass cohort result diverged from the intersect/except composition")
+  }
+
   test("q8 rollup TOTAL row equals the sum of segment rows") {
     val rows = Relational.q8_rollup_segment(spark, sf).collect()
     val total = rows.find(_.getString(0) == "TOTAL").get
