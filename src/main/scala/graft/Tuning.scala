@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Session tuning the library's operators apply for themselves, with the
   * reasoning recorded next to the number. */
@@ -31,5 +31,32 @@ object Tuning {
       try s.conf.get(key).toLong
       catch { case _: Exception => 128L }
     if (cur < want) s.conf.set(key, want.toString)
+  }
+
+  /** Presentation ORDER BY for outputs that are BOUNDED BY CONSTRUCTION —
+    * grouped on dictionary/calendar-cardinality keys (returnflag,
+    * priority, nation, year×month, …), so the result is ≤ a few thousand
+    * rows at ANY input scale. A global `orderBy` plans a RangePartitioning
+    * exchange whose boundary-sampling pass is an extra JOB before the sort
+    * stage — three driver round-trips to order rows that fit in one task.
+    * `coalesce(1)` + in-partition sort produces the identical global order
+    * (every call site sorts on the full, unique-per-row group key, so the
+    * order admits no tie ambiguity) with one task, zero exchanges, zero
+    * sampling. The final aggregation folds into the same single task,
+    * which is exactly where a bounded-group rollup wants to finish: its
+    * partial aggregates are already map-side-combined to ≤|groups| rows
+    * per upstream partition. NOT for unbounded outputs (per-order,
+    * per-document, per-pair results) — those keep the scalable range sort. */
+  def boundedOrderBy(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  /** `.boundedOrderBy(...)` drop-in for `.orderBy(...)` at the call sites
+    * whose outputs are bounded (see [[boundedOrderBy]]); both `orderBy`
+    * signatures mirrored. */
+  implicit class BoundedSortOps(private val df: DataFrame) extends AnyVal {
+    def boundedOrderBy(cols: Column*): DataFrame =
+      Tuning.boundedOrderBy(df, cols: _*)
+    def boundedOrderBy(c1: String, cs: String*): DataFrame =
+      Tuning.boundedOrderBy(df, (c1 +: cs).map(df.col): _*)
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables._
+import graft.Tuning.BoundedSortOps
 
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
   * with a decode/feature-extract stage as a partition-wise typed operator.
@@ -68,7 +69,7 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"),
            sum(col("meta.n_bytes")).as("total_bytes"),
            countDistinct(md5(col("payload"))).as("n_unique_blobs"))
-      .orderBy("source")
+      .boundedOrderBy("source")
 
   /** Feature-extraction query through the typed decode stage. The stub
     * features are deterministic byte functions, so they ARE SQL-expressible
@@ -80,7 +81,7 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"),
            sum(col("byte_sum")).as("total_byte_sum"),
            sum(col("fake_frames")).as("total_frames"))
-      .orderBy("source")
+      .boundedOrderBy("source")
 
   val queries: Map[String, Q] = Map(
     "q44_multimodal_meta"     -> q44_multimodal_meta,

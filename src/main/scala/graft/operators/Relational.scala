@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.Tables._
+import graft.Tuning.BoundedSortOps
 import graft.Num._
 
 /** Core relational operator inventory (SURVEY.md §2) re-expressed Spark-first
@@ -93,7 +94,7 @@ object Relational {
   /** F4 — multi-column distinct (etl.py:140,146,150…). */
   val q3_distinct: Q = (s, d) =>
     lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
-      .orderBy("l_returnflag", "l_linestatus")
+      .boundedOrderBy("l_returnflag", "l_linestatus")
 
   // ------------------------------------------- q4: broadcast dim join + agg
   /** J1/A2 — fact⋈dim lookup join (etl.py:452-496). The dimension is tiny at
@@ -106,7 +107,7 @@ object Relational {
       .agg(dsum(revenue).as("revenue"),
            dsum(money(col("l_quantity"))).as("total_qty"),
            count(lit(1)).as("n_items"))
-      .orderBy("p_brand")
+      .boundedOrderBy("p_brand")
 
   // --------------------------------------------------- q5: multi-hop chain
   /** J6 — Orders⋈Location⋈State⋈Region chain (DA:cell 4) → here
@@ -119,7 +120,7 @@ object Relational {
       .groupBy("r_name", "n_name")
       .agg(dsum(money(col("o_totalprice"))).as("total_sales"),
            count(lit(1)).as("n_orders"))
-      .orderBy("r_name", "n_name")
+      .boundedOrderBy("r_name", "n_name")
 
   // --------------------------------------- q6: role-playing calendar joins
   /** J2/J8/C5 — the reference's role-playing Calendar (order vs ship date,
@@ -170,7 +171,7 @@ object Relational {
         max(col("max_sd") - unix_date(col("oc.full_date"))).cast(IntegerType)
           .as("max_delay"),
         sum(col("n_items_o")).as("n_items"))
-      .orderBy("o_orderpriority")
+      .boundedOrderBy("o_orderpriority")
   }
 
   // ----------------------------------------------------- q7: calendar agg
@@ -181,7 +182,7 @@ object Relational {
                month(col("o_orderdate")).as("month_number"))
       .agg(dsum(money(col("o_totalprice"))).as("total_sales"),
            count(lit(1)).as("n_orders"))
-      .orderBy("year_number", "month_number")
+      .boundedOrderBy("year_number", "month_number")
 
   // --------------------------------------------------------- q8: rollup
   /** A9/C8 — GROUP BY ... WITH ROLLUP + GROUPING() relabel (DA:cell 8). */
@@ -195,7 +196,7 @@ object Relational {
       .select(
         when(col("g") === 1, lit("TOTAL")).otherwise(col("c_mktsegment")).as("segment"),
         col("total_sales"), col("n_orders"))
-      .orderBy("segment")
+      .boundedOrderBy("segment")
 
   // ------------------------------------------- q9: ordered string agg
   /** A10/C9 — GROUP_CONCAT(... ORDER BY sales DESC) + top-10 cut
@@ -210,7 +211,7 @@ object Relational {
       .agg(expr(
         "array_join(slice(transform(array_sort(collect_list(named_struct('s', -rev, 'n', p_name))), x -> x.n), 1, 5), ', ')"
       ).as("top_parts"))
-      .orderBy("p_brand")
+      .boundedOrderBy("p_brand")
 
   /** A10 via the typed bounded-buffer Aggregator (graft.functions
     * .TopKConcat) — identical semantics and oracle as q9, but the buffer
@@ -223,7 +224,7 @@ object Relational {
       .groupBy("p_brand")
       .agg(graft.functions.TopKConcat.top_k_concat(5)(col("rev"), col("p_name"))
         .as("top_parts"))
-      .orderBy("p_brand")
+      .boundedOrderBy("p_brand")
 
   // --------------------------------------------------- q10: distinct count
   /** A11 — per-group distinct count (etl.ipynb cells 10-11). At 100 TB the
@@ -236,7 +237,7 @@ object Relational {
       .groupBy("n_name")
       .agg(countDistinct(col("o_custkey")).as("n_customers"),
            count(lit(1)).as("n_orders"))
-      .orderBy("n_name")
+      .boundedOrderBy("n_name")
 
   /** A11 sketch twin — approx_count_distinct (HLL++). No DuckDB oracle:
     * sketch estimates are engine-specific; driver does a rows-only check. */
@@ -245,7 +246,7 @@ object Relational {
       .groupBy("o_orderstatus")
       .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
            count(lit(1)).as("n_orders"))
-      .orderBy("o_orderstatus")
+      .boundedOrderBy("o_orderstatus")
 
   // ------------------------------------- q11: pct-of-total + cumulative pct
   /** A12/W3 — scalar-subquery total + SUM(SUM()) OVER (ORDER BY) cumulative
@@ -264,7 +265,7 @@ object Relational {
               col("rev_d").cast(DoubleType).as("revenue"),
               (col("rev_d").cast(DoubleType) / col("total_d").cast(DoubleType) * 100).as("pct"),
               (col("cum_d").cast(DoubleType) / col("total_d").cast(DoubleType) * 100).as("cum_pct"))
-      .orderBy("n_name")
+      .boundedOrderBy("n_name")
   }
 
   // --------------------------------------------------------- q12: rank
@@ -287,7 +288,7 @@ object Relational {
       .filter(col("rnk") <= 10)
       .select(col("rnk"), col("p_partkey"), col("p_name"),
               col("rev_d").cast(DoubleType).as("revenue"))
-      .orderBy("rnk", "p_partkey")
+      .boundedOrderBy("rnk", "p_partkey")
 
   // ------------------------------------------- q13: running total (RANGE)
   /** W2 — SUM() OVER (PARTITION BY ... ORDER BY date) with the default
@@ -358,7 +359,7 @@ object Relational {
         month(col("full_date")).as("month_number"),
         date_format(col("full_date"), "MMMM").as("month_name"),
         dayofmonth(col("full_date")).as("day_number"))
-      .orderBy("calendar_id")
+      .boundedOrderBy("calendar_id")
 
   // --------------------------------------------- q17: customer dimension
   /** §7.3 — surrogate keys in *first-appearance* order, the reference's
@@ -388,7 +389,7 @@ object Relational {
       .groupBy("l_returnflag")
       .agg((sum(col("lost")).cast(DoubleType) / 10000).as("lost_value"),
            count(lit(1)).as("n_items"))
-      .orderBy("l_returnflag")
+      .boundedOrderBy("l_returnflag")
 
   // ----------------------------------------------- q19: HAVING on count
   /** F3/A1 — duplicate-group detection, filter on aggregate (etl.py:74-84). */
@@ -438,7 +439,7 @@ object Relational {
         (sum(money(col("l_discount")) * money(col("l_quantity"))).cast(DoubleType) /
           sum(money(col("l_quantity"))).cast(DoubleType)).as("discount_w"),
         dsum(money(col("l_quantity"))).as("total_qty"))
-      .orderBy("p_brand")
+      .boundedOrderBy("p_brand")
 
   // --------------------------------------------------- q23: event windows
   /** Time-bucketed event aggregation (the batch twin of the Structured
@@ -449,7 +450,7 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
            dsum(money(col("value"))).as("total_value"),
            countDistinct(col("user_id")).as("n_users"))
-      .orderBy("hour", "event_type")
+      .boundedOrderBy("hour", "event_type")
 
   // --------------------------------------------------- q24: JSON extract
   /** Semi-structured props column: JSON path extraction, codegen'd
@@ -461,7 +462,7 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"),
            count(lit(1)).as("n"),
            (sum(col("k")).cast(DoubleType) / count(lit(1))).as("avg_k"))
-      .orderBy("event_type")
+      .boundedOrderBy("event_type")
 
   // ------------------------------------------------- q29: percentiles
   /** Exact interpolated percentiles (median / p90) per group. Both engines
@@ -475,7 +476,7 @@ object Relational {
       .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
            expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
            count(lit(1)).as("n_items"))
-      .orderBy("l_returnflag")
+      .boundedOrderBy("l_returnflag")
 
   /** q29's sketch twin at 100 TB: approx_percentile (t-digest-style
     * quantile summary — mergeable, bounded memory, one pass). No DuckDB
@@ -489,7 +490,7 @@ object Relational {
       .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"),
            expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_price"),
            count(lit(1)).as("n_items"))
-      .orderBy("l_returnflag")
+      .boundedOrderBy("l_returnflag")
 
   // ----------------------------------------------- q50: cube + grouping_id
   /** Full CUBE with grouping-set ids — the generalization of the
@@ -507,7 +508,7 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         (col("g_rf") * 2 + col("g_ls")).cast(IntegerType).as("grouping_set"),
         col("total_sales"), col("n_items"))
-      .orderBy("grouping_set", "returnflag", "linestatus")
+      .boundedOrderBy("grouping_set", "returnflag", "linestatus")
 
   // --------------------------------------------- q51: lead/lag/ntile
   /** Offset + distribution window functions (absent from the reference's
@@ -528,7 +529,7 @@ object Relational {
               (col("sales_d") - col("prev_d")).cast(DoubleType).as("mom_delta"),
               col("next_d").cast(DoubleType).as("next_sales"),
               col("quartile"))
-      .orderBy("y", "m")
+      .boundedOrderBy("y", "m")
   }
 
   // --------------------------------------------- q52: intersect / except
@@ -580,7 +581,7 @@ object Relational {
               coalesce(col("F"), lit(0L)).as("n_f"),
               coalesce(col("O"), lit(0L)).as("n_o"),
               coalesce(col("P"), lit(0L)).as("n_p"))   // absent combo = 0, as FILTER-count
-      .orderBy("c_mktsegment")
+      .boundedOrderBy("c_mktsegment")
 
   // ----------------------------------------------------- q54: unpivot
   /** Unpivot/melt (long form of q53): per-part price components as

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.Tables._
+import graft.Tuning.BoundedSortOps
 import graft.Num.money
 import graft.functions.Md5Long.md5_long
 import graft.functions.WordShingles.word_shingles
@@ -63,7 +64,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_tok")).as("total_tokens"),
            (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
-      .orderBy("lang")
+      .boundedOrderBy("lang")
 
   // ------------------------------------------------------- quality scoring
   /** Per-document quality signals: token count, type-token (distinct)
@@ -110,7 +111,7 @@ object TextOps {
              ELSE 'unknown' END"""))
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy("lang", "predicted")
+      .boundedOrderBy("lang", "predicted")
   }
 
   // ------------------------------------------------- exact dedup (hash)
@@ -125,7 +126,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
            countDistinct(col("fp")).as("n_unique"),
            (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
-      .orderBy("lang")
+      .boundedOrderBy("lang")
 
   // -------------------------------------------- shared shingle machinery
   /** Distinct 3-gram word shingles per document, document-frequency
@@ -599,7 +600,7 @@ object TextOps {
       .agg(count(when(keep, 1)).as("n_sampled"),
            sum(when(keep, money(col("l_quantity")))).cast(DoubleType).as("sampled_qty"))
       .filter(col("n_sampled") > 0)
-      .orderBy("l_returnflag")
+      .boundedOrderBy("l_returnflag")
   }
 
   /** Train/validation/test split by content hash (80/10/10): the split
@@ -615,7 +616,7 @@ object TextOps {
                 ELSE 'test' END"""))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy("split", "lang")
+      .boundedOrderBy("split", "lang")
 
   /** Class-balanced downsampling: at most K examples per label, selected
     * by hash order (deterministic, unbiased within label) — the standard
@@ -630,7 +631,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_kept"),
            min(col("vec_id")).as("min_vec_id"),
            max(col("vec_id")).as("max_vec_id"))
-      .orderBy("label")
+      .boundedOrderBy("label")
   }
 
   // ===================================================================

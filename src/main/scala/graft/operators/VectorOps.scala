@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables._
+import graft.Tuning.BoundedSortOps
 import graft.functions.DotProduct.{dot_product, register}
 import graft.functions.TopKByScore.top_k_by_score
 
@@ -62,7 +63,7 @@ object VectorOps {
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), (col("pos") + 1).cast(IntegerType).as("rnk"),
               col("t._2").as("neighbor_id"), col("t._1").as("cosine"))
-      .orderBy("q_id", "rnk")
+      .boundedOrderBy("q_id", "rnk")
   }
 
   // --------------------------------------------------- sign-LSH buckets
@@ -78,7 +79,7 @@ object VectorOps {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"),
            countDistinct(col("label")).as("n_labels"))
-      .orderBy("bucket")
+      .boundedOrderBy("bucket")
 
   /** LSH-bucketed near-neighbor pairs: candidates share an 8-bit sign
     * bucket (the join is bucket-local, never all-pairs), verified by exact
@@ -152,7 +153,7 @@ object VectorOps {
     pred.groupBy("q_label")
       .agg(count(lit(1)).as("n_probes"),
            sum(when(col("predicted") === col("q_label"), 1).otherwise(0)).as("n_correct"))
-      .orderBy("q_label")
+      .boundedOrderBy("q_label")
   }
 
   // --------------------------------------------------------- IVF ANN
@@ -188,7 +189,7 @@ object VectorOps {
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), (col("pos") + 1).cast(IntegerType).as("rnk"),
               col("t._2").as("neighbor_id"), col("t._1").as("cosine"))
-      .orderBy("q_id", "rnk")
+      .boundedOrderBy("q_id", "rnk")
   }
 
   // ===================================================================

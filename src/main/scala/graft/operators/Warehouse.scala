@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.Tables._
+import graft.Tuning.BoundedSortOps
 import graft.Num._
 
 /** The reference's materialized-aggregate-fact layer (SURVEY.md §1.1: OrderM,
@@ -35,7 +36,7 @@ object Warehouse {
            count(lit(1)).as("n_orders"),
            (sum(money(col("o_totalprice"))).cast(DoubleType) / count(lit(1)))
              .as("avg_order_value"))
-      .orderBy("year_number", "month_number", "n_name")
+      .boundedOrderBy("year_number", "month_number", "n_name")
 
   // --------------------------------------- cumulative product performance
   /** ProductPerformance analog with the reference's *cumulative* measure
@@ -60,7 +61,7 @@ object Warehouse {
       .withColumn("cumulative_revenue", sum(col("rev_d")).over(w).cast(DoubleType))
       .select(col("p_brand"), col("year_number"), col("month_number"),
               col("rev_d").cast(DoubleType).as("revenue"), col("cumulative_revenue"))
-      .orderBy("p_brand", "year_number", "month_number")
+      .boundedOrderBy("p_brand", "year_number", "month_number")
   }
 
   // ------------------------------------------------- shipping behavior
@@ -89,7 +90,7 @@ object Warehouse {
                            col("o_orderdate").cast(DateType))).cast(DoubleType) /
               count(lit(1)) + 0.5).cast(IntegerType).as("avg_delay"),
         count(lit(1)).as("method_freq"))
-      .orderBy("o_orderpriority", "l_returnflag")
+      .boundedOrderBy("o_orderpriority", "l_returnflag")
 
   // ------------------------------------------------- event sessionization
   /** Gap-based sessionization (30-min inactivity): lag over the per-user
