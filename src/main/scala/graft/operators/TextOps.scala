@@ -556,9 +556,27 @@ object TextOps {
               explode(word_shingles(col("text"))).as("shingle"))
     val testShingles = sh.filter(col("h") >= 230).select("shingle").distinct()
     val train = sh.filter(col("h") < 204)
+    // Broadcast→shuffle swap for the TEST SHINGLE SET (same live-budget
+    // pattern as jaccardPairs' sizes table): the test split is ~10% of
+    // docs and its distinct shingles grow with the corpus, so a forced
+    // broadcast would eventually OOM the driver at corpus scale. The set's
+    // cardinality is unknowable pre-execution (it is itself a distinct),
+    // so the decision uses a CONSERVATIVE upper-bound estimate from
+    // parquet footer metadata alone: |test docs| × ~200 distinct shingles
+    // × ~24 B. Under the session broadcast budget → broadcast (the right
+    // plan while the benchmark/test suite is bounded — the common case: a
+    // decontamination list is fixed while the train corpus grows); over
+    // it → plain shuffle left-outer on the shingle, same result
+    // (spec-pinned below in TextOpsSpec).
+    val nDocs = documents(s, d).count() // footer read, not a scan
+    val estTestBytes = (nDocs * 26L / 256L) * 200L * 24L
+    val bcBudget = s.sessionState.conf.autoBroadcastJoinThreshold
+    val testSide = testShingles.withColumn("hit", lit(1))
+    val sized =
+      if (bcBudget > 0 && estTestBytes <= bcBudget) broadcast(testSide)
+      else testSide
     train
-      .join(broadcast(testShingles.withColumn("hit", lit(1))),
-            Seq("shingle"), "left_outer")
+      .join(sized, Seq("shingle"), "left_outer")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
            sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))

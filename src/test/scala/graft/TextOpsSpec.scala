@@ -42,6 +42,15 @@ class TextOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("test-shingle broadcast→shuffle swap leaves q38 results identical") {
+    val bc = TextOps.q38_decontamination(spark, sf).collect().map(_.toSeq)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val sh = TextOps.q38_decontamination(spark, sf).collect().map(_.toSeq)
+      assert(sh.sameElements(bc), "swap changed the contamination result")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("minhash LSH recalls the high-jaccard near-dup pairs") {
     val exact = TextOps.q34_ngram_jaccard(spark, sf)
       .filter(col("jaccard") >= 0.9)
