@@ -49,6 +49,45 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+
+  /** Footer row count per (session, path) — `count()` on an unfiltered,
+    * unprojected parquet scan is answered from file metadata (no data
+    * pages read); memoized because broadcast sizing consults it at every
+    * query construction. */
+  private val rowCounts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+  private def tableRows(s: SparkSession, d: String, name: String): Long = {
+    rowCounts.keySet.removeIf { case (ses, _) => ses.sparkContext.isStopped }
+    rowCounts.computeIfAbsent((s, s"$d/$name.parquet"),
+      _ => table(s, d, name).count()).longValue()
+  }
+
+  /** Budget-checked dimension broadcast. `customer` and `part` GROW with
+    * the data (unlike nation/region/calendar, which are bounded forever),
+    * so an unconditional `broadcast(...)` hint is a scale bug: past the
+    * executor/driver budget it OOMs rather than degrading. The decision
+    * is metadata-only — footer row count × a conservative in-memory row
+    * width against the session broadcast budget; under it → hinted
+    * broadcast (the right plan at bench scale and for any genuinely small
+    * dimension), over it → the plain table, which the planner shuffles
+    * like any fact-to-fact join. Mirrors the live swaps in
+    * TextOps.jaccardPairs (sizes) and q38 (test shingles); spec-pinned
+    * result equality in RelationalSpec. */
+  def dimBroadcast(s: SparkSession, d: String, name: String,
+                   rowBytes: Long): DataFrame = {
+    val t = table(s, d, name)
+    val budget = s.sessionState.conf.autoBroadcastJoinThreshold
+    if (budget > 0 && tableRows(s, d, name) * rowBytes <= budget) broadcast(t)
+    else t
+  }
+  /** ~in-memory row widths: all columns, UnsafeRow layout, strings at
+    * observed average lengths (TESTDATA.md schemas). Deliberately high —
+    * past-budget means "stop broadcasting", so overestimating flips early
+    * (safe); underestimating OOMs. */
+  def customerB(s: SparkSession, d: String): DataFrame =
+    dimBroadcast(s, d, "customer", rowBytes = 160)
+  def partB(s: SparkSession, d: String): DataFrame =
+    dimBroadcast(s, d, "part", rowBytes = 160)
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects by default. Read nanos as long and rebuild a (µs)
     * TimestampType column — same truncation DuckDB applies to ns. */

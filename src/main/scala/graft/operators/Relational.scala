@@ -102,7 +102,7 @@ object Relational {
     * on a 1000-executor cluster. */
   val q4_brand_revenue: Q = (s, d) =>
     lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(partB(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(dsum(revenue).as("revenue"),
            dsum(money(col("l_quantity"))).as("total_qty"),
@@ -114,7 +114,7 @@ object Relational {
     * orders⋈customer⋈nation⋈region; all dims broadcast. */
   val q5_region_revenue: Q = (s, d) =>
     orders(s, d)
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customerB(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -188,7 +188,7 @@ object Relational {
   /** A9/C8 — GROUP BY ... WITH ROLLUP + GROUPING() relabel (DA:cell 8). */
   val q8_rollup_segment: Q = (s, d) =>
     orders(s, d)
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customerB(s, d), col("o_custkey") === col("c_custkey"))
       .rollup(col("c_mktsegment"))
       .agg(dsum(money(col("o_totalprice"))).as("total_sales"),
            count(lit(1)).as("n_orders"),
@@ -204,7 +204,7 @@ object Relational {
     * project the name, slice, join. No UDF, no collect to driver. */
   val q9_top_parts_concat: Q = (s, d) =>
     lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(partB(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_name")
       .agg(sum(revenue).as("rev"))
       .groupBy("p_brand")
@@ -218,7 +218,7 @@ object Relational {
     * holds ≤5 elements instead of the whole group (the 100 TB-safe form). */
   val q9b_topk_aggregator: Q = (s, d) =>
     lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(partB(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_name")
       .agg(sum(revenue).cast(DoubleType).as("rev"))
       .groupBy("p_brand")
@@ -232,7 +232,7 @@ object Relational {
     * is approx_count_distinct (exposed in q10b below, rows-only check). */
   val q10_distinct_customers: Q = (s, d) =>
     orders(s, d)
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customerB(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(countDistinct(col("o_custkey")).as("n_customers"),
@@ -254,7 +254,7 @@ object Relational {
     * fact table — the expensive part stays a plain shuffle-once groupBy. */
   val q11_pct_of_total: Q = (s, d) => {
     val agg = orders(s, d)
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customerB(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(sum(money(col("o_totalprice"))).as("rev_d"))
@@ -283,7 +283,7 @@ object Relational {
       // aggregate boundary — see revenueE4.
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(e4ToDecimal(sum(revenueE4)).as("rev_d"))
-      .join(broadcast(part(s, d).select("p_partkey", "p_name")), Seq("p_partkey"))
+      .join(partB(s, d).select("p_partkey", "p_name"), Seq("p_partkey"))
       .withColumn("rnk", rank().over(Window.orderBy(col("rev_d").desc)).cast(IntegerType))
       .filter(col("rnk") <= 10)
       .select(col("rnk"), col("p_partkey"), col("p_name"),
@@ -297,7 +297,7 @@ object Relational {
   val q13_running_sales: Q = (s, d) => {
     val w = Window.partitionBy("n_name").orderBy("order_date")
     orders(s, d)
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customerB(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("o_orderdate").cast(DateType).as("order_date"),
               col("o_orderkey"), col("o_totalprice"))
@@ -317,7 +317,7 @@ object Relational {
     val base = lineitem(s, d)
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(e4ToDecimal(sum(revenueE4)).as("rev_d"))   // long e4 hot path, cf. q12
-      .join(broadcast(part(s, d).select("p_partkey", "p_type")), Seq("p_partkey"))
+      .join(partB(s, d).select("p_partkey", "p_type"), Seq("p_partkey"))
     val wRun = Window.partitionBy("p_type")
       .orderBy(col("rev_d").desc, col("p_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -369,7 +369,7 @@ object Relational {
     orders(s, d)
       .groupBy("o_custkey")
       .agg(min(col("o_orderkey")).as("first_seen"))
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customerB(s, d), col("o_custkey") === col("c_custkey"))
       .select(
         row_number().over(Window.orderBy("first_seen")).cast(IntegerType).as("customer_sk"),
         col("c_custkey"), col("c_name"), col("c_mktsegment"), col("first_seen"))
@@ -433,7 +433,7 @@ object Relational {
   /** A6 — quantity-weighted mean discount (etl.py:110-112) per brand. */
   val q22_weighted_discount: Q = (s, d) =>
     lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(partB(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(
         (sum(money(col("l_discount")) * money(col("l_quantity"))).cast(DoubleType) /
@@ -573,7 +573,7 @@ object Relational {
     * scale-safe form (value discovery would need an extra pass). */
   val q53_pivot_status: Q = (s, d) =>
     orders(s, d)
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customerB(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)))

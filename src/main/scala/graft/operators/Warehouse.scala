@@ -27,7 +27,7 @@ object Warehouse {
     * fact. */
   val q26_order_month: Q = (s, d) =>
     orders(s, d)
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customerB(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(year(col("o_orderdate")).as("year_number"),
                month(col("o_orderdate")).as("month_number"),
@@ -45,7 +45,7 @@ object Warehouse {
     * Partitioned by brand ⇒ the window parallelizes across the cluster. */
   val q27_product_performance: Q = (s, d) => {
     val base = lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(partB(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"),
                year(col("l_shipdate")).as("year_number"),
                month(col("l_shipdate")).as("month_number"))

@@ -42,6 +42,19 @@ class RelationalSpec extends AnyFunSuite {
       "one-pass cohort result diverged from the intersect/except composition")
   }
 
+  test("dimension broadcast budget swap leaves q4/q5 results identical") {
+    val bc4 = Relational.q4_brand_revenue(spark, sf).collect().map(_.toSeq)
+    val bc5 = Relational.q5_region_revenue(spark, sf).collect().map(_.toSeq)
+    // a 1-byte budget forces customerB/partB onto the plain-join path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val sh4 = Relational.q4_brand_revenue(spark, sf).collect().map(_.toSeq)
+      val sh5 = Relational.q5_region_revenue(spark, sf).collect().map(_.toSeq)
+      assert(sh4.sameElements(bc4), "q4 changed under the plain-join path")
+      assert(sh5.sameElements(bc5), "q5 changed under the plain-join path")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q8 rollup TOTAL row equals the sum of segment rows") {
     val rows = Relational.q8_rollup_segment(spark, sf).collect()
     val total = rows.find(_.getString(0) == "TOTAL").get
