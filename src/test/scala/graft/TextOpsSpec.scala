@@ -32,6 +32,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(p.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
   }
 
+  test("object-agg sort-fallback path equals the hash path on q34") {
+    // Tuning.boundedObjectAgg raises the fallback threshold at query
+    // CONSTRUCTION; the exec reads it at RUNTIME. Construct first, then
+    // force a 1-group threshold so execution takes the sort-based
+    // fallback — the degradation mode past 1M resident groups must be
+    // value-identical to the hashed path.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val hashed = TextOps.q34_ngram_jaccard(spark, sf).collect().map(_.toSeq)
+    val df = TextOps.q34_ngram_jaccard(spark, sf)
+    spark.conf.set(key, "1")
+    try {
+      val sorted = df.collect().map(_.toSeq)
+      assert(sorted.sameElements(hashed), "sort fallback changed the pair set")
+    } finally spark.conf.unset(key)
+  }
+
   test("sizes broadcast→shuffle swap leaves q34 results identical") {
     val bc = TextOps.q34_ngram_jaccard(spark, sf).collect().map(_.toSeq)
     // a 1-byte budget forces the live swap condition onto the shuffle path
