@@ -48,9 +48,21 @@ object Bench {
     // comparator runs fully in memory at this SF. A/B on the shuffle-heavy
     // subset (q2/q6/q19/q20/q56, alternated ×2): 1.88/1.68 s (shm) vs
     // 2.03/1.92 s (disk). Falls back to the default tmpdir when absent.
+    // Gated (round 8, ADVICE): tmpfs fails with ENOSPC instead of
+    // degrading to disk, and is typically capped at 50% of RAM — so the
+    // RAM scratch engages only with ≥16 GiB free headroom (~8× the
+    // sf0.1–sf3 shuffle footprint; a box that can't spare that should
+    // measure on its normal tmpdir). SPARK_GRAFT_SHM=0 forces it off,
+    // =1 forces it on regardless of headroom.
     val shm = new java.io.File("/dev/shm")
+    val shmUsable = shm.isDirectory && shm.canWrite
+    val shmOk = sys.env.getOrElse("SPARK_GRAFT_SHM", "auto") match {
+      case "0" | "off" => false
+      case "1" | "on"  => shmUsable
+      case _           => shmUsable && shm.getUsableSpace >= (16L << 30)
+    }
     val localDir =
-      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/spark-graft-local")
+      if (shmOk) Some("/dev/shm/spark-graft-local")
       else None
     val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,11 +101,28 @@ object Bench {
     // construction ~60×.
     //
     // EXCEPTION: queries whose CONSTRUCTION runs Spark jobs (eager
-    // localCheckpoint / driver union-find: q36's simhash materialization,
-    // q37's edge set + connected components) are rebuilt every pass —
-    // reusing them would move real per-query compute out of the timed
-    // region, which would not be a measurement.
-    val rebuildEachPass = Set("q36_simhash_pairs", "q37_neardup_clusters")
+    // localCheckpoint / driver union-find: the shared shingle index behind
+    // q34/q35/q37, q36's simhash materialization, q37's connected
+    // components) are rebuilt every pass — reusing them would move real
+    // per-query compute out of the timed region, which would not be a
+    // measurement.
+    //
+    // SHARED-INDEX ACCOUNTING (round 8, disclosed): q34/q35/q37 run over
+    // ONE materialized shingle index (and q34/q37 over one pair table) per
+    // pass — the pipeline shape a real dedup deployment uses; the cache is
+    // invalidated at the start of every timed pass, so each pass pays the
+    // full index+pair build exactly once, inside the timed region,
+    // attributed to the first family member that runs (q34 by sort order;
+    // q35/q37 then measure their incremental cost). The DuckDB comparator
+    // keeps PER-QUERY ISOLATION — its q34/q35/q37 each recompute the
+    // shingle CTE — so the per-family totals are pipeline-vs-isolated;
+    // the asymmetry is documented here and in NOTES_r8/EXPLAIN_r8 rather
+    // than hidden in either direction. (Mirroring the sharing into DuckDB
+    // via temp tables would change its correctness-oracle SQL; keeping
+    // the oracle text identical to the CORRECTNESS gate was judged more
+    // valuable than comparator symmetry.)
+    val rebuildEachPass = Set("q34_ngram_jaccard", "q35_minhash_lsh",
+      "q36_simhash_pairs", "q37_neardup_clusters")
 
     val failed = scala.collection.mutable.Set[String]()
     val prepared = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
@@ -115,6 +144,9 @@ object Bench {
       .withDefaultValue(Vector.empty)
     (1 to passes).foreach { _ =>
       System.gc()
+      // drop the shared shingle index: each pass re-pays the build (see
+      // SHARED-INDEX ACCOUNTING above)
+      graft.operators.TextOps.invalidateSharedIndex()
       queries.foreach { case (name, fn) =>
         if (!failed(name)) {
           val t0 = System.nanoTime()

@@ -50,17 +50,49 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
 
-  /** Footer row count per (session, path) — `count()` on an unfiltered,
-    * unprojected parquet scan is answered from file metadata (no data
-    * pages read); memoized because broadcast sizing consults it at every
-    * query construction. */
+  /** Footer row count per (session, path, file footprint) — `count()` on
+    * an unfiltered, unprojected parquet scan is answered from file
+    * metadata (no data pages read); memoized because broadcast sizing
+    * consults it at every query construction. NOTE this runs an EAGER
+    * Spark job (a footer-only one) the first time a path is seen — a
+    * deliberate side effect in otherwise-lazy builders, because the
+    * broadcast decision must be made at plan-construction time. The cache
+    * key includes a (length, mtime) footprint of the files, so a path
+    * rewritten mid-session (test regenerations) re-counts instead of
+    * serving a stale cardinality into the broadcast budget check —
+    * re-broadcasting a now-over-budget table is exactly the OOM this
+    * machinery exists to prevent. (The resolved-scan cache above still
+    * assumes immutable paths; rewriters must call clearCaches.) */
   private val rowCounts =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), java.lang.Long]
+  private[graft] def pathStamp(p: String): Long = {
+    def stamp(f: java.io.File): Long =
+      f.lastModified() ^ (f.length() * 2654435761L)
+    val f = new java.io.File(p)
+    val files = if (f.isDirectory) f.listFiles() else Array(f)
+    if (files == null) 0L else files.filter(_.isFile).map(stamp).sum
+  }
   private def tableRows(s: SparkSession, d: String, name: String): Long = {
-    rowCounts.keySet.removeIf { case (ses, _) => ses.sparkContext.isStopped }
-    rowCounts.computeIfAbsent((s, s"$d/$name.parquet"),
+    rowCounts.keySet.removeIf { case (ses, _, _) => ses.sparkContext.isStopped }
+    val p = s"$d/$name.parquet"
+    rowCounts.computeIfAbsent((s, p, pathStamp(p)),
       _ => table(s, d, name).count()).longValue()
   }
+
+  /** Σ n_chars over `documents` — exact corpus text volume from a single
+    * column-pruned scan, memoized per (session, path, footprint); q38's
+    * broadcast-estimate consults it. Same eager-job caveat as tableRows,
+    * and unlike tableRows this one reads a data column (still one narrow
+    * column of a table the consumer is about to scan in full). */
+  def documentsCharSum(s: SparkSession, d: String): Long = {
+    charSums.keySet.removeIf { case (ses, _, _) => ses.sparkContext.isStopped }
+    val p = s"$d/documents.parquet"
+    charSums.computeIfAbsent((s, p, pathStamp(p)),
+      _ => documents(s, d).agg(sum(col("n_chars")).cast(LongType))
+             .head.getLong(0)).longValue()
+  }
+  private val charSums =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), java.lang.Long]
 
   /** Budget-checked dimension broadcast. `customer` and `part` GROW with
     * the data (unlike nation/region/calendar, which are bounded forever),

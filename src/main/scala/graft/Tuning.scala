@@ -10,28 +10,63 @@ object Tuning {
     * SORT-based aggregation after
     * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` distinct
     * groups per task — default 128, sized for UNBOUNDED object buffers
-    * (`collect_list` can hold anything). Every object aggregate in this
-    * library carries a buffer bounded BY CONSTRUCTION — `bounded_doc_set`
-    * ≤ cap+1 longs (≈0.5 KB at cap=50), `top_k_by_score` ≤ k
-    * (score,id,label) tuples — so the hash map stays ≤ ~0.5 GB/task even
+    * (`collect_list` can hold anything). The shingle df-cap aggregate
+    * carries a buffer bounded BY CONSTRUCTION (`bounded_doc_set` ≤ cap+1
+    * longs ≈ 0.5 KB at cap=50), so its hash map stays ≤ ~0.5 GB/task even
     * at 1M resident groups and the fallback only costs CPU: on the q35
     * df-cap stage (sf0.1, 32 tasks) the sort path measured 41.3 CPU-s vs
     * 16.6 CPU-s hashed — the fallback was re-sorting the full exploded
     * shingle set, the exact cost the single-pass df-cap exists to delete.
     *
+    * The raised threshold is SCOPED, not session-wide (round 8): the exec
+    * reads the conf at runtime from the ACTING session, so a session-wide
+    * set from a per-query builder would also govern every later
+    * ObjectHashAggregate in the session — including genuinely unbounded
+    * collect_list buffers (q9's per-brand part lists, user queries) whose
+    * memory guard the 128 default IS. Bounded-buffer queries are instead
+    * built (and therefore executed) against a memoized CHILD session
+    * (`newSession`: own conf, shared context/catalog) that carries the
+    * override; the parent's conf is never touched. The child re-mirrors
+    * the parent's runtime conf on every access, so conf the caller sets
+    * between constructions (broadcast budgets in the forced-swap specs,
+    * shuffle widths) applies identically — the ONE divergence is the
+    * fallback threshold.
+    *
     * 1M (1<<20) keeps the worst case inside the 1 GB/core envelope the
     * sf1 heap audit pinned; past it the fallback re-engages, which
-    * degrades to sorting (round-6 behavior) instead of failing. Called by
-    * the query builders whose aggregates are bounded; never lowers a
-    * user-raised value. */
-  def boundedObjectAgg(s: SparkSession): Unit = {
+    * degrades to sorting (round-6 behavior) instead of failing. To force
+    * the fallback in a test, set the key on `df.sparkSession` (the child),
+    * not the parent. */
+  def boundedAggSession(s: SparkSession): SparkSession = {
+    boundedChildren.keySet.removeIf(_.sparkContext.isStopped)
+    // a bounded child asked for its own bounded session is itself (keeps
+    // builders composable without stacking sessions)
+    if (boundedChildren.containsValue(s)) return s
+    val child = boundedChildren.computeIfAbsent(s, p => p.newSession())
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val parentAll = s.conf.getAll
+    // authoritative mirror: a key the parent UNSET since the last sync
+    // must not survive as a stale child override (the forced-swap specs
+    // set-then-unset broadcast budgets on the parent)
+    child.conf.getAll.foreach { case (k, _) =>
+      if (k != key && !parentAll.contains(k))
+        try child.conf.unset(k)
+        catch { case _: Exception => () }
+    }
+    parentAll.foreach { case (k, v) =>
+      if (!child.conf.getOption(k).contains(v))
+        try child.conf.set(k, v)
+        catch { case _: Exception => () } // static confs are not settable
+    }
     val want = 1L << 20
     val cur =
-      try s.conf.get(key).toLong
+      try child.conf.get(key).toLong
       catch { case _: Exception => 128L }
-    if (cur < want) s.conf.set(key, want.toString)
+    if (cur < want) child.conf.set(key, want.toString)
+    child
   }
+  private val boundedChildren =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]
 
   /** Presentation ORDER BY for outputs that are BOUNDED BY CONSTRUCTION —
     * grouped on dictionary/calendar-cardinality keys (returnflag,

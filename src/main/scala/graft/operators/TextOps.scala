@@ -145,15 +145,68 @@ object TextOps {
     * form; consumers explode `g.docs` (q35 minhash) or generate candidate
     * pairs in-row (q34/q37 via sorted_pairs), which replaces the round-6
     * shingle self-join outright. */
-  private def cappedShingleGroups(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+  private def cappedShingleGroups(s0: SparkSession, d: String, dfCap: Int): DataFrame = {
+    // Built (⇒ executed) against the bounded-agg CHILD session: the raised
+    // object-agg fallback threshold is scoped there, so the parent session
+    // keeps the 128-group memory guard for unbounded collect_list buffers
+    // (see Tuning.boundedAggSession). Every consumer chain roots at this
+    // DataFrame, so the whole query executes under the child's conf.
+    val s = graft.Tuning.boundedAggSession(s0)
     graft.functions.SortedPairs.register(s)
     graft.functions.BoundedDocSetAgg.register(s)
-    graft.Tuning.boundedObjectAgg(s) // bounded buffers ⇒ no 128-group sort fallback
     docsWide(s, d)
       .select(col("doc_id"), explode(word_shingles(col("text"))).as("shingle"))
       .groupBy("shingle")
       .agg(graft.functions.BoundedDocSetAgg.bounded_doc_set(dfCap)(col("doc_id")).as("g"))
       .filter(col("g.n") <= dfCap)
+  }
+
+  // ---------------------------------------- shared MATERIALIZED index
+  /** Pipeline sharing (round 8): a dedup pipeline computes the shingle
+    * index ONCE over a corpus snapshot and runs its dedup operators
+    * (Jaccard pairs, MinHash/LSH, clustering) over it — recomputing the
+    * exploded-shingle aggregation per operator is pure waste at any scale
+    * (at 100 TB the index would be a persisted table like IvfIndex's; in
+    * a session it is a localCheckpoint). Memoized per (parent session,
+    * dir, dfCap, file footprint); the derived Jaccard-pair table is
+    * likewise shared (q34's pair set IS q37's edge set by definition).
+    * The pair-table key also carries the plan-shaping confs consulted at
+    * construction (broadcast budget, shuffle width), so conf-doctoring
+    * specs get a fresh build on their path instead of a stale cached
+    * plan. [[invalidateSharedIndex]] drops everything — Bench calls it
+    * per timed pass so the index build stays inside the timed region
+    * exactly once per pass (the honest pipeline cost; see Bench's
+    * measurement notes). */
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Long), DataFrame]
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Long, Long, Int, Long), DataFrame]
+
+  private[graft] def invalidateSharedIndex(): Unit = {
+    groupCache.clear(); pairCache.clear()
+  }
+
+  private def sharedCappedGroups(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    // re-sync the child conf even on a cache hit: consumers execute under
+    // the child session, which must mirror parent conf set since the
+    // index was materialized (broadcast budgets, shuffle widths)
+    graft.Tuning.boundedAggSession(s)
+    groupCache.keySet.removeIf { case (ses, _, _, _) => ses.sparkContext.isStopped }
+    groupCache.computeIfAbsent((s, d, dfCap, graft.Tables.pathStamp(s"$d/documents.parquet")),
+      _ => cappedShingleGroups(s, d, dfCap).localCheckpoint(true))
+  }
+
+  private def sharedJaccardPairs(s: SparkSession, d: String,
+                                 dfCap: Int, threshold: Double): DataFrame = {
+    graft.Tuning.boundedAggSession(s) // conf re-sync — see sharedCappedGroups
+    pairCache.keySet.removeIf { case (ses, _, _, _, _, _, _) => ses.sparkContext.isStopped }
+    val key = (s, d, dfCap, java.lang.Double.doubleToLongBits(threshold),
+      s.sessionState.conf.autoBroadcastJoinThreshold,
+      s.sessionState.conf.numShufflePartitions,
+      graft.Tables.pathStamp(s"$d/documents.parquet"))
+    pairCache.computeIfAbsent(key,
+      _ => jaccardPairsFrom(s, d, sharedCappedGroups(s, d, dfCap), threshold)
+             .localCheckpoint(true))
   }
 
   private def shinglesSql(dfCap: Int): String =
@@ -172,7 +225,7 @@ object TextOps {
     * The shingle self-join is the scale-limiting step — bounded by the
     * document-frequency cap, never by corpus size squared. */
   val q34_ngram_jaccard: Q = (s, d) =>
-    jaccardPairs(s, d, dfCap = 50, threshold = 0.2)
+    sharedJaccardPairs(s, d, dfCap = 50, threshold = 0.2)
       .select("d1", "d2", "n_common", "jaccard")
       .orderBy("d1", "d2")
 
@@ -196,9 +249,16 @@ object TextOps {
     * subtree feeds a diamond (pairs
     * + sizes); AQE's runtime stage reuse dedups the canonically-equal
     * shuffle map sides, so no materialization is needed. */
-  private def jaccardPairs(s: SparkSession, d: String,
-                           dfCap: Int, threshold: Double): DataFrame = {
-    val capped = cappedShingleGroups(s, d, dfCap)
+  /** Lazy (non-memoized) pair pipeline — the building block behind
+    * [[sharedJaccardPairs]], kept package-visible so specs can execute
+    * the aggregation under doctored runtime conf (the memoized form runs
+    * it eagerly at construction, before a spec can flip a conf). */
+  private[graft] def jaccardPairs(s: SparkSession, d: String,
+                                  dfCap: Int, threshold: Double): DataFrame =
+    jaccardPairsFrom(s, d, cappedShingleGroups(s, d, dfCap), threshold)
+
+  private def jaccardPairsFrom(s: SparkSession, d: String,
+                               capped: DataFrame, threshold: Double): DataFrame = {
     val sizes = capped.select(explode(col("g.docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // Broadcast→shuffle SWAP, decided per run (round 7 — previously a
@@ -250,8 +310,10 @@ object TextOps {
     // (digest → nibble slice → long, no hex-string round trip). All 16
     // family hashes are computed ONCE PER DISTINCT SHINGLE on the capped
     // group row (~10× fewer digests than per-occurrence hashing at
-    // sf0.1), then fanned to the member docs by exploding g.docs.
-    val hashed = cappedShingleGroups(s, d, dfCap = 50)
+    // sf0.1), then fanned to the member docs by exploding g.docs. The
+    // groups come from the SHARED materialized index (one build per
+    // pipeline session, not one per dedup operator).
+    val hashed = sharedCappedGroups(s, d, dfCap = 50)
       .select(col("g.docs").as("docs"),
               md5_long(col("shingle"), 0, 12).as("h1"),
               md5_long(col("shingle"), 12, 12).as("h2"))
@@ -372,17 +434,18 @@ object TextOps {
     * shingle pipeline. Oracle: recursive CTE in DuckDB computing min
     * reachable label over the same pair graph. */
   val q37_neardup_clusters: Q = (s, d) => {
-    // edges = q34's Jaccard pairs (shared jaccardPairs pipeline: df-cap
-    // 50, threshold 0.2), symmetrized. Checkpoint the DIRECTED pairs,
-    // not the symmetrized union: union's two branches are separate plan
-    // subtrees, so symmetrize-then-checkpoint evaluated the whole pair
-    // pipeline twice (stage reuse shares only the shuffle map sides);
-    // the union over the materialized checkpoint is a cheap rescan.
-    val pairs = jaccardPairs(s, d, dfCap = 50, threshold = 0.2)
+    // edges = q34's Jaccard pairs — the SAME shared materialized pair
+    // table (q37 is by definition the clustering of q34's pair set; a
+    // pipeline computes it once). The shared table is already a
+    // localCheckpoint, so the symmetrizing union below is a cheap rescan
+    // of the materialized rows, not a second pipeline evaluation.
+    val pairs = sharedJaccardPairs(s, d, dfCap = 50, threshold = 0.2)
       .select("d1", "d2")
-      .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
-    documents(s, d).select(col("doc_id"))
+    // root the final chain on the SAME session as the pair pipeline (the
+    // bounded-agg child) so one conf governs the whole query at runtime
+    val bs = pairs.sparkSession
+    documents(bs, d).select(col("doc_id"))
       .join(connectedComponents(edges), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("cluster_size",
@@ -561,15 +624,21 @@ object TextOps {
     // docs and its distinct shingles grow with the corpus, so a forced
     // broadcast would eventually OOM the driver at corpus scale. The set's
     // cardinality is unknowable pre-execution (it is itself a distinct),
-    // so the decision uses a CONSERVATIVE upper-bound estimate from
-    // parquet footer metadata alone: |test docs| × ~200 distinct shingles
-    // × ~24 B. Under the session broadcast budget → broadcast (the right
-    // plan while the benchmark/test suite is bounded — the common case: a
-    // decontamination list is fixed while the train corpus grows); over
-    // it → plain shuffle left-outer on the shingle, same result
-    // (spec-pinned below in TextOpsSpec).
-    val nDocs = documents(s, d).count() // footer read, not a scan
-    val estTestBytes = (nDocs * 26L / 256L) * 200L * 24L
+    // so the decision uses a PROVABLE upper bound from an exact data
+    // statistic (round 8, ADVICE: the previous ~200-shingles/doc constant
+    // under-estimated for long documents — the unsafe direction). With
+    // C = Σ n_chars over the test split: every character appears in ≤ 3
+    // of the 3-gram shingle strings (string payload ≤ 3·C, and distinct
+    // only shrinks it), and |shingles| ≤ |tokens| ≤ C/2 (a token is ≥ 1
+    // char + 1 separator) at ≤ 16 B row overhead each (≤ 8·C) — so the
+    // broadcast set is ≤ 11·C bytes, from one memoized column-pruned scan
+    // of n_chars (Tables.documentsCharSum). Under the session broadcast
+    // budget → broadcast (the right plan while the benchmark/test suite
+    // is bounded — the common case: a decontamination list is fixed while
+    // the train corpus grows); over it → plain shuffle left-outer on the
+    // shingle, same result (spec-pinned below in TextOpsSpec).
+    val testChars = graft.Tables.documentsCharSum(s, d) * 26L / 256L
+    val estTestBytes = testChars * 11L
     val bcBudget = s.sessionState.conf.autoBroadcastJoinThreshold
     val testSide = testShingles.withColumn("hit", lit(1))
     val sized =

@@ -165,7 +165,18 @@ object VectorOps {
     * exact cosine re-rank inside the probed cells. The persisted centroids
     * are the oracle boundary: DuckDB replays assignment + probe + re-rank
     * from the same centroid doubles, so this IS hash-checked. */
-  val q46_ivf_ann: Q = (s, d) => {
+  val q46_ivf_ann: Q = (s, d) =>
+    ivfSearch(s, d, nprobe = IvfIndex.NProbe, k = 3)
+
+  /** Parameterized IVF search (round 8): `nprobe` nearest cells per query,
+    * exact cosine re-rank inside the probed cells, top-`k` out. The
+    * recall/latency trade a real ANN surface exposes: more probe cells →
+    * monotonically more of the exact neighborhood recovered (the
+    * candidate set only grows) at proportionally more cells scanned —
+    * nprobe/K of the corpus per query. Bench attests recall@10 vs the
+    * exact scan for nprobe ∈ {1,2,4}; IvfSpec pins monotonicity and the
+    * nprobe=K ≡ exact-scan identity. */
+  def ivfSearch(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
     register(s)
     val idx = IvfIndex.ensure(s, d)
     val cent = broadcast(IvfIndex.centroids(s, idx))
@@ -177,7 +188,7 @@ object VectorOps {
         "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("d2"), col("cid"))))
-      .filter(col("rn") <= IvfIndex.NProbe)
+      .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("cid"))
     val cands = IvfIndex.assignments(s, idx)
     probeCells.join(cands, Seq("cid"))
@@ -185,7 +196,7 @@ object VectorOps {
       .withColumn("cosine", dot_product(col("qv"), col("v")) / (col("qn") * col("norm")))
       // bounded top-k, map-side combine — see q40/TopKByScore scaladoc
       .groupBy("q_id")
-      .agg(top_k_by_score(3)(col("cosine"), col("vec_id"), lit(0)).as("top"))
+      .agg(top_k_by_score(k)(col("cosine"), col("vec_id"), lit(0)).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), (col("pos") + 1).cast(IntegerType).as("rnk"),
               col("t._2").as("neighbor_id"), col("t._1").as("cosine"))

@@ -33,19 +33,48 @@ class TextOpsSpec extends AnyFunSuite {
   }
 
   test("object-agg sort-fallback path equals the hash path on q34") {
-    // Tuning.boundedObjectAgg raises the fallback threshold at query
-    // CONSTRUCTION; the exec reads it at RUNTIME. Construct first, then
-    // force a 1-group threshold so execution takes the sort-based
-    // fallback — the degradation mode past 1M resident groups must be
-    // value-identical to the hashed path.
+    // The raised fallback threshold lives on the bounded-agg CHILD session
+    // the query is built against (Tuning.boundedAggSession); the exec
+    // reads it at RUNTIME from the acting session — df.sparkSession.
+    // Construct first, then force a 1-group threshold THERE so execution
+    // takes the sort-based fallback — the degradation mode past 1M
+    // resident groups must be value-identical to the hashed path.
+    // NOTE: uses the LAZY pair pipeline — the memoized q34 form runs its
+    // aggregation eagerly at construction (shared-index materialization),
+    // before this spec could flip the threshold.
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val hashed = TextOps.q34_ngram_jaccard(spark, sf).collect().map(_.toSeq)
-    val df = TextOps.q34_ngram_jaccard(spark, sf)
-    spark.conf.set(key, "1")
+    def pairs() = TextOps.jaccardPairs(spark, sf, dfCap = 50, threshold = 0.2)
+      .orderBy("d1", "d2")
+    val hashed = pairs().collect().map(_.toSeq)
+    val df = pairs()
+    df.sparkSession.conf.set(key, "1")
     try {
       val sorted = df.collect().map(_.toSeq)
       assert(sorted.sameElements(hashed), "sort fallback changed the pair set")
-    } finally spark.conf.unset(key)
+    } finally df.sparkSession.conf.unset(key)
+  }
+
+  test("bounded-agg threshold override is scoped to the child session") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val parentBefore = spark.conf.getOption(key)
+    val df = TextOps.q34_ngram_jaccard(spark, sf)
+    // parent untouched — unbounded collect_list aggregates in this session
+    // keep the default 128-group memory guard
+    assert(spark.conf.getOption(key) == parentBefore,
+      "building a bounded-agg query must not change the parent session conf")
+    // the query itself executes under the scoped child (a cached shared
+    // index keeps the child session; the override is re-applied on every
+    // boundedAggSession access, so assert through that accessor — an
+    // earlier spec may have unset the child's key after materializing)
+    assert(df.sparkSession ne spark)
+    assert(graft.Tuning.boundedAggSession(spark) eq df.sparkSession)
+    assert(graft.Tuning.boundedAggSession(spark).conf.get(key).toLong == (1L << 20))
+    // parent runtime conf changes flow into the child on next construction
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "123456")
+    try {
+      val df2 = TextOps.q34_ngram_jaccard(spark, sf)
+      assert(df2.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold") == "123456")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("sizes broadcast→shuffle swap leaves q34 results identical") {
