@@ -70,7 +70,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val spark = localDir.fold(b0)(d => b0.config("spark.local.dir", d)).getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k=v" — builder-side conf overrides for
+    // alternated A/B experiments (same spirit as SPARK_GRAFT_ONLY; the
+    // driver's invocation leaves it unset = the committed defaults).
+    val b1 = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(b0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
+    val spark = localDir.fold(b1)(d => b1.config("spark.local.dir", d)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The bench measures sf-scaled throughput on the testdata star. The
     // ss_* reference-workload queries run on the fixed-size superstore

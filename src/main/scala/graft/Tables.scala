@@ -94,6 +94,19 @@ object Tables {
   private val charSums =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), java.lang.Long]
 
+  /** Max doc_id over `documents` — selects the packed-long pair path
+    * (SortedPairKeys, ids must fit uint32) vs the struct path. Same
+    * memoization + eager-job caveat as documentsCharSum. */
+  def documentsMaxId(s: SparkSession, d: String): Long = {
+    maxIds.keySet.removeIf { case (ses, _, _) => ses.sparkContext.isStopped }
+    val p = s"$d/documents.parquet"
+    maxIds.computeIfAbsent((s, p, pathStamp(p)),
+      _ => documents(s, d).agg(max(col("doc_id")).cast(LongType))
+             .head.getLong(0)).longValue()
+  }
+  private val maxIds =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), java.lang.Long]
+
   /** Budget-checked dimension broadcast. `customer` and `part` GROW with
     * the data (unlike nation/region/calendar, which are bounded forever),
     * so an unconditional `broadcast(...)` hint is a scale bug: past the

@@ -175,7 +175,59 @@ case class SortedPairs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Packed variant of [[SortedPairs]]: the same ordered pairs as single
+  * longs `(d1 << 32) | d2` in a primitive array — no per-pair struct row
+  * allocation, and the downstream group-by key is one long instead of a
+  * two-field row. Valid only while every id fits an unsigned 32-bit slot;
+  * the expression RAISES past that (the query builder selects this path
+  * from the memoized max doc id — Tables.documentsMaxId — so the raise is
+  * a contract backstop, not a control path). */
+case class SortedPairKeys(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sorted_pair_keys requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SortedPairs.packedPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SortedPairs.packedPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SortedPairs {
+  def packedPairs(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val di = a.getLong(i)
+      if (di < 0L || di >= (1L << 32))
+        throw new IllegalArgumentException(
+          s"sorted_pair_keys: doc id $di outside [0, 2^32) — use sorted_pairs")
+      var j = i + 1
+      while (j < n) {
+        val dj = a.getLong(j)
+        if (dj < 0L || dj >= (1L << 32))
+          throw new IllegalArgumentException(
+            s"sorted_pair_keys: doc id $dj outside [0, 2^32) — use sorted_pairs")
+        out(k) = (di << 32) | dj
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def pairs(a: ArrayData): ArrayData = {
     val n = a.numElements()
     val out = new Array[Any](n * (n - 1) / 2)
@@ -194,10 +246,16 @@ object SortedPairs {
     new GenericArrayData(out)
   }
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_pairs", exprs => SortedPairs(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_pair_keys", exprs => SortedPairKeys(exprs.head), "built-in")
+  }
 
   def sorted_pairs(c: Column): Column =
     org.apache.spark.sql.functions.call_function("sorted_pairs", c)
+
+  def sorted_pair_keys(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("sorted_pair_keys", c)
 }

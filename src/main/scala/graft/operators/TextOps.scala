@@ -193,7 +193,16 @@ object TextOps {
     graft.Tuning.boundedAggSession(s)
     groupCache.keySet.removeIf { case (ses, _, _, _) => ses.sparkContext.isStopped }
     groupCache.computeIfAbsent((s, d, dfCap, graft.Tables.pathStamp(s"$d/documents.parquet")),
-      _ => cappedShingleGroups(s, d, dfCap).localCheckpoint(true))
+      _ => cappedShingleGroups(s, d, dfCap)
+        // spread ONCE at materialization (partition by DOWNSTREAM
+        // EXPANSION, same rationale as docsWide): AQE coalesces the
+        // skinny group table to a handful of byte-sized partitions, but
+        // every consumer expands it — sorted_pairs ≤ C(cap,2)×, minhash
+        // ×16 hashes + member fan-out — so the checkpoint itself carries
+        // the session width and consumers read it wide with NO exchange
+        // of their own.
+        .repartition(s.sessionState.conf.numShufflePartitions, col("shingle"))
+        .localCheckpoint(true))
   }
 
   private def sharedJaccardPairs(s: SparkSession, d: String,
@@ -205,8 +214,8 @@ object TextOps {
       s.sessionState.conf.numShufflePartitions,
       graft.Tables.pathStamp(s"$d/documents.parquet"))
     pairCache.computeIfAbsent(key,
-      _ => jaccardPairsFrom(s, d, sharedCappedGroups(s, d, dfCap), threshold)
-             .localCheckpoint(true))
+      _ => jaccardPairsFrom(s, d, sharedCappedGroups(s, d, dfCap), threshold,
+             preSpread = true).localCheckpoint(true))
   }
 
   private def shinglesSql(dfCap: Int): String =
@@ -258,7 +267,8 @@ object TextOps {
     jaccardPairsFrom(s, d, cappedShingleGroups(s, d, dfCap), threshold)
 
   private def jaccardPairsFrom(s: SparkSession, d: String,
-                               capped: DataFrame, threshold: Double): DataFrame = {
+                               capped: DataFrame, threshold: Double,
+                               preSpread: Boolean = false): DataFrame = {
     val sizes = capped.select(explode(col("g.docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // Broadcast→shuffle SWAP, decided per run (round 7 — previously a
@@ -279,11 +289,33 @@ object TextOps {
     // coalesces to a handful of tasks, but sorted_pairs fans each row out
     // ≤ C(cap,2)× — re-spread it across the session width first (a
     // ~nothing exchange) so pair generation + partial aggregation use the
-    // whole cluster instead of the coalesced tail.
-    capped.repartition(s.sessionState.conf.numShufflePartitions, col("shingle"))
-      .select(explode(graft.functions.SortedPairs.sorted_pairs(col("g.docs"))).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(count(lit(1)).as("n_common"))
+    // whole cluster instead of the coalesced tail. The SHARED index is
+    // materialized already-wide (sharedCappedGroups) — preSpread skips
+    // the redundant exchange there.
+    val wide =
+      if (preSpread) capped
+      else capped.repartition(s.sessionState.conf.numShufflePartitions, col("shingle"))
+    // Pair fan-out: PACKED long keys ((d1<<32)|d2, one primitive array —
+    // no per-pair struct allocation, single-long group-by key) while every
+    // doc id fits uint32 (checked against the memoized footer max — true
+    // until ~4 B documents); past that the struct form, same pair set.
+    // The unpack happens on AGGREGATED pair rows (candidate-volume-bounded,
+    // orders of magnitude fewer than pair occurrences).
+    val packable = graft.Tables.documentsMaxId(s, d) < (1L << 32)
+    val aggregated =
+      if (packable)
+        wide.select(explode(
+            graft.functions.SortedPairs.sorted_pair_keys(col("g.docs"))).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("n_common"))
+          .select(shiftright(col("pk"), 32).as("d1"),
+                  col("pk").bitwiseAND(lit((1L << 32) - 1)).as("d2"),
+                  col("n_common"))
+      else
+        wide.select(explode(
+            graft.functions.SortedPairs.sorted_pairs(col("g.docs"))).as("p"))
+          .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+          .agg(count(lit(1)).as("n_common"))
+    aggregated
       .join(sized(keyed("d1", "n1")), Seq("d1"))
       .join(sized(keyed("d2", "n2")), Seq("d2"))
       .withColumn("jaccard",
@@ -342,28 +374,37 @@ object TextOps {
     * share ≥1 exact band), verified by popcount of the XOR. All integer
     * arithmetic ⇒ exact in both engines. */
   val q36_simhash_pairs: Q = (s, d) => {
-    // Bit votes as PACKED codegen'd sums over (doc, token-hash) rows —
-    // NOT a nested higher-order lambda (interpreted, 40× slower). Voting
-    // per OCCURRENCE sums to the same total as ±multiplicity over
-    // distinct hashes, so no (doc, h) pre-aggregation is needed: one
-    // groupBy(doc_id) with map-side partial sums replaces both.
+    // Bit votes as PACKED codegen'd sums over (doc, token-hash, count)
+    // rows — NOT a nested higher-order lambda (interpreted, 40× slower).
+    // Voting ±multiplicity over DISTINCT per-doc tokens sums to the same
+    // total as per-occurrence voting, and the distinct set is what the
+    // md5 and the 15 packed sums should run over (round 8: the
+    // per-occurrence form paid one md5 + 15 buffer updates per token
+    // occurrence; this pays them once per distinct (doc, token), with a
+    // plain count carrying the multiplicity). The (doc, tok) pre-count
+    // runs IN-PARTITION — docsWide hash-partitions by doc_id, which
+    // satisfies the (doc_id, tok) clustered distribution — so the
+    // pipeline still has exactly ONE exchange (docsWide's).
     //
     // Packing (round 7): the ±1 vote for bit b satisfies v_b = 2·ones_b −
-    // n, so it suffices to sum the raw BITS. Four bit-lanes ride in one
-    // long at 16-bit spacing — 15 aggregate buffer slots instead of 60,
-    // each updated by shift/and arithmetic with no CASE branch. Lanes
-    // cannot cross while every document has < 2^16 tokens; the guard
-    // below raises loudly at the boundary (a 100 TB pipeline splits
+    // n, so it suffices to sum the raw BITS (now weighted by cnt). Four
+    // bit-lanes ride in one long at 16-bit spacing — 15 aggregate buffer
+    // slots instead of 60, each updated by shift/and arithmetic with no
+    // CASE branch. Lane totals equal the per-occurrence sums (≤ n), so
+    // lanes cannot cross while every document has < 2^16 tokens; the
+    // guard below raises loudly at the boundary (a 100 TB pipeline splits
     // longer documents upstream — and a 65k-token "document" is a
     // concatenation bug, not a document).
     val tokenHashes = docsWide(s, d)
       .select(col("doc_id"), explode(expr(TOKENS)).as("tok"))
-      .select(col("doc_id"), md5_long(col("tok"), 0, 15).as("h"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), md5_long(col("tok"), 0, 15).as("h"), col("cnt"))
     val packAggs = (0 until 15).map { j =>
       val lanes = (0 until 4).map { k =>
         s"shiftleft(shiftright(h, ${4 * j + k}) & 1, ${16 * k})"
       }.mkString(" + ")
-      sum(expr(lanes)).as(s"p$j")
+      sum(expr(s"cnt * ($lanes)")).as(s"p$j")
     }
     val simhashExpr = {
       val bits = (0 until 60).map { b =>
@@ -375,9 +416,16 @@ object TextOps {
          |ELSE $bits END""".stripMargin
     }
     val sims = tokenHashes.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), packAggs: _*)
+      .agg(sum(col("cnt")).as("n"), packAggs: _*) // n = token COUNT, not distinct
       .select(col("doc_id"), expr(simhashExpr).as("simhash"))
       .localCheckpoint() // tiny (one row per doc); feeds four consumers
+      // The four consumers launch jobs over this checkpoint — three of
+      // them broadcast builds racing concurrently — and a near-empty
+      // 32-task stage costs ~0.2 s of pure task scheduling (measured,
+      // StageTime). Narrow the READ (no exchange; the 32-wide compute
+      // above is untouched) so those jobs schedule 8 tasks over one row
+      // per document instead of the full session width.
+      .coalesce(8)
     // FINGERPRINT-GROUP banding (round 7, found by the sf3 probe): band
     // and join DISTINCT simhashes, not documents. A duplicate-heavy
     // corpus (ScaleGen sf3 is 97% replicas) puts every copy of a

@@ -81,4 +81,129 @@ class NativeExprSpec extends AnyFunSuite {
         s"mismatch for '${r.getString(0)}'")
     }
   }
+
+  // ------------------- round-8 adversarial inputs (VERDICT r7 item 3) ----
+
+  test("word_shingles on non-ASCII and win-1252 curly-quote text") {
+    val s = registered
+    import s.implicits._
+    // the superstore CSV's win-1252 heritage: curly quotes U+2018/19/1C/1D,
+    // NBSP, accented latin, CJK (multi-byte UTF-8), and an astral emoji —
+    // shingling must treat them as opaque token bytes exactly like the
+    // composed split/concat form (and DuckDB's string_split)
+    val texts = Seq(
+      "“quoted” words ‘here’ again",
+      "café naïve résumé über alles",
+      "中文 分词 测试 样本",
+      "mixed  nbsp token stream",
+      "emoji 😀 in 😀 text 😀 tokens",
+      "don’t — em–dash … ellipsis here")
+    val rows = texts.toDF("text")
+      .select(col("text"), word_shingles(col("text")).as("sh"),
+              expr("""CASE WHEN size(split(text, ' ')) >= 3
+                THEN array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+                       i -> concat_ws(' ', element_at(split(text, ' '), i),
+                                           element_at(split(text, ' '), i + 1),
+                                           element_at(split(text, ' '), i + 2))))
+                ELSE array() END""").as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1).sorted == r.getSeq[String](2).sorted,
+        s"mismatch for '${r.getString(0)}'")
+    }
+  }
+
+  test("md5_long boundary slices (nibble 0, 15, 16, 31) and n=16 rejection") {
+    val s = registered
+    import s.implicits._
+    val docs = Seq("", "a", "boundary probe", "“win-1252”").toDF("k")
+    // single-nibble reads across both halves of a digest byte + both ends
+    Seq((0, 1), (15, 1), (16, 1), (31, 1), (17, 15)).foreach { case (st, n) =>
+      val bad = docs.select(
+          md5_long(col("k"), st, n).as("native"),
+          expr(s"CAST(conv(substring(md5(k), ${st + 1}, $n), 16, 10) AS BIGINT)")
+            .as("composed"))
+        .filter(col("native") =!= col("composed"))
+      assert(bad.count() == 0, s"slice ($st, $n) diverges")
+    }
+    // 16 nibbles = 64 bits — would overflow a signed long: rejected at
+    // analysis, never silently wrapped
+    val e = intercept[Exception] {
+      docs.select(md5_long(col("k"), 0, 16)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("overflow")
+      || e.getMessage.contains("16"), s"unexpected rejection: ${e.getMessage}")
+  }
+
+  test("sorted_pairs and sorted_pair_keys: cap boundary, duplicates, packing range") {
+    val s = registered
+    graft.functions.SortedPairs.register(s)
+    import s.implicits._
+    import graft.functions.SortedPairs.{sorted_pairs, sorted_pair_keys}
+    def naive(a: Seq[Long]): Seq[(Long, Long)] =
+      for (i <- a.indices; j <- i + 1 until a.size) yield (a(i), a(j))
+    // cap-boundary size (cap+1 = 51 ids → C(51,2) = 1275 pairs), duplicate
+    // ids (producer never emits them, but the expression must stay a pure
+    // i<j enumeration), and uint32 extremes for the packed form
+    val cases: Seq[Seq[Long]] = Seq(
+      (1L to 51L),
+      Seq(1L, 1L, 2L),
+      Seq(0L, 1L, (1L << 32) - 1),
+      Seq.empty[Long], Seq(7L))
+    cases.foreach { c =>
+      val df = Seq(Tuple1(c)).toDF("a")
+      val structPairs = df.select(explode(sorted_pairs(col("a"))).as("p"))
+        .select(col("p.d1"), col("p.d2")).as[(Long, Long)].collect().toSeq
+      val packed = df.select(explode(sorted_pair_keys(col("a"))).as("pk"))
+        .select(shiftright(col("pk"), 32), col("pk").bitwiseAND(lit((1L << 32) - 1)))
+        .as[(Long, Long)].collect().toSeq
+      assert(structPairs == naive(c), s"sorted_pairs diverges on $c")
+      assert(packed == naive(c), s"sorted_pair_keys diverges on $c")
+    }
+    // out-of-range id: raises, never silently mis-packs
+    val e = intercept[Exception] {
+      Seq(Tuple1(Seq(1L, 1L << 32))).toDF("a")
+        .select(explode(sorted_pair_keys(col("a")))).collect()
+    }
+    assert(e.getMessage.contains("2^32") || e.getCause != null)
+  }
+
+  test("bounded_doc_set is invariant to partitioning, order, and sort fallback") {
+    val s = registered
+    graft.functions.BoundedDocSetAgg.register(s)
+    import s.implicits._
+    val cap = 5
+    // 3 shingles: under-cap, exactly-cap, over-cap (df=40 > cap+1=6)
+    val rows = (1L to 3L).flatMap { g =>
+      val df = g match { case 1 => 3; case 2 => 5; case _ => 40 }
+      (1 to df).map(i => (s"sh$g", (1000 * g + 7919L * i) % 997))
+    }
+    def runWith(partitions: Int, desc: Boolean, forceFallback: Boolean): Map[String, (Long, Seq[Long])] = {
+      val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+      if (forceFallback) s.conf.set(key, "1")
+      try {
+        val base = rows.toDF("sh", "doc")
+        val arranged = if (desc) base.orderBy(col("doc").desc) else base
+        arranged.repartition(partitions, col("doc"))
+          .groupBy("sh")
+          .agg(graft.functions.BoundedDocSetAgg.bounded_doc_set(cap)(col("doc")).as("g"))
+          .select(col("sh"), col("g.n"), col("g.docs"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2).toSeq))
+          .toMap
+      } finally if (forceFallback) s.conf.unset(key)
+    }
+    val ref = runWith(1, desc = false, forceFallback = false)
+    // contract: exact n; smallest cap+1 ids ascending — for ANY delivery
+    ref.foreach { case (sh, (n, docs)) =>
+      val all = rows.filter(_._1 == sh).map(_._2).sorted
+      assert(n == all.size, s"$sh count")
+      assert(docs == all.take(cap + 1), s"$sh kept prefix")
+    }
+    Seq(runWith(7, desc = true, forceFallback = false),
+        runWith(13, desc = false, forceFallback = true),
+        runWith(3, desc = true, forceFallback = true)).foreach { v =>
+      assert(v == ref, "bounded_doc_set result depends on delivery order/path")
+    }
+  }
 }
