@@ -68,6 +68,34 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("IVF recall is monotone in nprobe and nprobe=K equals the exact scan") {
+    import graft.operators.IvfIndex
+    def nn(np: Int): Map[Long, Set[Long]] =
+      VectorOps.ivfSearch(spark, sf, nprobe = np, k = 10)
+        .select("q_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = nn(IvfIndex.K)
+    def recall(m: Map[Long, Set[Long]]): Double = {
+      val r = exact.map { case (q, ex) =>
+        m.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+      r.sum / r.size
+    }
+    val rs = Seq(1, 2, 4, IvfIndex.K).map(np => recall(nn(np)))
+    // candidate sets only grow with nprobe ⇒ recall of the FIXED exact
+    // neighborhood is nondecreasing; full probe is the identity
+    assert(rs.zip(rs.tail).forall { case (lo, hi) => lo <= hi + 1e-12 },
+      s"recall not monotone: $rs")
+    assert(math.abs(rs.last - 1.0) < 1e-12, s"nprobe=K recall ${rs.last} != 1")
+    // probing every cell IS the brute-force scan: same rows as a direct
+    // exact top-k over all vectors (q40 pins k=3; here k=10 self-checks
+    // via the identity + monotonicity)
+    val full = VectorOps.ivfSearch(spark, sf, nprobe = IvfIndex.K, k = 3)
+      .select("q_id", "neighbor_id", "cosine").collect().map(_.toSeq).toSet
+    val q40 = VectorOps.q40_cosine_topk(spark, sf)
+      .select("q_id", "neighbor_id", "cosine").collect().map(_.toSeq).toSet
+    assert(full == q40, "nprobe=K search != exact q40 scan")
+  }
+
   test("q42 bucket pairs share their sign bucket") {
     val bad = VectorOps.q42_lsh_neardup(spark, sf)
       .filter(col("d1") >= col("d2")).count()
