@@ -468,7 +468,7 @@ object Relational {
   /** Exact interpolated percentiles (median / p90) per group. Both engines
     * use linear interpolation over the sorted values (Spark `percentile` ↔
     * DuckDB `quantile_cont`) — identical arithmetic on the same doubles.
-    * The sketch path at 100 TB is approx_percentile (t-digest), exposed
+    * The sketch path at 100 TB is approx_percentile (q29b), exposed
     * rows-only like q10b. */
   val q29_percentiles: Q = (s, d) =>
     lineitem(s, d)
@@ -478,12 +478,28 @@ object Relational {
            count(lit(1)).as("n_items"))
       .boundedOrderBy("l_returnflag")
 
-  /** q29's sketch twin at 100 TB: approx_percentile (t-digest-style
-    * quantile summary — mergeable, bounded memory, one pass). No DuckDB
-    * oracle: the sketch is engine-specific, so the driver records a
-    * rows-only check; ApproxPercentileSpec attests the estimates sit
-    * within the documented accuracy envelope of the exact percentiles
-    * and are deterministic. Mirrors the q10b pattern exactly. */
+  /** q29's sketch twin at 100 TB: approx_percentile — Spark's
+    * Greenwald–Khanna-variant quantile summary (mergeable, bounded
+    * memory, one pass; map-side combine applies like any partial agg).
+    *
+    * DELIBERATELY the built-in, not a custom t-digest (round 8, VERDICT
+    * r7 #6 — the decision, documented): GK carries a DETERMINISTIC
+    * worst-case rank-error bound (≤ n/B at accuracy B, the bound the
+    * bench attests against: measured 0.29 ≤ 2.0 in n/B units), where
+    * t-digest's compression bound is empirical — strong in practice,
+    * provable only for its size, not its error. t-digest's real edge is
+    * relative accuracy at EXTREME quantiles (p99.9+) and a fixed-size
+    * sketch for very high B; this workload's p50/p90 sit exactly where
+    * GK's uniform rank guarantee is tightest. A battle-tested built-in
+    * with a provable bound beats a custom aggregate with a better tail
+    * we don't query. Revisit only if the quantile surface grows p99.9-
+    * class tails — the attestation machinery (Bench §attest) is
+    * sketch-agnostic and would carry a t-digest unchanged.
+    *
+    * No DuckDB oracle: the sketch is engine-specific, so the driver
+    * records a rows-only check; ApproxPercentileSpec attests the
+    * estimates sit within the documented accuracy envelope of the exact
+    * percentiles and are deterministic. Mirrors the q10b pattern. */
   val q29b_approx_percentiles: Q = (s, d) =>
     lineitem(s, d)
       .groupBy("l_returnflag")
