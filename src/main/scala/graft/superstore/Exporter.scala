@@ -174,16 +174,56 @@ object Exporter {
     * Item by order year (derived through its Calendar FK) so year-ranged
     * queries prune whole directories at the scan. Dimensions stay
     * unpartitioned. At 100 TB the same layout applies per fact; year (or
-    * year-month) keeps partition counts bounded and file sizes healthy. */
+    * year-month) keeps partition counts bounded and file sizes healthy.
+    *
+    * Rows are sorted by calendar_id WITHIN each year before writing
+    * (round 8): parquet footers then carry tight, near-disjoint min/max
+    * stats per row group on the time key, so a calendar-ranged predicate
+    * is answered by the reader from the footer — whole row groups are
+    * skipped below the directory-pruning grain (ExporterSpec audits the
+    * footer stats directly). Clustering the sort key is what makes the
+    * stats selective; unsorted writes carry full-range stats that can
+    * never prune. */
   def persistItemPartitioned(item: DataFrame, calendar: DataFrame,
                              outDir: String): Unit =
     item
       .join(broadcast(calendar.select(col("calendar_id"), col("year_number"))),
             "calendar_id")
       .withColumnRenamed("year_number", "order_year")
+      .sortWithinPartitions("order_year", "calendar_id")
       .write.mode("overwrite")
       .partitionBy("order_year")
       .parquet(s"$outDir/Item_by_year")
+
+  /** Small-file compaction for a partitioned fact directory — the
+    * maintenance pass every long-lived table needs: streaming/incremental
+    * writers accumulate many under-sized files per partition, and scan
+    * task count (plus footer/open overhead) grows with FILE count, not
+    * data size. Rewrites `srcDir` into `dstDir` with
+    * `ceil(bytes / targetBytes)` range-partitioned output tasks, sorted
+    * by (partition, sort cols) so the compacted row groups keep tight
+    * min/max stats (see persistItemPartitioned). Range partitioning (not
+    * hash) keeps the sort key CONTIGUOUS per file — hash bucketing would
+    * scatter it and destroy stats selectivity. Returns (files before,
+    * files after). */
+  def compactPartitioned(s: SparkSession, srcDir: String, dstDir: String,
+                         partCol: String, sortCols: Seq[String],
+                         targetBytes: Long = 128L << 20): (Int, Int) = {
+    def dataFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) dataFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val before = dataFiles(new java.io.File(srcDir))
+    val totalBytes = before.map(_.length).sum
+    val outTasks = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val keys = (partCol +: sortCols).map(col)
+    s.read.parquet(srcDir)
+      .repartitionByRange(outTasks, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").partitionBy(partCol).parquet(dstDir)
+    (before.size, dataFiles(new java.io.File(dstDir)).size)
+  }
 
   /** Persist rejects (the Errors.txt analog) and return the count —
     * written first, counted from the written files, so the anti-joins

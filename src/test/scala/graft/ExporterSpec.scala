@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 import graft.superstore.{SuperstoreETL, Exporter}
 
@@ -44,6 +45,65 @@ class ExporterSpec extends AnyFunSuite {
       .join(wh("Calendar").select(col("calendar_id"), col("year_number")), "calendar_id")
       .filter(col("year_number") === 2016).count()
     assert(one.count() == expected)
+  }
+
+  test("compaction collapses a fragmented layout and preserves content; footers carry selective row-group stats") {
+    val wh = SuperstoreETL.build(spark, csv)
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    // simulate an incremental writer: ~12 under-sized files per partition
+    wh("Item")
+      .join(broadcast(wh("Calendar").select(col("calendar_id"), col("year_number"))), "calendar_id")
+      .withColumnRenamed("year_number", "order_year")
+      .repartition(12)
+      .write.mode("overwrite").partitionBy("order_year")
+      .parquet(s"$frag/Item_by_year")
+    val dst = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val (nBefore, nAfter) = Exporter.compactPartitioned(
+      spark, s"$frag/Item_by_year", s"$dst/Item_by_year",
+      "order_year", Seq("calendar_id"))
+    assert(nBefore > nAfter, s"compaction did not shrink: $nBefore -> $nAfter")
+    assert(nAfter <= 8, s"still fragmented: $nAfter files")
+    // scan task count follows file count
+    val tasksBefore = spark.read.parquet(s"$frag/Item_by_year").rdd.getNumPartitions
+    val tasksAfter = spark.read.parquet(s"$dst/Item_by_year").rdd.getNumPartitions
+    assert(tasksAfter < tasksBefore,
+      s"scan tasks did not shrink: $tasksBefore -> $tasksAfter")
+    // content identical (same rows, any order)
+    val a = spark.read.parquet(s"$frag/Item_by_year")
+    val b = spark.read.parquet(s"$dst/Item_by_year")
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    // footer audit: every row group of the SORTED layout carries min/max
+    // stats on the clustered time key, and the per-file ranges are
+    // selective — a point-year predicate on calendar_id intersects a
+    // strict subset of files/row groups (what the reader's footer-level
+    // pruning consumes; unsorted writes would carry full-range stats)
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    def files(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) files(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val ranges = files(new java.io.File(s"$dst/Item_by_year")).flatMap { f =>
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf))
+      try rd.getFooter.getBlocks.asScala.map { block =>
+        val cc = block.getColumns.asScala
+          .find(_.getPath.toDotString == "calendar_id").get
+        val st = cc.getStatistics
+        assert(st != null && st.hasNonNullValue, s"missing stats in ${f.getName}")
+        (st.genericGetMin.asInstanceOf[Number].longValue,
+         st.genericGetMax.asInstanceOf[Number].longValue)
+      } finally rd.close()
+    }
+    assert(ranges.nonEmpty)
+    val probe = ranges.head._1 // an existing calendar_id
+    val hit = ranges.count { case (lo, hi) => lo <= probe && probe <= hi }
+    assert(hit < ranges.size,
+      s"stats not selective: probe $probe intersects all ${ranges.size} row groups")
   }
 
   test("well-formed input produces zero rejects; a doctored row is quarantined") {
