@@ -70,15 +70,27 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // RAM-backed scratch rides with compression OFF for shuffle/broadcast
+    // blocks: lz4 trades CPU + per-exchange latency for disk/network IO
+    // that tmpfs never performs. Paired-min A/B (2 alternated full runs
+    // per config, per-query mins): 11.52 vs 11.93 s (−3.4%), wins
+    // concentrated in the shuffle-heavy queries (q34 −0.10, q35 −0.08,
+    // q6 −0.07). Cluster deployments keep compression — network and disk
+    // are real there — so this rides the SAME gate as the shm scratch
+    // itself and never changes the cluster-default story.
+    val b1 = localDir.fold(b0)(d => b0.config("spark.local.dir", d)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.broadcast.compress", "false"))
     // SPARK_GRAFT_CONF="k=v;k=v" — builder-side conf overrides for
     // alternated A/B experiments (same spirit as SPARK_GRAFT_ONLY; the
     // driver's invocation leaves it unset = the committed defaults).
-    val b1 = sys.env.get("SPARK_GRAFT_CONF").toSeq
+    // Applied LAST so experiments can override the shm-path defaults.
+    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .foldLeft(b0) { (b, kv) =>
+      .foldLeft(b1) { (b, kv) =>
         val Array(k, v) = kv.split("=", 2); b.config(k, v)
-      }
-    val spark = localDir.fold(b1)(d => b1.config("spark.local.dir", d)).getOrCreate()
+      }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The bench measures sf-scaled throughput on the testdata star. The
     // ss_* reference-workload queries run on the fixed-size superstore
