@@ -168,6 +168,30 @@ class NativeExprSpec extends AnyFunSuite {
     assert(e.getMessage.contains("2^32") || e.getCause != null)
   }
 
+  test("sorted_pair_keys == sorted_pairs on 200 random uint32 arrays (property)") {
+    import org.scalacheck.{Gen => G}
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val genArr = for {
+      n <- G.choose(0, 60)
+      vs <- G.listOfN(n, G.choose(0L, (1L << 32) - 1))
+    } yield vs.distinct.sorted
+    (1 to 200).foreach { i =>
+      val a = genArr(G.Parameters.default, Seed(i.toLong)).get
+      val structs = graft.functions.SortedPairs.pairs(new GenericArrayData(a.toArray))
+      val packed = graft.functions.SortedPairs.packedPairs(new GenericArrayData(a.toArray))
+      val n = a.size
+      assert(structs.numElements() == n * (n - 1) / 2 &&
+             packed.numElements() == n * (n - 1) / 2, s"seed $i count")
+      (0 until packed.numElements()).foreach { j =>
+        val row = structs.getStruct(j, 2)
+        val pk = packed.getLong(j)
+        assert(row.getLong(0) == (pk >>> 32) && row.getLong(1) == (pk & 0xffffffffL),
+          s"seed $i pair $j diverges")
+      }
+    }
+  }
+
   test("bounded_doc_set is invariant to partitioning, order, and sort fallback") {
     val s = registered
     graft.functions.BoundedDocSetAgg.register(s)
