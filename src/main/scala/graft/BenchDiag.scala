@@ -208,6 +208,50 @@ object Micro {
   }
 }
 
+/** Decompose the shared shingle-index build: explode vs codegen count-agg
+  * vs the ObjectHashAggregate bounded_doc_set — what the df-cap's exec
+  * choice costs over a plain hash agg. runMain graft.MicroShingle */
+object MicroShingle {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.WordShingles.register(spark)
+    graft.functions.BoundedDocSetAgg.register(spark)
+    val s2 = graft.Tuning.boundedAggSession(spark)
+    graft.functions.WordShingles.register(s2)
+    graft.functions.BoundedDocSetAgg.register(s2)
+    import graft.functions.WordShingles.word_shingles
+    def docsWide = graft.Tables.documents(s2, sfDir)
+      .repartition(32, col("doc_id"))
+    def exploded = docsWide
+      .select(col("doc_id"), explode(word_shingles(col("text"))).as("shingle"))
+    val shapes: Seq[(String, () => Long)] = Seq(
+      "explode_only"   -> (() => exploded.count()),
+      "plus_count_agg" -> (() => exploded.groupBy("shingle")
+        .agg(count(lit(1)).as("n")).count()),
+      "plus_bounded"   -> (() => exploded.groupBy("shingle")
+        .agg(graft.functions.BoundedDocSetAgg.bounded_doc_set(50)(col("doc_id")).as("g"))
+        .count()))
+    shapes.foreach { case (_, f) => f() }
+    val times = scala.collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
+    (1 to 5).foreach { _ =>
+      shapes.foreach { case (n, f) =>
+        val t0 = System.nanoTime(); f(); times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    shapes.foreach { case (n, _) =>
+      println(f"$n%-16s min=${times(n).min}%.3f med=${times(n).sorted.apply(2)}%.3f") }
+    spark.stop()
+  }
+}
+
 /** Full-suite A/B under a session conf tweak: runMain graft.AbConf k=v [k=v...] */
 object AbConf {
   def main(args: Array[String]): Unit = {
