@@ -373,51 +373,68 @@ object TextOps {
     * 4×15-bit band buckets (docs within hamming ≤ 3 of each other must
     * share ≥1 exact band), verified by popcount of the XOR. All integer
     * arithmetic ⇒ exact in both engines. */
-  val q36_simhash_pairs: Q = (s, d) => {
-    // Bit votes as PACKED codegen'd sums over (doc, token-hash, count)
-    // rows — NOT a nested higher-order lambda (interpreted, 40× slower).
-    // Voting ±multiplicity over DISTINCT per-doc tokens sums to the same
-    // total as per-occurrence voting, and the distinct set is what the
-    // md5 and the 15 packed sums should run over (round 8: the
-    // per-occurrence form paid one md5 + 15 buffer updates per token
-    // occurrence; this pays them once per distinct (doc, token), with a
-    // plain count carrying the multiplicity). The (doc, tok) pre-count
-    // runs IN-PARTITION — docsWide hash-partitions by doc_id, which
-    // satisfies the (doc_id, tok) clustered distribution — so the
-    // pipeline still has exactly ONE exchange (docsWide's).
-    //
-    // Packing (round 7): the ±1 vote for bit b satisfies v_b = 2·ones_b −
-    // n, so it suffices to sum the raw BITS (now weighted by cnt). Four
-    // bit-lanes ride in one long at 16-bit spacing — 15 aggregate buffer
-    // slots instead of 60, each updated by shift/and arithmetic with no
-    // CASE branch. Lane totals equal the per-occurrence sums (≤ n), so
-    // lanes cannot cross while every document has < 2^16 tokens; the
-    // guard below raises loudly at the boundary (a 100 TB pipeline splits
-    // longer documents upstream — and a 65k-token "document" is a
-    // concatenation bug, not a document).
-    val tokenHashes = docsWide(s, d)
+  /** (doc_id, simhash) for a (doc_id, text) frame — the vote pipeline
+    * behind q36, package-visible so the lane-capacity boundary is
+    * directly testable (docs of 2^15..2^16−1 tokens must compute exactly;
+    * ≥ 2^16 must hit the NAMED guard, not a generic ANSI overflow). */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    graft.functions.Md5Long.register(docs.sparkSession)
+    val tokenHashes = docs
       .select(col("doc_id"), explode(expr(TOKENS)).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("doc_id"), md5_long(col("tok"), 0, 15).as("h"), col("cnt"))
-    val packAggs = (0 until 15).map { j =>
-      val lanes = (0 until 4).map { k =>
-        s"shiftleft(shiftright(h, ${4 * j + k}) & 1, ${16 * k})"
+    val packAggs = (0 until 20).map { j =>
+      val lanes = (0 until 3).map { k =>
+        s"shiftleft(shiftright(h, ${3 * j + k}) & 1, ${16 * k})"
       }.mkString(" + ")
       sum(expr(s"cnt * ($lanes)")).as(s"p$j")
     }
     val simhashExpr = {
       val bits = (0 until 60).map { b =>
-        val lane = s"(shiftright(p${b / 4}, ${16 * (b % 4)}) & 65535)"
+        val lane = s"(shiftright(p${b / 3}, ${16 * (b % 3)}) & 65535)"
         s"CASE WHEN 2 * $lane > n THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
       }.mkString(" + ")
       s"""CASE WHEN n >= 65536 THEN CAST(raise_error(
          |  'simhash packed votes overflow: document with >= 65536 tokens — split upstream') AS BIGINT)
          |ELSE $bits END""".stripMargin
     }
-    val sims = tokenHashes.groupBy("doc_id")
+    tokenHashes.groupBy("doc_id")
       .agg(sum(col("cnt")).as("n"), packAggs: _*) // n = token COUNT, not distinct
       .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+  }
+
+  val q36_simhash_pairs: Q = (s, d) => {
+    // Bit votes as PACKED codegen'd sums over (doc, token-hash, count)
+    // rows — NOT a nested higher-order lambda (interpreted, 40× slower).
+    // Voting ±multiplicity over DISTINCT per-doc tokens sums to the same
+    // total as per-occurrence voting, and the distinct set is what the
+    // md5 and the packed lane sums should run over (round 8: the
+    // per-occurrence form paid one md5 + 15-20 lane-buffer updates per token
+    // occurrence; this pays them once per distinct (doc, token), with a
+    // plain count carrying the multiplicity). The (doc, tok) pre-count
+    // runs IN-PARTITION — docsWide hash-partitions by doc_id, which
+    // satisfies the (doc_id, tok) clustered distribution — so the
+    // pipeline still has exactly ONE exchange (docsWide's).
+    //
+    // Packing (round 7, lane width revised round 8): the ±1 vote for bit
+    // b satisfies v_b = 2·ones_b − n, so it suffices to sum the raw BITS
+    // (weighted by cnt). THREE bit-lanes ride in one long at 16-bit
+    // spacing (bits 0/16/32) — 20 aggregate buffer slots for 60 bits,
+    // each updated by shift/and arithmetic with no CASE branch. Why 3
+    // lanes and not the 4 that fit: this repo runs ANSI mode everywhere,
+    // and a 4th lane at bit 48 lets a lane total ≥ 2^15 touch bit 63 —
+    // ANSI's sum/multiply overflow check then rejects a VALID 32k-token
+    // document with a generic ARITHMETIC_OVERFLOW before the named guard
+    // below could run (two's-complement wraparound would be value-exact —
+    // totals stay < 2^64 and masked lane extraction is wrap-agnostic —
+    // but ANSI throws before the mask ever sees it). With the top lane at
+    // bit 32, every intermediate stays < 2^49: no signed crossing for ANY
+    // n < 2^16, so documents up to 65535 tokens compute exactly and the
+    // loud, actionable guard at the lanes' true 2^16 capacity is the one
+    // failure mode (a 100 TB pipeline splits longer documents upstream —
+    // a 65k-token "document" is a concatenation bug, not a document).
+    val sims = simhashOf(docsWide(s, d))
       .localCheckpoint() // tiny (one row per doc); feeds four consumers
       // The four consumers launch jobs over this checkpoint — three of
       // them broadcast builds racing concurrently — and a near-empty

@@ -54,6 +54,39 @@ class TextOpsSpec extends AnyFunSuite {
     } finally df.sparkSession.conf.unset(key)
   }
 
+  test("simhash lane capacity: a 40k-token doc computes exactly; 65536+ hits the named guard") {
+    // ANSI mode is on everywhere in this repo: with 4 lanes/long a 32k+
+    // token document tripped a GENERIC arithmetic overflow mid-aggregation
+    // (bit 63 signed crossing) before the named guard could run. The
+    // 3-lane packing keeps every intermediate < 2^49, so the full
+    // documented range (< 2^16 tokens) computes and the one failure mode
+    // is the actionable raise_error.
+    import spark.implicits._
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon")
+    def doc(n: Int) = (0 until n).map(i => words(i % words.length)).mkString(" ")
+    val ok = Seq((1L, doc(40000))).toDF("doc_id", "text")
+    val got = TextOps.simhashOf(ok).collect()
+    assert(got.length == 1)
+    // driver-side reference: votes over distinct tokens weighted by count
+    val toks = doc(40000).split(" ")
+    val counts = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val n = toks.length.toLong
+    val expected = (0 until 60).map { b =>
+      val ones = counts.map { case (t, c) =>
+        val h = graft.functions.Md5Long.hash(t.getBytes("UTF-8"), 0, 15)
+        if (((h >> b) & 1L) == 1L) c else 0L
+      }.sum
+      if (2 * ones > n) 1L << b else 0L
+    }.sum
+    assert(got.head.getLong(1) == expected, "40k-token simhash diverges from reference")
+    val over = Seq((2L, doc(65536))).toDF("doc_id", "text")
+    val e = intercept[Exception] { TextOps.simhashOf(over).collect() }
+    def messages = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("split upstream"),
+      s"expected the named guard, got: $messages")
+  }
+
   test("bounded-agg threshold override is scoped to the child session") {
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val parentBefore = spark.conf.getOption(key)
