@@ -307,7 +307,11 @@ object TextOps {
         wide.select(explode(
             graft.functions.SortedPairs.sorted_pair_keys(col("g.docs"))).as("pk"))
           .groupBy("pk").agg(count(lit(1)).as("n_common"))
-          .select(shiftright(col("pk"), 32).as("d1"),
+          // UNSIGNED shift: ids in [2^31, 2^32) set bit 63 of the packed
+          // key, and the arithmetic shiftright would sign-extend d1
+          // negative (the bitwiseAND for d2 is shift-free, two's
+          // complement bits are exact either way)
+          .select(shiftrightunsigned(col("pk"), 32).as("d1"),
                   col("pk").bitwiseAND(lit((1L << 32) - 1)).as("d2"),
                   col("n_common"))
       else

@@ -149,13 +149,17 @@ class NativeExprSpec extends AnyFunSuite {
       (1L to 51L),
       Seq(1L, 1L, 2L),
       Seq(0L, 1L, (1L << 32) - 1),
+      // d1 ≥ 2^31 sets bit 63 of the packed key — the case where an
+      // arithmetic shiftright would sign-extend d1 negative (caught a
+      // real unpack bug in round 8; shiftrightunsigned is the contract)
+      Seq(1L << 31, (1L << 31) + 7, (1L << 32) - 1),
       Seq.empty[Long], Seq(7L))
     cases.foreach { c =>
       val df = Seq(Tuple1(c)).toDF("a")
       val structPairs = df.select(explode(sorted_pairs(col("a"))).as("p"))
         .select(col("p.d1"), col("p.d2")).as[(Long, Long)].collect().toSeq
       val packed = df.select(explode(sorted_pair_keys(col("a"))).as("pk"))
-        .select(shiftright(col("pk"), 32), col("pk").bitwiseAND(lit((1L << 32) - 1)))
+        .select(shiftrightunsigned(col("pk"), 32), col("pk").bitwiseAND(lit((1L << 32) - 1)))
         .as[(Long, Long)].collect().toSeq
       assert(structPairs == naive(c), s"sorted_pairs diverges on $c")
       assert(packed == naive(c), s"sorted_pair_keys diverges on $c")
