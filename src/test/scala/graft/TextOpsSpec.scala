@@ -54,6 +54,43 @@ class TextOpsSpec extends AnyFunSuite {
     } finally df.sparkSession.conf.unset(key)
   }
 
+  test("jaccard pair paths agree end-to-end across id regimes (packed low/high, struct)") {
+    // Same corpus under three doc_id schemes: small ids (packed path,
+    // d1 < 2^31), ids in [2^31, 2^32) (packed path where an arithmetic
+    // unpack shift would sign-extend — the round-8 bug regime), and ids
+    // ≥ 2^32 (struct fallback path). Offset-adjusted pair sets must be
+    // identical — this drives the path SELECTION (memoized footer max),
+    // the packed unpack, and the struct fallback end-to-end through
+    // jaccardPairs, not just the expression.
+    import spark.implicits._
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tonight",
+      "a completely different document about spark catalyst and tungsten",
+      "a completely different document about spark catalyst and tungsten too",
+      "unrelated text with its own vocabulary entirely separate from others")
+    def writeCorpus(offset: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ids").toString
+      base.zipWithIndex
+        .map { case (t, i) => (offset + i, "en", t, t.length.toLong) }
+        .toDF("doc_id", "lang", "text", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def pairsAt(offset: Long): Set[(Long, Long, Long)] = {
+      val dir = writeCorpus(offset)
+      TextOps.jaccardPairs(spark, dir, dfCap = 50, threshold = 0.2)
+        .select("d1", "d2", "n_common").as[(Long, Long, Long)].collect()
+        .map { case (a, b, n) => (a - offset, b - offset, n) }.toSet
+    }
+    val low = pairsAt(0L)
+    val high = pairsAt((1L << 31) + 5)   // packed, bit-63 regime
+    val huge = pairsAt((1L << 32) + 5)   // struct fallback
+    assert(low.nonEmpty, "fixture produced no near-dup pairs")
+    assert(high == low, "packed high-id regime diverges")
+    assert(huge == low, "struct fallback path diverges")
+  }
+
   test("simhash lane capacity: a 40k-token doc computes exactly; 65536+ hits the named guard") {
     // ANSI mode is on everywhere in this repo: with 4 lanes/long a 32k+
     // token document tripped a GENERIC arithmetic overflow mid-aggregation
