@@ -82,11 +82,11 @@ object ScaleGen {
     write(Tables.nation(spark, src), "nation")
     write(Tables.region(spark, src), "region")
 
-    // events: raw read (ts = nanos long under nanosAsLong); convert to a
-    // micros TIMESTAMP on write so the scaled copy is a plain timestamp
-    // table readable by both engines (Tables.events handles either form)
-    val ev = Tables.table(spark, src, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // events: normalize whatever on-disk ts form the source generation
+    // uses (nanos-long / naive µs / instant — Tables.events handles all)
+    // to a micros TIMESTAMP on write so the scaled copy is a plain
+    // timestamp table readable by both engines
+    val ev = Tables.events(spark, src)
     val eBase = maxOf(ev, "event_id")
     val uBase = maxOf(ev, "user_id")
     write(replicate(ev, Map("event_id" -> eBase, "user_id" -> uBase),

@@ -146,10 +146,16 @@ object Tables {
         "(events.parquet stores ts as TIMESTAMP(NANOS))")
     val t = table(s, d, "events")
     t.schema("ts").dataType match {
-      // driver testdata: TIMESTAMP(NANOS) surfaced as long → micros,
+      // driver testdata (≤ r7): TIMESTAMP(NANOS) surfaced as long → micros,
       // the same truncation DuckDB applies to ns
       case LongType => t.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => t // scaled copies (ScaleGen) are already micros timestamps
+      // driver testdata (r8+): naive timestamp[us] (no isAdjustedToUTC) →
+      // TIMESTAMP_NTZ. Cast to the session-tz instant type every consumer
+      // (unix_micros, windows, streaming twins) expects; the session tz is
+      // pinned UTC at every entry point, so the instant equals DuckDB's
+      // naive reading of the same column
+      case TimestampNTZType => t.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => t // scaled copies (ScaleGen) are already micros timestamps
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

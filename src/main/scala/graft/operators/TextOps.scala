@@ -10,6 +10,7 @@ import graft.Tuning.BoundedSortOps
 import graft.Num.money
 import graft.functions.Md5Long.md5_long
 import graft.functions.WordShingles.word_shingles
+import graft.functions.WinnowKeys.winnow_keys
 
 /** Text-analysis + document-dedup operators for large-scale training-data
   * pipelines, over the `documents` table.
@@ -127,6 +128,38 @@ object TextOps {
            countDistinct(col("fp")).as("n_unique"),
            (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
       .boundedOrderBy("lang")
+
+  // ----------------------------------- winnowing fingerprints (rolling hash)
+  /** Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003) over a Karp–Rabin ROLLING hash of word 3-grams — the
+    * [[graft.functions.WinnowKeys]] native expression, one compiled O(n)
+    * pass per document with no per-gram re-hashing.
+    *
+    * Output = the selected fingerprints, exploded to
+    * `(doc_id, fp_hash, fp_pos)`. Winnowing guarantees any two documents
+    * sharing ≥ W+k−1 = 6 consecutive tokens share a fingerprint hash, at
+    * ~2/(W+1) the density of full shingling — the standard plagiarism /
+    * substring-level-dedup index shape (MOSS). The whole pipeline is
+    * row-local until the final presentation sort: at 100 TB the
+    * fingerprint table is what you'd shuffle-join or group, never the
+    * documents themselves.
+    *
+    * The DuckDB oracle recomputes the identical keys from the closed-form
+    * Horner gram hash (same md5-slice token hash, same stepwise mod — every
+    * intermediate < 2^51 in both engines) and winnows with a 4-row window
+    * MIN, so the native rolling/deque implementation is pinned bit-exact
+    * end to end. */
+  val q39_winnow_fingerprints: Q = (s, d) => {
+    graft.functions.WinnowKeys.register(s)
+    docsWide(s, d)
+      .select(col("doc_id"), explode(winnow_keys(col("text"))).as("key"))
+      .select(col("doc_id"),
+              shiftright(col("key"), graft.functions.WinnowKeys.PosBits).as("fp_hash"),
+              (lit((1L << graft.functions.WinnowKeys.PosBits) - 1) -
+                col("key").bitwiseAND((1L << graft.functions.WinnowKeys.PosBits) - 1))
+                .as("fp_pos"))
+      .orderBy("doc_id", "fp_pos")
+  }
 
   // -------------------------------------------- shared shingle machinery
   /** Distinct 3-gram word shingles per document, document-frequency
@@ -800,6 +833,7 @@ object TextOps {
     "q31_doc_quality"       -> q31_doc_quality,
     "q32_lang_id"           -> q32_lang_id,
     "q33_fingerprint_dedup" -> q33_fingerprint_dedup,
+    "q39_winnow_fingerprints" -> q39_winnow_fingerprints,
     "q34_ngram_jaccard"     -> q34_ngram_jaccard,
     "q35_minhash_lsh"       -> q35_minhash_lsh,
     "q37_neardup_clusters"  -> q37_neardup_clusters,
@@ -901,6 +935,35 @@ object TextOps {
            COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS n_unique,
            COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS n_dups
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // identical keys from the closed-form Horner gram hash (every
+    // intermediate < 2^51: ah < 2^31, ah*B < 2^51) + a 4-row window MIN;
+    // the truncated-window rule (docs with 1..3 grams emit their overall
+    // min) is the `n < 4` branch. Constants: B=1000003, P=2^31−1,
+    // pos-encode key = h·2^20 + (2^20−1−pos) — see WinnowKeys.scala.
+    "q39_winnow_fingerprints" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2), i -> {
+             'gpos': i,
+             'key': (((((('0x' || substring(md5(t[i]), 1, 10))::BIGINT % 2147483647) * 1000003
+                 + ('0x' || substring(md5(t[i+1]), 1, 10))::BIGINT % 2147483647) % 2147483647) * 1000003
+                 + ('0x' || substring(md5(t[i+2]), 1, 10))::BIGINT % 2147483647) % 2147483647) * 1048576
+                 + (1048575 - (i - 1)) })) AS gr
+           FROM tok),
+         w AS (
+           SELECT doc_id, gr.gpos AS gpos, gr.key AS key,
+             MIN(gr.key) OVER (PARTITION BY doc_id ORDER BY gr.gpos
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+             MIN(gr.key) OVER (PARTITION BY doc_id) AS allmin,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+           FROM g),
+         sel AS (
+           SELECT DISTINCT doc_id, wmin AS key FROM w WHERE gpos >= 4
+           UNION
+           SELECT DISTINCT doc_id, allmin AS key FROM w WHERE n < 4)
+         SELECT doc_id, key // 1048576 AS fp_hash, 1048575 - (key % 1048576) AS fp_pos
+         FROM sel ORDER BY doc_id, fp_pos""",
 
     "q34_ngram_jaccard" ->
       s"""WITH ${shinglesSql(50)},

@@ -21,24 +21,39 @@ import graft.Num._
   */
 object EventsStream {
 
-  /** Pinned on-disk schema of events.parquet (ts: nanos-as-long). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),          // TIMESTAMP(NANOS) read as long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Pinned on-disk schema of events.parquet with `ts` in the given
+    * physical surfacing (the streaming file source needs an explicit
+    * schema — it never infers). */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  /** Streaming source over the events parquet file(s). */
+  /** Streaming source over the events parquet file(s). The on-disk `ts`
+    * layout differs across driver testdata generations — TIMESTAMP(NANOS)
+    * (surfaced as long under nanosAsLong) vs naive timestamp[us]
+    * (TIMESTAMP_NTZ) — so probe the batch footer once and pin the matching
+    * streaming schema, normalizing to a session-tz (UTC) TimestampType
+    * event-time column either way, exactly like [[graft.Tables.events]]. */
   def source(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val onDisk = graft.Tables.table(spark, dir, "events").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(onDisk))
       // the file source wants a directory; select just the events table
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    onDisk match {
+      case LongType => // nanos-as-long → µs instants
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // naive µs → session-tz (UTC) instants
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window aggregation: hourly event counts/values
