@@ -161,6 +161,51 @@ object TextOps {
       .orderBy("doc_id", "fp_pos")
   }
 
+  // ------------------------------------ repetition filters (Gopher-style)
+  /** Per-document repeated-n-gram statistics — the repetition quality
+    * filters of the Gopher corpus pipeline (Rae et al. 2021, §A1.1) and
+    * C4-style cleaning, in token-fraction form:
+    *
+    *   - `top2_frac` — fraction of the document's 2-grams taken by its
+    *     single most frequent 2-gram (boilerplate / chant detector),
+    *   - `dup3_frac` — fraction of 3-grams that are repeats of an earlier
+    *     3-gram (template / spam detector),
+    *   - `repetitive` — the published filter thresholds (0.20 / 0.18).
+    *
+    * Shape at scale: gram counting is a hash aggregation keyed on
+    * (doc_id, gram) — fully parallel, partial-aggregated map-side, state
+    * bounded by document length — then a per-doc rollup and a
+    * co-partitioned doc_id join between the 2-gram and 3-gram branches.
+    * Nothing is ever global; a 100 TB corpus shards by doc_id.
+    * Ratios are double divisions of exact integer counts ⇒ engine-exact.
+    * Documents shorter than 3 tokens have no 3-gram row and are dropped
+    * (same semantics in the oracle via the inner join). */
+  val q59_repetition_stats: Q = (s, d) => {
+    def gramCounts(n: Int): DataFrame = {
+      val parts = (1 to n).map(k => s"element_at(t, i + ${k - 1})").mkString(", ")
+      docsWide(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          s"CASE WHEN size(t) >= $n THEN transform(sequence(1, size(t) - ${n - 1}), " +
+            s"i -> concat_ws(chr(1), $parts)) ELSE array() END")).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val s2 = gramCounts(2).groupBy("doc_id")
+      .agg(sum(col("c")).as("n2"), max(col("c")).as("max2"))
+    val s3 = gramCounts(3).groupBy("doc_id")
+      .agg(sum(col("c")).as("n3"), count(lit(1)).as("d3"))
+    s2.join(s3, "doc_id")
+      .select(col("doc_id"), col("n2"),
+              (col("max2").cast(DoubleType) / col("n2").cast(DoubleType))
+                .as("top2_frac"),
+              ((col("n3") - col("d3")).cast(DoubleType) / col("n3").cast(DoubleType))
+                .as("dup3_frac"))
+      .withColumn("repetitive",
+                  col("top2_frac") > 0.20 || col("dup3_frac") > 0.18)
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------- shared shingle machinery
   /** Distinct 3-gram word shingles per document, document-frequency
     * capped, rolled up to one row per SURVIVING shingle:
@@ -834,6 +879,7 @@ object TextOps {
     "q32_lang_id"           -> q32_lang_id,
     "q33_fingerprint_dedup" -> q33_fingerprint_dedup,
     "q39_winnow_fingerprints" -> q39_winnow_fingerprints,
+    "q59_repetition_stats"  -> q59_repetition_stats,
     "q34_ngram_jaccard"     -> q34_ngram_jaccard,
     "q35_minhash_lsh"       -> q35_minhash_lsh,
     "q37_neardup_clusters"  -> q37_neardup_clusters,
@@ -964,6 +1010,28 @@ object TextOps {
            SELECT DISTINCT doc_id, allmin AS key FROM w WHERE n < 4)
          SELECT doc_id, key // 1048576 AS fp_hash, 1048575 - (key % 1048576) AS fp_pos
          FROM sel ORDER BY doc_id, fp_pos""",
+
+    // same gram keys (chr(1)-joined tokens), same count rollups, same
+    // inner join dropping <3-token docs; ratios are double divisions of
+    // exact integer counts in both engines
+    "q59_repetition_stats" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> t[i] || chr(1) || t[i+1])) AS g FROM tok),
+         c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+         s2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+                  CAST(MAX(c) AS BIGINT) AS max2 FROM c2 GROUP BY 1),
+         g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS g FROM tok),
+         c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+         s3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3, COUNT(*) AS d3 FROM c3 GROUP BY 1)
+         SELECT s2.doc_id AS doc_id, n2,
+           CAST(max2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS top2_frac,
+           CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE) AS dup3_frac,
+           (CAST(max2 AS DOUBLE) / CAST(n2 AS DOUBLE) > 0.20
+             OR CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE) > 0.18) AS repetitive
+         FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+         ORDER BY s2.doc_id""",
 
     "q34_ngram_jaccard" ->
       s"""WITH ${shinglesSql(50)},

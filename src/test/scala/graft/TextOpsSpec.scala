@@ -176,4 +176,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh),
       s"LSH missed high-similarity pairs: ${exact -- lsh}")
   }
+
+  test("q59 repetition stats: known docs, boundary drops, corpus invariants") {
+    import spark.implicits._
+    // constructed corpus exercising the exact fraction math and the
+    // <3-token drop rule, written as a documents table q59 can read
+    val dir = java.nio.file.Files.createTempDirectory("q59docs").toString
+    Seq(
+      (1L, "spam spam spam spam spam spam"), // 5 identical 2-grams, 4 identical 3-grams
+      (2L, "a b c d e f g"),                 // all grams distinct
+      (3L, "x y"),                           // 2 tokens: no 3-gram -> dropped
+      (4L, "p q r")                          // 3 tokens: top2 = 1/2 -> flagged
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.q59_repetition_stats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L)) // doc 3 dropped
+    assert(got(1L) == ((1.0, 0.75, true)))
+    assert(got(2L)._1 == 1.0 / 6 && got(2L)._2 == 0.0 && !got(2L)._3)
+    assert(got(4L) == ((0.5, 0.0, true)))
+
+    // real corpus: fraction ranges and the drop rule's row count
+    val q = TextOps.q59_repetition_stats(spark, sf)
+    assert(q.filter(col("top2_frac") <= 0 || col("top2_frac") > 1).count() == 0)
+    assert(q.filter(col("dup3_frac") < 0 || col("dup3_frac") >= 1).count() == 0)
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3).count()
+    assert(q.count() == eligible)
+  }
 }
