@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.operators.{Relational, TextOps, VectorOps, Warehouse, Multimodal}
+import graft.operators.{Relational, TextOps, PipelineOps, VectorOps, Warehouse, Multimodal}
 import graft.superstore.{Queries13, WarehouseCache}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -43,14 +43,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ VectorOps.queries ++
-      Warehouse.queries ++ Multimodal.queries ++ ssQueries
+    Relational.queries ++ TextOps.queries ++ PipelineOps.queries ++
+      VectorOps.queries ++ Warehouse.queries ++ Multimodal.queries ++
+      ssQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     * The `ss_*` oracles carry a `__WH__` placeholder that Verify replaces
     * with the materialized warehouse path. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
-      Warehouse.oracles ++ Multimodal.oracles ++ Queries13.duckOracles
+    Relational.oracles ++ TextOps.oracles ++ PipelineOps.oracles ++
+      VectorOps.oracles ++ Warehouse.oracles ++ Multimodal.oracles ++
+      Queries13.duckOracles
 }

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+import graft.Tuning.BoundedSortOps
+
+/** Training-data PREPARATION operators — the pipeline stages that sit
+  * between a cleaned/deduped corpus (TextOps) and the training job itself:
+  * PII scrubbing, domain-mixture reweighting, and sequence packing.
+  *
+  * Like TextOps, everything is codegen'd built-ins (regexp_*, window
+  * aggregates over exact integer counts) — no UDFs — and every ratio is a
+  * per-row double division of exact integers, so results are
+  * engine-independent and oracle-exact.
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TOKENS = "split(text, ' ')"
+
+  // ------------------------------------------------------------ PII scrub
+  /** Redaction patterns, shared verbatim with the DuckDB oracle text so
+    * both engines run the same regexes. Kept to the RE2 ∩ java.util.regex
+    * common dialect (char classes, bounded repetition, non-capturing
+    * groups, `\b`) — no backreferences or lookaround, which RE2 lacks.
+    * Counts are computed per-pattern on the ORIGINAL text; the redacted
+    * string applies the three replacements in a fixed order
+    * (email → ip → phone), so overlapping matches across patterns are
+    * order-defined (and identically ordered in the oracle). */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re  = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+  private val PhoneRe = "\\+?\\d{3}[-. ]?\\d{3}[-. ]?\\d{4}\\b"
+
+  /** Per-document PII detection + redaction — the scrubbing pass every
+    * public-corpus pipeline runs before training (C4/RefinedWeb-style):
+    * count email / IPv4 / phone matches and emit the text with each
+    * replaced by a typed placeholder.
+    *
+    * Shape at scale: purely row-local (regexp_count / regexp_replace are
+    * codegen'd), no shuffle except the presentation sort — a 100 TB corpus
+    * maps partition-by-partition with zero state. */
+  val q60_pii_scrub: Q = (s, d) =>
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(Ipv4Re)).as("n_ips"),
+        regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .withColumn("clean_chars", length(col("redacted")).cast(LongType))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------- domain-mixture weights
+  /** Per-source sampling weights toward a UNIFORM target mixture — the
+    * domain-reweighting step of corpus assembly (the Pile / Dolma shape:
+    * actual token share per source vs a target share, weight = the
+    * sampling/repetition factor, capped at a max-epochs guard so no tiny
+    * source is upsampled without bound).
+    *
+    * Shape at scale: ONE partial-aggregated groupBy(source) over a single
+    * corpus scan — reducer state is one row per source — then the totals
+    * as an unpartitioned window over that tiny (n_sources-row) aggregate.
+    * (Deriving the totals as a second aggregate of the same builder would
+    * make Catalyst scan the corpus twice — subplans aren't reused across
+    * DataFrame branches.) Every derived column is per-row arithmetic on
+    * exact integer counts (no double summation anywhere), so the doubles
+    * are bit-equal across engines and partitionings. */
+  val q61_domain_mixture: Q = (s, d) => {
+    val all = Window.partitionBy() // n_sources rows: single partition is the point
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val actual = col("toks").cast(DoubleType) / col("tot").cast(DoubleType)
+    val weight = (lit(1.0) / col("ns").cast(DoubleType)) / actual
+    documents(s, d)
+      .select(col("source"), expr(s"size($TOKENS)").cast(LongType).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("toks"))
+      .withColumn("tot", sum(col("toks")).over(all))
+      .withColumn("ns", count(lit(1)).over(all))
+      .select(col("source"), col("docs"), col("toks"),
+              actual.as("actual_share"),
+              weight.as("weight"),
+              least(weight, lit(5.0)).as("epochs"))
+      .boundedOrderBy("source")
+  }
+
+  // ------------------------------------------------------ sequence packing
+  /** Greedy sequence packing: concatenate each shard's documents in doc_id
+    * order and cut the token stream into fixed windows of [[SeqLen]]
+    * tokens; a document belongs to the chunk containing its FIRST token.
+    * Emits per-chunk accounting (docs, tokens, doc-id span) — the manifest
+    * a training loader consumes.
+    *
+    * Packing a single global stream is inherently sequential, so the
+    * stream is sharded first (`doc_id % `[[PackShards]], per source) and
+    * each shard packs independently — exactly how a production pipeline
+    * shards a 100 TB corpus into loader files. The running count is a
+    * window sum of exact integers PARTITION BY (source, shard) ORDER BY
+    * doc_id with explicit ROWS framing: deterministic, parallel across
+    * shards, and skew-free (shards are hash-uniform in doc_id). */
+  val SeqLen     = 2048L
+  val PackShards = 8L
+
+  val q62_sequence_pack: Q = (s, d) => {
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+              pmod(col("doc_id"), lit(PackShards)).as("shard"),
+              expr(s"size($TOKENS)").cast(LongType).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk_id", expr(s"(cum - n_tok) div $SeqLen"))
+      .groupBy("source", "shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("n_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "shard", "chunk_id")
+  }
+
+  // --------------------------------------------------------------- registry
+  val queries: Map[String, Q] = Map(
+    "q60_pii_scrub"       -> q60_pii_scrub,
+    "q61_domain_mixture"  -> q61_domain_mixture,
+    "q62_sequence_pack"   -> q62_sequence_pack
+  )
+
+  val oracles: Map[String, String] = Map(
+    // same regexes (shared Scala constants), same replacement order; 'g'
+    // flag = replace-all to match Spark's regexp_replace semantics
+    "q60_pii_scrub" ->
+      s"""SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ips,
+         CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '$EmailRe', '<EMAIL>', 'g'),
+           '$Ipv4Re', '<IP>', 'g'),
+           '$PhoneRe', '<PHONE>', 'g') AS redacted,
+         CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+           '$EmailRe', '<EMAIL>', 'g'),
+           '$Ipv4Re', '<IP>', 'g'),
+           '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS clean_chars
+         FROM documents ORDER BY doc_id""",
+
+    // identical arithmetic shape: every double is derived per-row from the
+    // exact integer counts (toks, tot, ns) in the same operation order
+    "q61_domain_mixture" ->
+      """WITH t AS (SELECT source, COUNT(*) AS docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot, COUNT(*) AS ns FROM t)
+         SELECT source, docs, toks,
+           CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE) AS actual_share,
+           (1.0 / CAST(ns AS DOUBLE)) / (CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE))
+             AS weight,
+           LEAST((1.0 / CAST(ns AS DOUBLE)) / (CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE)),
+                 5.0) AS epochs
+         FROM t, tot ORDER BY source""",
+
+    // same shard rule (doc_id % 8; ids are non-negative so % == pmod),
+    // same ROWS-framed running sum, same integer floor division
+    "q62_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, source, doc_id % $PackShards AS shard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY source, shard
+           ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+         SELECT source, shard, (cum - n_tok) // $SeqLen AS chunk_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+  )
+}
