@@ -161,6 +161,76 @@ object TextOps {
       .orderBy("doc_id", "fp_pos")
   }
 
+  // ------------------------- winnow report: substring-level duplicate pairs
+  /** The MOSS REPORT step over the q39 fingerprint index: document pairs
+    * sharing enough winnow fingerprints, scored by CONTAINMENT
+    * (`n_shared / min(|fp(a)|, |fp(b)|)`) rather than Jaccard resemblance —
+    * containment is what catches a short document embedded verbatim inside
+    * a long one (quote inclusion, partial copy, boilerplate wrapping),
+    * which q34's symmetric Jaccard dilutes toward 0. Together q34/q35/q36
+    * (whole-document resemblance) and q63 (substring containment) are the
+    * two halves of a production text-dedup report.
+    *
+    * Shape at scale — identical discipline to the shingle pipeline:
+    * fingerprints are deduped IN-ROW (`array_distinct` on the hash-only
+    * array, no distinct shuffle), df-capped with the bounded
+    * [[graft.functions.BoundedDocSetAgg]] aggregate (a fingerprint shared
+    * by > [[WinnowDfCap]] docs is corpus boilerplate — dropped, exactly the
+    * stop-shingle rule), and candidate pairs are generated in-row by the
+    * packed [[graft.functions.SortedPairKeys]] fan-out, ≤ C(cap,2) per
+    * fingerprint by construction. Two narrow shuffles total (by fp_hash,
+    * then by packed pair key); the winnow density (~2/(W+1)) makes this
+    * index ~4× smaller than the full shingle index it mirrors. The
+    * single-fingerprint floor (`n_shared ≥ 2`) drops coincidental one-hash
+    * matches that containment would otherwise score 0.5+ on tiny docs. */
+  val WinnowDfCap = 50
+
+  val q63_winnow_dup_pairs: Q = (s0, d) => {
+    val s = graft.Tuning.boundedAggSession(s0)
+    graft.functions.WinnowKeys.register(s)
+    graft.functions.BoundedDocSetAgg.register(s)
+    graft.functions.SortedPairs.register(s)
+    val posBits = graft.functions.WinnowKeys.PosBits
+    // distinct (doc, hash) by construction: strip positions in-row, dedupe
+    // in-row — the explode emits each hash once per doc
+    val fp = docsWide(s, d)
+      .select(col("doc_id"),
+              explode(array_distinct(transform(winnow_keys(col("text")),
+                k => shiftright(k, posBits)))).as("fp_hash"))
+    val capped = fp.groupBy("fp_hash")
+      .agg(graft.functions.BoundedDocSetAgg
+        .bounded_doc_set(WinnowDfCap)(col("doc_id")).as("g"))
+      .filter(col("g.n") <= WinnowDfCap)
+      // re-spread before the pair fan-out (same expansion-aware rationale
+      // as jaccardPairsFrom: AQE coalesces the skinny group table)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("fp_hash"))
+    val sizes = capped.select(explode(col("g.docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val nDocs = documents(s, d).count()
+    val bcBudget = s.sessionState.conf.autoBroadcastJoinThreshold
+    val sized: DataFrame => DataFrame =
+      if (bcBudget > 0 && nDocs * 24 <= bcBudget) broadcast else identity
+    // packed pair keys while ids fit uint32 (same guard as the shingle
+    // pipeline; testdata ids do — the struct fallback is exercised there)
+    require(graft.Tables.documentsMaxId(s, d) < (1L << 32),
+      "q63 packed pairs require uint32 doc ids; widen via SortedPairs.sorted_pairs")
+    capped
+      .select(explode(
+        graft.functions.SortedPairs.sorted_pair_keys(col("g.docs"))).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_shared"))
+      .select(shiftrightunsigned(col("pk"), 32).as("d1"),
+              col("pk").bitwiseAND(lit((1L << 32) - 1)).as("d2"),
+              col("n_shared"))
+      .join(sized(sizes.select(col("doc_id").as("d1"), col("n_fp").as("n1"))), Seq("d1"))
+      .join(sized(sizes.select(col("doc_id").as("d2"), col("n_fp").as("n2"))), Seq("d2"))
+      .withColumn("containment",
+        col("n_shared").cast(DoubleType) /
+          least(col("n1"), col("n2")).cast(DoubleType))
+      .filter(col("n_shared") >= 2 && col("containment") >= 0.5)
+      .select(col("d1"), col("d2"), col("n_shared"), col("containment"))
+      .orderBy("d1", "d2")
+  }
+
   // ------------------------------------ repetition filters (Gopher-style)
   /** Per-document repeated-n-gram statistics — the repetition quality
     * filters of the Gopher corpus pipeline (Rae et al. 2021, §A1.1) and
@@ -879,6 +949,7 @@ object TextOps {
     "q32_lang_id"           -> q32_lang_id,
     "q33_fingerprint_dedup" -> q33_fingerprint_dedup,
     "q39_winnow_fingerprints" -> q39_winnow_fingerprints,
+    "q63_winnow_dup_pairs"  -> q63_winnow_dup_pairs,
     "q59_repetition_stats"  -> q59_repetition_stats,
     "q34_ngram_jaccard"     -> q34_ngram_jaccard,
     "q35_minhash_lsh"       -> q35_minhash_lsh,
@@ -888,6 +959,33 @@ object TextOps {
 
   private def hitsSql(words: String) =
     s"len(list_filter(string_split(text, ' '), t -> t IN ($words)))"
+
+  /** The winnow fingerprint derivation shared by the q39 and q63 oracles:
+    * closed-form Horner gram hash (B=1000003, P=2^31−1, every intermediate
+    * < 2^51), position-encoded key = h·2^20 + (2^20−1−pos), 4-row window
+    * MIN, truncated-window rule for docs with 1..3 grams — bit-identical
+    * to the native [[graft.functions.WinnowKeys]] rolling/deque pass. */
+  private val WinnowSelCte =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2), i -> {
+             'gpos': i,
+             'key': (((((('0x' || substring(md5(t[i]), 1, 10))::BIGINT % 2147483647) * 1000003
+                 + ('0x' || substring(md5(t[i+1]), 1, 10))::BIGINT % 2147483647) % 2147483647) * 1000003
+                 + ('0x' || substring(md5(t[i+2]), 1, 10))::BIGINT % 2147483647) % 2147483647) * 1048576
+                 + (1048575 - (i - 1)) })) AS gr
+           FROM tok),
+         w AS (
+           SELECT doc_id, gr.gpos AS gpos, gr.key AS key,
+             MIN(gr.key) OVER (PARTITION BY doc_id ORDER BY gr.gpos
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+             MIN(gr.key) OVER (PARTITION BY doc_id) AS allmin,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+           FROM g),
+         sel AS (
+           SELECT DISTINCT doc_id, wmin AS key FROM w WHERE gpos >= 4
+           UNION
+           SELECT DISTINCT doc_id, allmin AS key FROM w WHERE n < 4)"""
 
   val oracles: Map[String, String] = Map(
     "q56_hash_sample" ->
@@ -988,28 +1086,34 @@ object TextOps {
     // min) is the `n < 4` branch. Constants: B=1000003, P=2^31−1,
     // pos-encode key = h·2^20 + (2^20−1−pos) — see WinnowKeys.scala.
     "q39_winnow_fingerprints" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         g AS (
-           SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2), i -> {
-             'gpos': i,
-             'key': (((((('0x' || substring(md5(t[i]), 1, 10))::BIGINT % 2147483647) * 1000003
-                 + ('0x' || substring(md5(t[i+1]), 1, 10))::BIGINT % 2147483647) % 2147483647) * 1000003
-                 + ('0x' || substring(md5(t[i+2]), 1, 10))::BIGINT % 2147483647) % 2147483647) * 1048576
-                 + (1048575 - (i - 1)) })) AS gr
-           FROM tok),
-         w AS (
-           SELECT doc_id, gr.gpos AS gpos, gr.key AS key,
-             MIN(gr.key) OVER (PARTITION BY doc_id ORDER BY gr.gpos
-                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
-             MIN(gr.key) OVER (PARTITION BY doc_id) AS allmin,
-             COUNT(*) OVER (PARTITION BY doc_id) AS n
-           FROM g),
-         sel AS (
-           SELECT DISTINCT doc_id, wmin AS key FROM w WHERE gpos >= 4
-           UNION
-           SELECT DISTINCT doc_id, allmin AS key FROM w WHERE n < 4)
+      (WinnowSelCte + """
          SELECT doc_id, key // 1048576 AS fp_hash, 1048575 - (key % 1048576) AS fp_pos
-         FROM sel ORDER BY doc_id, fp_pos""",
+         FROM sel ORDER BY doc_id, fp_pos"""),
+
+    // q63: the same winnow CTE, rolled up to the pair report — distinct
+    // (doc, hash), HAVING df <= cap (the stop-fingerprint rule), pair join
+    // on fp_hash, containment = n_shared / min sizes (double division of
+    // exact ints in both engines), with the n_shared >= 2 floor
+    "q63_winnow_dup_pairs" ->
+      (WinnowSelCte + s""",
+         fp AS (SELECT DISTINCT doc_id, key // 1048576 AS fp_hash FROM sel),
+         df AS (SELECT fp_hash FROM fp GROUP BY 1 HAVING COUNT(*) <= $WinnowDfCap),
+         fpc AS (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN df USING (fp_hash)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fpc GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+                   FROM fpc a JOIN fpc b
+                     ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2, n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(LEAST(s1.n_fp, s2.n_fp) AS DOUBLE)
+             AS containment
+         FROM pairs
+         JOIN sizes s1 ON d1 = s1.doc_id
+         JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE n_shared >= 2
+           AND CAST(n_shared AS DOUBLE) / CAST(LEAST(s1.n_fp, s2.n_fp) AS DOUBLE) >= 0.5
+         ORDER BY d1, d2"""),
 
     // same gram keys (chr(1)-joined tokens), same count rollups, same
     // inner join dropping <3-token docs; ratios are double divisions of

@@ -137,4 +137,62 @@ class WinnowSpec extends AnyFunSuite {
     val df = q(s, sf)
     assert(df.count() == df.select("doc_id", "fp_pos").distinct().count())
   }
+
+  test("q63 pair report equals a composed recomputation (no packing, no bounded agg)") {
+    val s = registered
+    import s.implicits._
+    val cap = graft.operators.TextOps.WinnowDfCap
+    val fp = Tables.documents(s, sf)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        winnow_keys(col("text")),
+        k => shiftright(k, WinnowKeys.PosBits)))).as("fp_hash"))
+    val fpc = fp.join(
+      fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("fp_hash"),
+      "fp_hash")
+    val sizes = fpc.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val ref = fpc.as("a")
+      .join(fpc.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n_fp").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_fp").as("n2")), Seq("d2"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("n1"), col("n2")).cast("double"))
+      .filter(col("n_shared") >= 2 && col("containment") >= 0.5)
+      .select("d1", "d2", "n_shared", "containment")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = graft.operators.TextOps.q63_winnow_dup_pairs(s, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == ref)
+    assert(got.nonEmpty, "corpus yields no winnow dup pairs — fixture too weak")
+    assert(got.forall { case (d1, d2, n, c) => d1 < d2 && n >= 2 && c >= 0.5 })
+  }
+
+  test("q63 containment catches embedding and exact duplication, skips disjoint docs") {
+    val s = registered
+    import s.implicits._
+    // doc 1 is embedded verbatim inside doc 2; doc 4 is doc 2 exactly;
+    // doc 3 is disjoint vocabulary. Containment (not Jaccard) is what
+    // scores the short-inside-long case near 1.0.
+    val inner = (0 until 12).map(i => s"core$i").mkString(" ")
+    val pre   = (0 until 25).map(i => s"pre$i").mkString(" ")
+    val post  = (0 until 25).map(i => s"post$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("q63docs").toString
+    Seq(
+      (1L, inner),
+      (2L, s"$pre $inner $post"),
+      (3L, (0 until 40).map(i => s"other$i").mkString(" ")),
+      (4L, s"$pre $inner $post")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.q63_winnow_dup_pairs(s, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (d1, d2, n, c) => (d1, d2) -> ((n, c)) }.toMap
+    assert(got.contains((1L, 2L)), "embedded doc not detected")
+    assert(got((1L, 2L))._2 >= 0.5)
+    assert(got((2L, 4L))._2 == 1.0, "exact duplicate must have containment 1.0")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)) && !got.contains((3L, 4L)))
+  }
 }
