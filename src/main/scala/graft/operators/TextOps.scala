@@ -488,15 +488,18 @@ object TextOps {
     * engines. Band key = the 4 minima concatenated.
     * Docs sharing ≥1 band are candidates — the bucket join replaces the
     * quadratic pair scan at scale. */
-  val q35_minhash_lsh: Q = (s, d) => {
-    // h1/h2 are the same two disjoint 48-bit md5 slices as the oracle's
-    // ('0x'||substring(md5,...))::BIGINT, via the native Md5Long expression
-    // (digest → nibble slice → long, no hex-string round trip). All 16
-    // family hashes are computed ONCE PER DISTINCT SHINGLE on the capped
-    // group row (~10× fewer digests than per-occurrence hashing at
-    // sf0.1), then fanned to the member docs by exploding g.docs. The
-    // groups come from the SHARED materialized index (one build per
-    // pipeline session, not one per dedup operator).
+  /** (doc_id, band_key) LSH band table shared by q35 (full pair report)
+    * and q64 (incremental delta-vs-base filter).
+    *
+    * h1/h2 are the same two disjoint 48-bit md5 slices as the oracle's
+    * ('0x'||substring(md5,...))::BIGINT, via the native Md5Long expression
+    * (digest → nibble slice → long, no hex-string round trip). All 16
+    * family hashes are computed ONCE PER DISTINCT SHINGLE on the capped
+    * group row (~10× fewer digests than per-occurrence hashing at
+    * sf0.1), then fanned to the member docs by exploding g.docs. The
+    * groups come from the SHARED materialized index (one build per
+    * pipeline session, not one per dedup operator). */
+  private def lshBands(s: SparkSession, d: String): DataFrame = {
     val hashed = sharedCappedGroups(s, d, dfCap = 50)
       .select(col("g.docs").as("docs"),
               md5_long(col("shingle"), 0, 12).as("h1"),
@@ -507,15 +510,46 @@ object TextOps {
       (0 until 16).map(i => col(s"f$i")): _*)
     val minAggs = (0 until 16).map(i => min(col(s"f$i")).as(s"m$i"))
     val mins = shf.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    val bands = mins.select(col("doc_id"), explode(array(
+    mins.select(col("doc_id"), explode(array(
       (0 until 4).map(b => concat_ws("|",
         lit(b.toString), col(s"m${4*b}"), col(s"m${4*b+1}"),
         col(s"m${4*b+2}"), col(s"m${4*b+3}"))): _*)).as("band_key"))
+  }
+
+  val q35_minhash_lsh: Q = (s, d) => {
+    val bands = lshBands(s, d)
     bands.as("a").join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("d1", "d2")
+  }
+
+  // ------------------------------------- incremental ingest near-dup filter
+  /** Incremental-ingestion near-dup filter: a NEW batch (delta, the 20% of
+    * docs with doc_id % 10 ≥ 8 — standing in for today's crawl) LSH-probed
+    * against the EXISTING corpus (base, the other 80%). One row per delta
+    * doc that collides with ≥1 base doc in any MinHash band: the docs an
+    * ingest pipeline holds back for verification/drop, with the candidate
+    * count and the first matching base doc.
+    *
+    * This is the asymmetric topology production dedup actually runs day to
+    * day: the base band table is computed ONCE and persisted (bucketed by
+    * band_key, like IvfIndex's persisted centroids); each daily delta —
+    * orders of magnitude smaller — computes only its own signatures and
+    * equi-joins the bucketed index, so daily cost scales with |delta|, not
+    * |corpus|. Here both sides derive from one session-shared band table
+    * (the persisted-index analog), and the join is the same bucketed
+    * band_key equi-join as q35 — never all-pairs. */
+  val q64_incremental_neardup: Q = (s, d) => {
+    val bands = lshBands(s, d)
+    val base  = bands.filter(pmod(col("doc_id"), lit(10)) <  8).as("o")
+    val delta = bands.filter(pmod(col("doc_id"), lit(10)) >= 8).as("n")
+    delta.join(base, col("n.band_key") === col("o.band_key"))
+      .groupBy(col("n.doc_id").as("delta_id"))
+      .agg(countDistinct(col("o.doc_id")).as("n_base_matches"),
+           min(col("o.doc_id")).as("first_base_match"))
+      .orderBy("delta_id")
   }
 
   // ----------------------------------------------------------- SimHash
@@ -950,6 +984,7 @@ object TextOps {
     "q33_fingerprint_dedup" -> q33_fingerprint_dedup,
     "q39_winnow_fingerprints" -> q39_winnow_fingerprints,
     "q63_winnow_dup_pairs"  -> q63_winnow_dup_pairs,
+    "q64_incremental_neardup" -> q64_incremental_neardup,
     "q59_repetition_stats"  -> q59_repetition_stats,
     "q34_ngram_jaccard"     -> q34_ngram_jaccard,
     "q35_minhash_lsh"       -> q35_minhash_lsh,
@@ -1219,5 +1254,31 @@ object TextOps {
          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id
          ORDER BY d1, d2""",
+
+    // q64: the identical signature/band derivation, with the q35 pair join
+    // replaced by the asymmetric delta(doc_id%10>=8) x base(<8) probe and
+    // a per-delta-doc rollup
+    "q64_incremental_neardup" ->
+      s"""WITH ${shinglesSql(50)},
+         hashed AS (
+           SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 12))::BIGINT AS h1,
+             ('0x' || substring(md5(shingle), 13, 12))::BIGINT AS h2
+           FROM shf),
+         mins AS (
+           SELECT doc_id,
+             ${(0 until 16).map(i => s"MIN((h1 + $i * h2) % $MinhashP) AS m$i").mkString(", ")}
+           FROM hashed GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, unnest([
+             ${(0 until 4).map(b => s"'$b' || '|' || m${4*b} || '|' || m${4*b+1} || '|' || m${4*b+2} || '|' || m${4*b+3}").mkString(", ")}
+           ]) AS band_key FROM mins)
+         SELECT n.doc_id AS delta_id,
+           CAST(COUNT(DISTINCT o.doc_id) AS BIGINT) AS n_base_matches,
+           MIN(o.doc_id) AS first_base_match
+         FROM bands n JOIN bands o ON n.band_key = o.band_key
+         WHERE n.doc_id % 10 >= 8 AND o.doc_id % 10 < 8
+         GROUP BY n.doc_id
+         ORDER BY delta_id""",
   )
 }

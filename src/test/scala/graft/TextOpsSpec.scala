@@ -32,6 +32,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(p.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
   }
 
+  test("q64 incremental filter equals q35's pair table restricted cross-side") {
+    // q35 reports every band-colliding pair (d1 < d2); q64's delta-vs-base
+    // probe must be exactly that table filtered to (base, delta) sides and
+    // rolled up per delta doc — no pair invented, none lost.
+    val q35 = TextOps.q35_minhash_lsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = q35.flatMap { case (d1, d2) => Seq((d1, d2), (d2, d1)) }
+      .collect { case (b, n) if b % 10 < 8 && n % 10 >= 8 => (n, b) }
+      .groupBy(_._1)
+      .map { case (n, bs) =>
+        (n, bs.map(_._2).distinct.size.toLong, bs.map(_._2).min) }
+      .toSet
+    val got = TextOps.q64_incremental_neardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("q64 detects a delta duplicate of a base doc; clean delta docs pass") {
+    import spark.implicits._
+    // ids chosen so the duplicate pair straddles the % 10 split: 3 -> base,
+    // 18 -> delta (exact copy: identical signatures, all 4 bands collide);
+    // 28 -> delta with disjoint vocabulary (must NOT be held back)
+    val shared = (0 until 30).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("q64docs").toString
+    Seq(
+      (3L, shared),
+      (18L, shared),
+      (28L, (0 until 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.q64_incremental_neardup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(18L -> ((1L, 3L))))
+  }
+
   test("object-agg sort-fallback path equals the hash path on q34") {
     // The raised fallback threshold lives on the bounded-agg CHILD session
     // the query is built against (Tuning.boundedAggSession); the exec
