@@ -142,7 +142,10 @@ object Bench {
     // the oracle text identical to the CORRECTNESS gate was judged more
     // valuable than comparator symmetry.)
     val rebuildEachPass = Set("q34_ngram_jaccard", "q35_minhash_lsh",
-      "q36_simhash_pairs", "q37_neardup_clusters")
+      "q36_simhash_pairs", "q37_neardup_clusters",
+      // shared-index family additions (third r8 session): q63 rides the
+      // winnow index, q64 the shingle/band index — same per-pass lifecycle
+      "q63_winnow_dup_pairs", "q64_incremental_neardup")
 
     val failed = scala.collection.mutable.Set[String]()
     val prepared = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()

@@ -187,23 +187,11 @@ object TextOps {
 
   val q63_winnow_dup_pairs: Q = (s0, d) => {
     val s = graft.Tuning.boundedAggSession(s0)
-    graft.functions.WinnowKeys.register(s)
-    graft.functions.BoundedDocSetAgg.register(s)
     graft.functions.SortedPairs.register(s)
-    val posBits = graft.functions.WinnowKeys.PosBits
-    // distinct (doc, hash) by construction: strip positions in-row, dedupe
-    // in-row — the explode emits each hash once per doc
-    val fp = docsWide(s, d)
-      .select(col("doc_id"),
-              explode(array_distinct(transform(winnow_keys(col("text")),
-                k => shiftright(k, posBits)))).as("fp_hash"))
-    val capped = fp.groupBy("fp_hash")
-      .agg(graft.functions.BoundedDocSetAgg
-        .bounded_doc_set(WinnowDfCap)(col("doc_id")).as("g"))
-      .filter(col("g.n") <= WinnowDfCap)
-      // re-spread before the pair fan-out (same expansion-aware rationale
-      // as jaccardPairsFrom: AQE coalesces the skinny group table)
-      .repartition(s.sessionState.conf.numShufflePartitions, col("fp_hash"))
+    // distinct (doc, hash) by construction: positions stripped and hashes
+    // deduped IN-ROW inside the shared index build — the explode there
+    // emits each hash once per doc
+    val capped = sharedWinnowGroups(s0, d, WinnowDfCap)
     val sizes = capped.select(explode(col("g.docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val nDocs = documents(s, d).count()
@@ -330,8 +318,41 @@ object TextOps {
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Long, Long, Int, Long), DataFrame]
 
+  private val winnowCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Long), DataFrame]
+
   private[graft] def invalidateSharedIndex(): Unit = {
-    groupCache.clear(); pairCache.clear()
+    groupCache.clear(); pairCache.clear(); winnowCache.clear()
+  }
+
+  /** Shared df-capped winnow fingerprint groups `(fp_hash, g)` — the
+    * winnow-index analog of [[sharedCappedGroups]]: materialized once per
+    * (session, corpus, cap, file footprint) and consumed by q63's three
+    * branches (pair fan-out + both sizes joins), which would otherwise
+    * each recompute the winnow+bounded-agg subtree (AQE reuses the
+    * canonically-equal shuffle map sides, but the final aggregate and the
+    * in-row winnowing above it re-ran 3×). Checkpointed WIDE for the same
+    * downstream-expansion reason as the shingle index. */
+  private def sharedWinnowGroups(s0: SparkSession, d: String, dfCap: Int): DataFrame = {
+    val s = graft.Tuning.boundedAggSession(s0)
+    winnowCache.keySet.removeIf { case (ses, _, _, _) => ses.sparkContext.isStopped }
+    winnowCache.computeIfAbsent(
+      (s0, d, dfCap, graft.Tables.pathStamp(s"$d/documents.parquet")),
+      _ => {
+        graft.functions.WinnowKeys.register(s)
+        graft.functions.BoundedDocSetAgg.register(s)
+        val posBits = graft.functions.WinnowKeys.PosBits
+        docsWide(s, d)
+          .select(col("doc_id"),
+                  explode(array_distinct(transform(winnow_keys(col("text")),
+                    k => shiftright(k, posBits)))).as("fp_hash"))
+          .groupBy("fp_hash")
+          .agg(graft.functions.BoundedDocSetAgg
+            .bounded_doc_set(dfCap)(col("doc_id")).as("g"))
+          .filter(col("g.n") <= dfCap)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("fp_hash"))
+          .localCheckpoint(true)
+      })
   }
 
   private def sharedCappedGroups(s: SparkSession, d: String, dfCap: Int): DataFrame = {
