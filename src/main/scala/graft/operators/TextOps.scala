@@ -230,35 +230,33 @@ object TextOps {
     *     3-gram (template / spam detector),
     *   - `repetitive` — the published filter thresholds (0.20 / 0.18).
     *
-    * Shape at scale: gram counting is a hash aggregation keyed on
-    * (doc_id, gram) — fully parallel, partial-aggregated map-side, state
-    * bounded by document length — then a per-doc rollup and a
-    * co-partitioned doc_id join between the 2-gram and 3-gram branches.
-    * Nothing is ever global; a 100 TB corpus shards by doc_id.
+    * Shape at scale: every statistic here is a PER-DOCUMENT property, so
+    * the query is ROW-LOCAL — the native [[graft.functions.GramStats]]
+    * expression computes exact (total, distinct, max multiplicity) per
+    * n-gram order in one compiled pass per document; zero shuffles besides
+    * the presentation sort, partition-by-partition at any corpus size.
+    * (The first shape — explode → groupBy (doc_id, gram) → rollup → join
+    * the 2-/3-gram branches — computed the same numbers through two corpus
+    * scans and two corpus-sized gram exchanges: 14.2 s at sf10 vs row-local;
+    * the pipeline form survives as the parity reference in TextOpsSpec.)
     * Ratios are double divisions of exact integer counts ⇒ engine-exact.
-    * Documents shorter than 3 tokens have no 3-gram row and are dropped
-    * (same semantics in the oracle via the inner join). */
+    * Documents shorter than 3 tokens yield no 3-gram and are dropped
+    * (`filter(s3.n_grams >= 1)` — same semantics as the oracle's inner
+    * join). */
   val q59_repetition_stats: Q = (s, d) => {
-    def gramCounts(n: Int): DataFrame = {
-      val parts = (1 to n).map(k => s"element_at(t, i + ${k - 1})").mkString(", ")
-      docsWide(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id"), explode(expr(
-          s"CASE WHEN size(t) >= $n THEN transform(sequence(1, size(t) - ${n - 1}), " +
-            s"i -> concat_ws(chr(1), $parts)) ELSE array() END")).as("g"))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("c"))
-    }
-    val s2 = gramCounts(2).groupBy("doc_id")
-      .agg(sum(col("c")).as("n2"), max(col("c")).as("max2"))
-    val s3 = gramCounts(3).groupBy("doc_id")
-      .agg(sum(col("c")).as("n3"), count(lit(1)).as("d3"))
-    s2.join(s3, "doc_id")
-      .select(col("doc_id"), col("n2"),
-              (col("max2").cast(DoubleType) / col("n2").cast(DoubleType))
-                .as("top2_frac"),
-              ((col("n3") - col("d3")).cast(DoubleType) / col("n3").cast(DoubleType))
-                .as("dup3_frac"))
+    graft.functions.GramStats.register(s)
+    import graft.functions.GramStats.gram_stats
+    docsWide(s, d)
+      .select(col("doc_id"),
+              gram_stats(col("text"), 2).as("s2"),
+              gram_stats(col("text"), 3).as("s3"))
+      .filter(col("s3.n_grams") >= 1)
+      .select(col("doc_id"),
+              col("s2.n_grams").as("n2"),
+              (col("s2.max_count").cast(DoubleType) /
+                col("s2.n_grams").cast(DoubleType)).as("top2_frac"),
+              ((col("s3.n_grams") - col("s3.n_distinct")).cast(DoubleType) /
+                col("s3.n_grams").cast(DoubleType)).as("dup3_frac"))
       .withColumn("repetitive",
                   col("top2_frac") > 0.20 || col("dup3_frac") > 0.18)
       .orderBy("doc_id")

@@ -234,4 +234,61 @@ class NativeExprSpec extends AnyFunSuite {
       assert(v == ref, "bounded_doc_set result depends on delivery order/path")
     }
   }
+
+  test("gram_stats equals the explode/groupBy composition on the real corpus") {
+    val s = registered
+    graft.functions.GramStats.register(s)
+    // composed reference: per-doc total/distinct/max from the exploded
+    // gram table — the pipeline form q59 used before going row-local
+    def composed(n: Int) = {
+      val parts = (1 to n).map(k => s"element_at(t, i + ${k - 1})").mkString(", ")
+      Tables.documents(s, sf)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          s"CASE WHEN size(t) >= $n THEN transform(sequence(1, size(t) - ${n - 1}), " +
+            s"i -> concat_ws(' ', $parts)) ELSE array() END")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
+             max(col("c")).as("max_count"))
+    }
+    Seq(1, 2, 3).foreach { n =>
+      val ref = composed(n).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val got = Tables.documents(s, sf)
+        .select(col("doc_id"), expr(s"gram_stats(text, $n)").as("st"))
+        .select(col("doc_id"), col("st.n_grams"), col("st.n_distinct"), col("st.max_count"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .filter(_._2._1 > 0).toMap
+      assert(got == ref, s"gram_stats($n) diverges from the composed form")
+    }
+  }
+
+  test("gram_stats edge cases: empty, sub-gram, uniform repeats, non-ASCII") {
+    val s = registered
+    graft.functions.GramStats.register(s)
+    import s.implicits._
+    def st(text: String, n: Int): (Long, Long, Long) = {
+      val r = Seq(text).toDF("text")
+        .select(expr(s"gram_stats(text, $n)").as("s"))
+        .select("s.n_grams", "s.n_distinct", "s.max_count").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // empty string splits to [""] — one token, no 2-gram
+    assert(st("", 2) == ((0L, 0L, 0L)))
+    assert(st("solo", 2) == ((0L, 0L, 0L)))
+    assert(st("a b", 3) == ((0L, 0L, 0L)))
+    // "x x x x": three 2-grams, all identical
+    assert(st("x x x x", 2) == ((3L, 1L, 3L)))
+    // all distinct
+    assert(st("a b c d", 2) == ((3L, 3L, 1L)))
+    // 1-grams are token counts
+    assert(st("a b a", 1) == ((3L, 2L, 2L)))
+    // double space makes an empty token — preserved, like split(' ')
+    assert(st("a  b", 2) == ((2L, 2L, 1L)))
+    // non-ASCII round-trips through the UTF8String boundary
+    assert(st("“quoted” café “quoted” café", 2) == ((3L, 2L, 2L)))
+    assert(st("你好 世界 你好 世界", 2) == ((3L, 2L, 2L)))
+  }
 }
