@@ -273,12 +273,24 @@ object Bench {
         np -> r3(r.sum / r.size)
       }
       val ivfJson = recalls.map { case (np, r) => s""""r$np":$r""" }.mkString(",")
+      // PQ recall@3 vs the same exact neighborhood (q66's rerank budget is
+      // fixed; the measured recall is the ADC quality evidence — the
+      // PqSpec floor is 0.5 on the sf0.01 fixture)
+      val pqTop = SparkEntry.queries("q66_pq_ann")(spark, sfDir)
+        .select("q_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val exact3 = graft.operators.VectorOps.ivfSearch(spark, sfDir, nprobe = K, k = 3)
+        .select("q_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val pqRecall = r3(exact3.map { case (q, ex) =>
+        pqTop.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+        .sum / exact3.size)
       // bounds (0.15 rel for q10b, 2.0 n/B rank units for q29b) and the
       // recall k (=10) are documented in EXPLAIN_r8 §attest — kept out of
       // the stdout line to stay inside the driver's ~2000-char tail
       s""","attest":{"q10b":{"err":${r3(relErr)},"ok":${relErr <= 0.15}},""" +
         s""""q29b":{"err":${r3(rankErr)},"ok":${rankErr <= 2.0}},""" +
-        s""""ivf":{$ivfJson}}"""
+        s""""ivf":{$ivfJson},"pq":{"r3":$pqRecall}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] attestation failed: ${e.getMessage}"); ""
     }

@@ -203,8 +203,69 @@ object VectorOps {
       .boundedOrderBy("q_id", "rnk")
   }
 
+  // ------------------------------------------------ product quantization
+  /** ANN search through the PERSISTED PQ index ([[PqIndex]]): asymmetric-
+    * distance (ADC) scan over the 8-codes-per-vector table, exact cosine
+    * re-rank of the top-[[PqRerank]] candidates, top-3 out.
+    *
+    * Shape at scale: the per-query LUT (M×Kc = 128 partial distances) is
+    * computed IN-ROW from the query vector and the codebook embedded as a
+    * plan literal (1024 doubles — a constant, not data); the candidate
+    * scan then reads ONLY the codes table (8 B/vector vs 512 B of raw
+    * doubles — a 64× scan-bytes reduction, the reason PQ exists) and
+    * scores each vector with 8 array lookups in a fixed-order fold.
+    * Candidate selection is the bounded map-side top-k (score = −adc:
+    * adc ASC, vec_id ASC ties — no corpus-sized window shuffle); only the
+    * [[PqRerank]] survivors touch raw vectors for the exact re-rank.
+    *
+    * Every float operation is a fixed-order fold (LUT entries j=1..8, ADC
+    * m=0..7), so DuckDB replays ADC and re-rank bit-exactly from the
+    * persisted codebooks+codes — hash-checked like q46, not rows-only. */
+  val PqRerank = 32
+
+  val q66_pq_ann: Q = (s, d) => {
+    register(s)
+    val idx = PqIndex.ensure(s, d)
+    val (mm, kc, dsub) = (PqIndex.M, PqIndex.Kc, PqIndex.Dsub)
+    val probes = embeddings(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), expr(VECD).as("qv"))
+      .withColumn("qn", sqrt(dot_product(col("qv"), col("qv"))))
+      .withColumn("cb", typedLit(PqIndex.flatCodebook(s, idx)))
+      .withColumn("lut", expr(
+        s"""transform(sequence(0, ${mm * kc - 1}), i ->
+              aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (acc, j) ->
+                acc + (element_at(qv, CAST(i div $kc AS INT) * $dsub + j)
+                       - element_at(cb, CAST(i AS INT) * $dsub + j))
+                    * (element_at(qv, CAST(i div $kc AS INT) * $dsub + j)
+                       - element_at(cb, CAST(i AS INT) * $dsub + j))))"""))
+      .drop("cb")
+    val cands = PqIndex.codes(s, idx)
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${mm - 1}), CAST(0 AS DOUBLE), (acc, m) ->
+              acc + element_at(lut, CAST(m AS INT) * $kc + element_at(code, CAST(m AS INT) + 1) + 1))"""))
+      .groupBy("q_id")
+      .agg(top_k_by_score(PqRerank)(negate(col("adc")), col("vec_id"), lit(0)).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t._2").as("vec_id"))
+    cands
+      .join(broadcast(probes.select("q_id", "qv", "qn")), Seq("q_id"))
+      .join(embeddings(s, d).select(col("vec_id"), expr(VECD).as("v")), Seq("vec_id"))
+      .withColumn("cosine",
+        dot_product(col("qv"), col("v")) /
+          (col("qn") * sqrt(dot_product(col("v"), col("v")))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast(IntegerType).as("rnk"),
+              col("vec_id").as("neighbor_id"), col("cosine"))
+      .boundedOrderBy("q_id", "rnk")
+  }
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
+    "q66_pq_ann"       -> q66_pq_ann,
     "q46_ivf_ann"      -> q46_ivf_ann,
     "q40_cosine_topk"  -> q40_cosine_topk,
     "q41_lsh_buckets"  -> q41_lsh_buckets,
@@ -226,6 +287,54 @@ object VectorOps {
     // replays the SEARCH from the persisted centroids (the oracle
     // boundary — see IvfIndex scaladoc): assignment to nearest centroid,
     // nprobe=2 probe cells, exact cosine re-rank — all plain SQL
+    // q66: ADC + re-rank replayed from the persisted PQ codebooks/codes.
+    // Every float fold is order-pinned to the Spark side: LUT entries are
+    // 0-init left folds over j=1..8 (list_prepend(0) ≡ aggregate's 0
+    // init), ADC folds m=0..7 after the struct sort, cosine uses the
+    // same dotDuck ≡ dot_product equivalence as q40/q46.
+    "q66_pq_ann" ->
+      s"""WITH cb AS (
+           SELECT m, cid, cv FROM read_parquet('__PQ__/codebooks.parquet/*.parquet')),
+         codes AS (
+           SELECT vec_id, code FROM read_parquet('__PQ__/codes.parquet/*.parquet')),
+         vecs AS (
+           SELECT vec_id, $VECD_SQL AS v FROM embeddings),
+         probes AS (
+           SELECT vec_id AS q_id, v AS qv, sqrt(${dotDuck("v", "v")}) AS qn
+           FROM vecs WHERE vec_id < 20),
+         lut AS (
+           SELECT q_id, m, cid,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, ${PqIndex.Dsub}),
+               j -> (qv[m * ${PqIndex.Dsub} + j] - cv[j]) * (qv[m * ${PqIndex.Dsub} + j] - cv[j]))),
+               (acc, x) -> acc + x) AS pd
+           FROM probes, cb),
+         cexp AS (
+           SELECT vec_id, g.m AS m, code[g.m + 1] AS cid
+           FROM codes, (SELECT unnest(generate_series(0, ${PqIndex.M - 1})) AS m) g),
+         adc AS (
+           SELECT l.q_id, c.vec_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_sort(list({'m': l.m, 'pd': l.pd})), r -> r.pd)),
+               (acc, x) -> acc + x) AS adc
+           FROM cexp c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+           WHERE c.vec_id <> l.q_id
+           GROUP BY l.q_id, c.vec_id),
+         cand AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+             FROM adc) WHERE rn <= ${PqRerank}),
+         scored AS (
+           SELECT p.q_id, v.vec_id,
+             ${dotDuck("p.qv", "v.v")} / (p.qn * sqrt(${dotDuck("v.v", "v.v")})) AS cosine
+           FROM cand JOIN probes p USING (q_id) JOIN vecs v USING (vec_id)),
+         ranked AS (
+           SELECT q_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+           FROM scored)
+         SELECT q_id, rnk, vec_id AS neighbor_id, cosine
+         FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
+
     "q46_ivf_ann" ->
       s"""WITH cent AS (
            SELECT cid, cv

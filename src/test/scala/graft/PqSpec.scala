@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{PqIndex, VectorOps}
+
+/** Product-quantization index + q66 search: build determinism, code/
+  * codebook structure, search-shape invariants, and recall-vs-exact
+  * quality on the fixture corpus. */
+class PqSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def buildTwice(): (String, String) = {
+    val d1 = java.nio.file.Files.createTempDirectory("pq_a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("pq_b").toString
+    PqIndex.build(spark, sf, d1)
+    PqIndex.build(spark, sf, d2)
+    (d1, d2)
+  }
+
+  test("rebuild is deterministic: identical codebooks and codes") {
+    val (d1, d2) = buildTwice()
+    def cb(d: String) = PqIndex.codebooks(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    def cd(d: String) = PqIndex.codes(spark, d).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(cb(d1) == cb(d2))
+    assert(cd(d1) == cd(d2))
+  }
+
+  test("index structure: full M x Kc codebook, Dsub-dim centroids, in-range codes") {
+    val idx = PqIndex.ensure(spark, sf)
+    val cb = PqIndex.codebooks(spark, idx).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    assert(cb.length == PqIndex.M * PqIndex.Kc, "emptied cells must keep a centroid")
+    assert(cb.map(c => (c._1, c._2)).toSet ==
+      (for (m <- 0 until PqIndex.M; c <- 0 until PqIndex.Kc) yield (m, c)).toSet)
+    assert(cb.forall(_._3.length == PqIndex.Dsub))
+    val codes = PqIndex.codes(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(codes.nonEmpty)
+    assert(codes.forall(_._2.length == PqIndex.M))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < PqIndex.Kc)))
+    // every corpus vector is encoded
+    assert(codes.length == Tables.embeddings(spark, sf).count())
+  }
+
+  test("q66 shape: 3 ranked neighbors per probe, self excluded, cosines in range") {
+    val out = VectorOps.q66_pq_ann(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.forall(_._2.map(_.getInt(1)).sorted.sameElements(Seq(1, 2, 3))))
+    assert(out.forall(r => r.getLong(2) != r.getLong(0)), "self-match leaked")
+    assert(out.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+  }
+
+  test("recall@3 vs the exact scan clears the fixture floor") {
+    // exact side: ivfSearch probing every cell IS the exact scan
+    // (IvfSpec pins that identity)
+    val exact = VectorOps.ivfSearch(spark, sf, nprobe = graft.operators.IvfIndex.K, k = 3)
+      .select("q_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val pq = VectorOps.q66_pq_ann(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recall = exact.map { case (q, ex) =>
+      pq.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+    val mean = recall.sum / recall.size
+    // measured 0.70 at sf0.01 / 0.75+ at sf0.001 with rerank=32 on the
+    // near-random synthetic embeddings; chance is PqRerank/N ~ 0.06.
+    // The floor asserts ADC signal, not a tuned ceiling.
+    assert(mean >= 0.5, s"PQ mean recall@3 $mean below the 0.5 fixture floor")
+  }
+}
