@@ -239,12 +239,14 @@ object VectorOps {
                     * (element_at(qv, CAST(i div $kc AS INT) * $dsub + j)
                        - element_at(cb, CAST(i AS INT) * $dsub + j))))"""))
       .drop("cb")
+    graft.functions.PqAdc.register(s)
     val cands = PqIndex.codes(s, idx)
       .crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc", expr(
-        s"""aggregate(sequence(0, ${mm - 1}), CAST(0 AS DOUBLE), (acc, m) ->
-              acc + element_at(lut, CAST(m AS INT) * $kc + element_at(code, CAST(m AS INT) + 1) + 1))"""))
+      // native fixed-order ADC fold — the composed aggregate() lambda runs
+      // interpreted and was the entire cost of the scan at sf10 (PqAdc)
+      .withColumn("adc",
+        graft.functions.PqAdc.pq_adc(col("lut"), col("code"), kc))
       .groupBy("q_id")
       .agg(top_k_by_score(PqRerank)(negate(col("adc")), col("vec_id"), lit(0)).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))

@@ -54,6 +54,30 @@ class PqSpec extends AnyFunSuite {
     assert(out.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
   }
 
+  test("native pq_adc equals the composed aggregate fold on the real index") {
+    graft.functions.PqAdc.register(spark)
+    val idx = PqIndex.ensure(spark, sf)
+    val (mm, kc, dsub) = (PqIndex.M, PqIndex.Kc, PqIndex.Dsub)
+    val probes = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"),
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+      .withColumn("cb", typedLit(PqIndex.flatCodebook(spark, idx)))
+      .withColumn("lut", expr(
+        s"""transform(sequence(0, ${mm * kc - 1}), i ->
+              aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (acc, j) ->
+                acc + (element_at(qv, CAST(i div $kc AS INT) * $dsub + j)
+                       - element_at(cb, CAST(i AS INT) * $dsub + j))
+                    * (element_at(qv, CAST(i div $kc AS INT) * $dsub + j)
+                       - element_at(cb, CAST(i AS INT) * $dsub + j))))"""))
+    val both = PqIndex.codes(spark, idx).crossJoin(probes)
+      .withColumn("native", graft.functions.PqAdc.pq_adc(col("lut"), col("code"), kc))
+      .withColumn("composed", expr(
+        s"""aggregate(sequence(0, ${mm - 1}), CAST(0 AS DOUBLE), (acc, m) ->
+              acc + element_at(lut, CAST(m AS INT) * $kc + element_at(code, CAST(m AS INT) + 1) + 1))"""))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("recall@3 vs the exact scan clears the fixture floor") {
     // exact side: ivfSearch probing every cell IS the exact scan
     // (IvfSpec pins that identity)
