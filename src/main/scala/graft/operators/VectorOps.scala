@@ -265,8 +265,74 @@ object VectorOps {
       .boundedOrderBy("q_id", "rnk")
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+  /** The COMPOSED production ANN stack, q46 × q66: IVF probe cells prune
+    * the scan to nprobe/K of the corpus (partition pruning on cid over
+    * the cell-partitioned assignments), PQ/ADC scores what's left from
+    * the 8 B/vector codes, and only the top-[[PqRerank]] survivors touch
+    * raw vectors for the exact re-rank. At 100 TB this is the layout
+    * every vector store converges on — scan-bytes cut multiplicatively:
+    * (nprobe/K) of the corpus × (8 B / 512 B) per vector.
+    *
+    * Both persisted indexes are oracle boundaries, so the whole composed
+    * search replays in SQL (probe cells from the IVF centroids + ADC from
+    * the PQ codebooks/codes) — hash-checked like its two halves. */
+  val q67_ivfpq_ann: Q = (s, d) => {
+    register(s)
+    graft.functions.PqAdc.register(s)
+    val ivf = IvfIndex.ensure(s, d)
+    val pq  = PqIndex.ensure(s, d)
+    val (mm, kc, dsub) = (PqIndex.M, PqIndex.Kc, PqIndex.Dsub)
+    val cent = broadcast(IvfIndex.centroids(s, ivf))
+    val probes = embeddings(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), expr(VECD).as("qv"))
+      .withColumn("qn", sqrt(dot_product(col("qv"), col("qv"))))
+      .withColumn("cb", typedLit(PqIndex.flatCodebook(s, pq)))
+      .withColumn("lut", expr(
+        s"""transform(sequence(0, ${mm * kc - 1}), i ->
+              aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (acc, j) ->
+                acc + (element_at(qv, CAST(i div $kc AS INT) * $dsub + j)
+                       - element_at(cb, CAST(i AS INT) * $dsub + j))
+                    * (element_at(qv, CAST(i div $kc AS INT) * $dsub + j)
+                       - element_at(cb, CAST(i AS INT) * $dsub + j))))"""))
+      .drop("cb")
+    val probeCells = probes.crossJoin(cent)
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") <= IvfIndex.NProbe)
+      .select(col("q_id"), col("lut"), col("cid"))
+    // candidates = probed cells only (partition pruning on cid), scored
+    // from the codes table — raw vectors stay untouched until the re-rank
+    val cellMembers = IvfIndex.assignments(s, ivf).select("cid", "vec_id")
+    val cands = probeCells
+      .join(cellMembers, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(PqIndex.codes(s, pq), Seq("vec_id"))
+      .withColumn("adc",
+        graft.functions.PqAdc.pq_adc(col("lut"), col("code"), kc))
+      .groupBy("q_id")
+      .agg(top_k_by_score(PqRerank)(negate(col("adc")), col("vec_id"), lit(0)).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t._2").as("vec_id"))
+    cands
+      .join(broadcast(probes.select("q_id", "qv", "qn")), Seq("q_id"))
+      .join(embeddings(s, d).select(col("vec_id"), expr(VECD).as("v")), Seq("vec_id"))
+      .withColumn("cosine",
+        dot_product(col("qv"), col("v")) /
+          (col("qn") * sqrt(dot_product(col("v"), col("v")))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast(IntegerType).as("rnk"),
+              col("vec_id").as("neighbor_id"), col("cosine"))
+      .boundedOrderBy("q_id", "rnk")
+  }
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
+    "q67_ivfpq_ann"    -> q67_ivfpq_ann,
     "q66_pq_ann"       -> q66_pq_ann,
     "q46_ivf_ann"      -> q46_ivf_ann,
     "q40_cosine_topk"  -> q40_cosine_topk,
@@ -289,6 +355,73 @@ object VectorOps {
     // replays the SEARCH from the persisted centroids (the oracle
     // boundary — see IvfIndex scaladoc): assignment to nearest centroid,
     // nprobe=2 probe cells, exact cosine re-rank — all plain SQL
+    // q67: the composed IVF-PQ search — probe cells replayed from the
+    // persisted IVF centroids (q46's CTEs), ADC from the persisted PQ
+    // codebooks/codes (q66's CTEs), candidates restricted to the probed
+    // cells via the persisted assignments
+    "q67_ivfpq_ann" ->
+      s"""WITH cent AS (
+           SELECT cid, cv FROM read_parquet('__IVF__/centroids.parquet/*.parquet')),
+         cb AS (
+           SELECT m, cid, cv FROM read_parquet('__PQ__/codebooks.parquet/*.parquet')),
+         codes AS (
+           SELECT vec_id, code FROM read_parquet('__PQ__/codes.parquet/*.parquet')),
+         vecs AS (
+           SELECT vec_id, $VECD_SQL AS v FROM embeddings),
+         probes AS (
+           SELECT vec_id AS q_id, v AS qv, sqrt(${dotDuck("v", "v")}) AS qn
+           FROM vecs WHERE vec_id < 20),
+         members AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM (SELECT vec_id, cid, ${sqDuck("v", "cv")} AS d2 FROM vecs, cent))
+           WHERE rn = 1),
+         pdist AS (
+           SELECT q_id, cid, ${sqDuck("qv", "cv")} AS d2 FROM probes, cent),
+         probe_cells AS (
+           SELECT q_id, cid FROM (
+             SELECT q_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn
+             FROM pdist) WHERE rn <= ${IvfIndex.NProbe}),
+         lut AS (
+           SELECT q_id, m, cid,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, ${PqIndex.Dsub}),
+               j -> (qv[m * ${PqIndex.Dsub} + j] - cv[j]) * (qv[m * ${PqIndex.Dsub} + j] - cv[j]))),
+               (acc, x) -> acc + x) AS pd
+           FROM probes, cb),
+         cexp AS (
+           SELECT vec_id, g.m AS m, code[g.m + 1] AS cid
+           FROM codes, (SELECT unnest(generate_series(0, ${PqIndex.M - 1})) AS m) g),
+         scoped AS (
+           SELECT pc.q_id, mem.vec_id
+           FROM probe_cells pc JOIN members mem USING (cid)
+           WHERE mem.vec_id <> pc.q_id),
+         adc AS (
+           SELECT sc.q_id, sc.vec_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_sort(list({'m': l.m, 'pd': l.pd})), r -> r.pd)),
+               (acc, x) -> acc + x) AS adc
+           FROM scoped sc
+           JOIN cexp c ON c.vec_id = sc.vec_id
+           JOIN lut l ON l.q_id = sc.q_id AND l.m = c.m AND l.cid = c.cid
+           GROUP BY sc.q_id, sc.vec_id),
+         cand AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+             FROM adc) WHERE rn <= ${PqRerank}),
+         scored AS (
+           SELECT p.q_id, v.vec_id,
+             ${dotDuck("p.qv", "v.v")} / (p.qn * sqrt(${dotDuck("v.v", "v.v")})) AS cosine
+           FROM cand JOIN probes p USING (q_id) JOIN vecs v USING (vec_id)),
+         ranked AS (
+           SELECT q_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+           FROM scored)
+         SELECT q_id, rnk, vec_id AS neighbor_id, cosine
+         FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
+
     // q66: ADC + re-rank replayed from the persisted PQ codebooks/codes.
     // Every float fold is order-pinned to the Spark side: LUT entries are
     // 0-init left folds over j=1..8 (list_prepend(0) ≡ aggregate's 0

@@ -78,6 +78,45 @@ class PqSpec extends AnyFunSuite {
     assert(both.count() > 0)
   }
 
+  test("q67 IVF-PQ: neighbors come from probed cells; near-total agreement with q46") {
+    import org.apache.spark.sql.expressions.Window
+    val ivf = graft.operators.IvfIndex.ensure(spark, sf)
+    // probed cells per query, recomputed independently
+    val cent = graft.operators.IvfIndex.centroids(spark, ivf)
+    val probes = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"),
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+    val probedCells = probes.crossJoin(cent)
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") <= graft.operators.IvfIndex.NProbe)
+      .select("q_id", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getInt(1)).toSet }
+    val memberCells = graft.operators.IvfIndex.assignments(spark, ivf)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val q67 = VectorOps.q67_ivfpq_ann(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(q67.nonEmpty)
+    q67.foreach { case (q, ns) =>
+      ns.foreach { n =>
+        assert(probedCells(q).contains(memberCells(n)),
+          s"q67 neighbor $n of query $q is outside the probed cells") } }
+    // same cells, ADC-pruned candidates vs exact ranking: agreement floor
+    // (measured 0.97 at sf0.01 — ADC's top-32 almost always contains the
+    // exact within-cell top-3)
+    val q46 = VectorOps.q46_ivf_ann(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val agree = q46.map { case (q, ex) =>
+      q67.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+    assert(agree.sum / agree.size >= 0.8,
+      s"q67/q46 agreement ${agree.sum / agree.size} below 0.8")
+  }
+
   test("recall@3 vs the exact scan clears the fixture floor") {
     // exact side: ivfSearch probing every cell IS the exact scan
     // (IvfSpec pins that identity)
