@@ -192,14 +192,23 @@ object Bench {
 
     def fmt(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // Per-query seconds rounded to ms: the driver's artifact keeps only the
-    // LAST ~2000 chars of output, so the stdout line must be compact enough
-    // to survive whole (rounds 1-3 shipped full-precision mins + medians on
-    // one line -> the driver's tail cut the line's head -> "parsed": null
-    // in every BENCH_r*.json). Full precision + medians go to stderr FIRST.
-    def fmt3(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
-        .mkString("{", ",", "}")
+    // Per-query seconds rounded to 10 ms, trailing zeros stripped: the
+    // driver's artifact keeps only the LAST ~2000 chars of output, so the
+    // stdout line must be compact enough to survive whole (rounds 1-3
+    // shipped full-precision mins + medians on one line -> the driver's
+    // tail cut the line's head -> "parsed": null in every BENCH_r*.json;
+    // the suite growing to 85 queries in round 8 pushed the 3-decimal
+    // form past the cap again, hence 2-decimal + stripped). Full
+    // precision + medians go to stderr FIRST.
+    def fmt2s(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) =>
+        val r = math.rint(v * 100) / 100
+        val s0 = if (r == r.toLong) r.toLong.toString else {
+          val t = f"$r%.2f"
+          if (t.endsWith("0")) t.dropRight(1) else t
+        }
+        "\"" + k + "\":" + s0
+      }.mkString("{", ",", "}")
     val mins = queries.map { case (name, _) =>
       name -> (if (failed(name) || samples(name).isEmpty) -1.0 else samples(name).min)
     }
@@ -272,7 +281,6 @@ object Bench {
           ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
         np -> r3(r.sum / r.size)
       }
-      val ivfJson = recalls.map { case (np, r) => s""""r$np":$r""" }.mkString(",")
       // PQ recall@3 vs the same exact neighborhood (q66's rerank budget is
       // fixed; the measured recall is the ADC quality evidence — the
       // PqSpec floor is 0.5 on the sf0.01 fixture)
@@ -288,15 +296,24 @@ object Bench {
       // bounds (0.15 rel for q10b, 2.0 n/B rank units for q29b) and the
       // recall k (=10) are documented in EXPLAIN_r8 §attest — kept out of
       // the stdout line to stay inside the driver's ~2000-char tail
-      s""","attest":{"q10b":{"err":${r3(relErr)},"ok":${relErr <= 0.15}},""" +
-        s""""q29b":{"err":${r3(rankErr)},"ok":${rankErr <= 2.0}},""" +
-        s""""ivf":{$ivfJson},"pq":{"r3":$pqRecall}}"""
+      // COMPACT attest (round-8 third session): the 85-query map left no
+      // line budget for the nested {err, ok} shape — flat err values +
+      // recall arrays; bounds (0.15 / 2.0) and the nprobe order [1,2,4]
+      // are documented in EXPLAIN_r8. ok == (err <= bound) by definition.
+      s""","attest":{"q10b":${r3(relErr)},"q29b":${r3(rankErr)},""" +
+        s""""ivf":[${recalls.map(_._2).mkString(",")}],"pq":$pqRecall}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] attestation failed: ${e.getMessage}"); ""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt3(gated)},"no_oracle_excluded":${noOracle.size}$attest,"sf":"$sfDir"}"""
-    if (line.length > 1800)
-      System.err.println(s"[bench] WARNING stdout line ${line.length} chars > 1800 — may not survive the driver's tail capture")
+    // no_oracle_excluded moved to the stderr detail line (round-8 third
+    // session): the 85-query suite left no stdout budget for it; its value
+    // (2: q10b/q29b) is structural, not per-run.
+    System.err.println(s"[bench-detail] no_oracle_excluded=${noOracle.size}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt2s(gated)}$attest,"sf":"$sfDir"}"""
+    // hard budget: the driver tails the last 2000 chars and sbt appends a
+    // ~90-char [success] trailer after this line
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING stdout line ${line.length} chars > 1900 — may not survive the driver's 2000-char tail capture")
     println(line)
     spark.stop()
   }
