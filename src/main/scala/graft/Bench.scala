@@ -309,7 +309,12 @@ object Bench {
     // session): the 85-query suite left no stdout budget for it; its value
     // (2: q10b/q29b) is structural, not per-run.
     System.err.println(s"[bench-detail] no_oracle_excluded=${noOracle.size}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt2s(gated)}$attest,"sf":"$sfDir"}"""
+    // "sf" carries the basename only (round-8 fourth session): the full
+    // /root/testdata/… path spent 15 chars of the ~1924-char stdout budget
+    // saying nothing the basename doesn't; the driver records its own sf
+    // field anyway. Bought the room for q65's map entry.
+    val sfTag = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt2s(gated)}$attest,"sf":"$sfTag"}"""
     // hard budget: the driver tails the last 2000 chars and sbt appends a
     // ~90-char [success] trailer after this line
     if (line.length > 1900)

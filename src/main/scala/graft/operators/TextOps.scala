@@ -928,6 +928,94 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------- bloom-filter decontamination (scale path)
+  /** q38's semantics through an approximate-membership PRE-FILTER — the
+    * shape decontamination takes when the evaluation suite outgrows the
+    * exact broadcast set. q38's plan broadcasts the distinct test shingles
+    * (~88+ bits/key of string payload) and degrades to a full shuffle of
+    * EVERY train shingle when the set exceeds the budget. Here the test
+    * side is first folded into a Bloom filter — a fixed ~16 bits/key
+    * bitmap whose size is set by the test split alone, never the train
+    * corpus — and only train shingles the filter cannot rule out reach the
+    * exact confirm join. At 100 TB that changes the shuffled volume from
+    * |train| rows to |true hits| + fpr·|train| (sub-1% of the corpus for
+    * the k=3 / 16-bits-per-key parameters below), while the bitmap rides
+    * the task broadcast at a fraction of the exact set's footprint. The
+    * confirm join keeps the result EXACT — false positives are re-checked
+    * against the real shingle strings, so the output is bit-identical to
+    * q38 (spec-pinned) and shares its oracle.
+    *
+    * Construction is pure built-ins, fully codegen: probe positions are
+    * `pmod(xxhash64(shingle, i), m)` for i ∈ {0,1,2} (the seed column
+    * makes three independent hash functions of the one xxhash64 kernel),
+    * the bitmap is a sparse word→bits map built with `bit_or` aggregation
+    * (order-independent ⇒ deterministic for a given split), shipped as a
+    * one-row broadcast, and membership is a coalesced `element_at` + shift
+    * per probe. m is sized from the same provable character-sum ceiling as
+    * q38's budget check (shingles ≤ C/2), at 16 bits per expected key:
+    * worst-case fpr = (1 − e^(−3/16))^3 ≈ 0.5%, lower in practice because
+    * the ceiling over-counts. */
+  /** Shared plumbing for q65 + its selectivity evidence: the same
+    * train/test split as q38, the one-row bloom bitmap over the test
+    * shingles, and `maybe` = train shingles the filter cannot rule out.
+    * Returns (train, maybe, testShingles). */
+  private def bloomDecontamParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sh = docsWide(s, d)
+      .withColumn("h", md5_long(col("doc_id").cast(StringType), 0, 2))
+      .select(col("doc_id"), col("h"),
+              explode(word_shingles(col("text"))).as("shingle"))
+    val testShingles = sh.filter(col("h") >= 230).select("shingle")
+    val train = sh.filter(col("h") < 204)
+    // m from the provable test-split ceiling (q38's bound: tokens ≤ C/2),
+    // 16 bits/expected key, floor 2^16 bits so tiny fixtures still spread
+    val testChars = graft.Tables.documentsCharSum(s, d) * 26L / 256L
+    val mBits = math.max(1L << 16, testChars / 2L * 16L)
+    def probePos(i: Int) = s"pmod(xxhash64(shingle, $i), ${mBits}L)"
+    val bloomRow = testShingles
+      .select((0 to 2).map(i => expr(probePos(i)).as(s"p$i")): _*)
+      .select(explode(array(col("p0"), col("p1"), col("p2"))).as("pos"))
+      .select(expr("pos div 64").as("w"),
+              expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+        .as("bloom"))
+    val mightContain = (0 to 2).map { i =>
+      expr(s"""(shiftright(coalesce(element_at(bloom, ${probePos(i)} div 64), 0L),
+                           CAST(${probePos(i)} % 64 AS INT)) & 1L) = 1L""")
+    }.reduce(_ && _)
+    val maybe = train.crossJoin(broadcast(bloomRow)).filter(mightContain)
+    (train, maybe, testShingles)
+  }
+
+  val q65_bloom_decontam: Q = (s, d) => {
+    val (train, maybe, testShingles) = bloomDecontamParts(s, d)
+    // exact confirm: only the bloom survivors shuffle; semi join needs no
+    // distinct on the test side (EXISTS semantics)
+    val confirmed = maybe
+      .join(testShingles, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(confirmed, Seq("doc_id"), "left_outer")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        col("n_contaminated").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+      .filter(col("contamination") >= 0.05)
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+              col("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom pre-filter selectivity evidence for q65 (spec + EXPLAIN use):
+    * (train shingle instances, bloom-candidate instances, confirmed
+    * contaminated instances). fpr over clean rows =
+    * (candidates − confirmed) / (train − confirmed). */
+  def bloomDecontamFunnel(s: SparkSession, d: String): (Long, Long, Long) = {
+    val (train, maybe, testShingles) = bloomDecontamParts(s, d)
+    (train.count(), maybe.count(),
+     maybe.join(testShingles, Seq("shingle"), "left_semi").count())
+  }
+
   // ------------------------------------------------- deterministic sampling
   /** Content-hash sampling — the training-pipeline form of TABLESAMPLE:
     * membership is a pure function of the row key (md5-prefix < threshold),
@@ -1009,6 +1097,7 @@ object TextOps {
     "q35_minhash_lsh"       -> q35_minhash_lsh,
     "q37_neardup_clusters"  -> q37_neardup_clusters,
     "q38_decontamination"   -> q38_decontamination,
+    "q65_bloom_decontam"    -> q65_bloom_decontam,
   )
 
   private def hitsSql(words: String) =
@@ -1040,6 +1129,29 @@ object TextOps {
            SELECT DISTINCT doc_id, wmin AS key FROM w WHERE gpos >= 4
            UNION
            SELECT DISTINCT doc_id, allmin AS key FROM w WHERE n < 4)"""
+
+  /** One decontamination semantics, two plans under test: q38 (exact
+    * broadcast set, budget-checked) and q65 (bloom pre-filter + exact
+    * confirm) both reduce to this SQL. */
+  private val DecontamOracleSql =
+    """WITH sh AS (
+         SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+                unnest(list_distinct(list_transform(
+                  generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       test_sh AS (SELECT DISTINCT shingle FROM sh WHERE h >= 'e6'),
+       train AS (SELECT doc_id, shingle FROM sh WHERE h < 'cc')
+       SELECT t.doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+         CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS contamination
+       FROM train t LEFT JOIN test_sh ts ON t.shingle = ts.shingle
+       GROUP BY t.doc_id
+       HAVING CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) >= 0.05
+       ORDER BY t.doc_id"""
 
   val oracles: Map[String, String] = Map(
     "q56_hash_sample" ->
@@ -1206,25 +1318,11 @@ object TextOps {
          WHERE CAST(n_common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.2
          ORDER BY d1, d2""",
 
-    "q38_decontamination" ->
-      """WITH sh AS (
-           SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
-                  unnest(list_distinct(list_transform(
-                    generate_series(1, len(t) - 2),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
-         test_sh AS (SELECT DISTINCT shingle FROM sh WHERE h >= 'e6'),
-         train AS (SELECT doc_id, shingle FROM sh WHERE h < 'cc')
-         SELECT t.doc_id, COUNT(*) AS n_shingles,
-           CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_contaminated,
-           CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) AS contamination
-         FROM train t LEFT JOIN test_sh ts ON t.shingle = ts.shingle
-         GROUP BY t.doc_id
-         HAVING CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) >= 0.05
-         ORDER BY t.doc_id""",
+    "q38_decontamination" -> DecontamOracleSql,
+    // q65 is the bloom pre-filtered form of the SAME semantics (the exact
+    // confirm join removes every false positive), so it shares q38's
+    // oracle text verbatim — one SQL, two plans under test.
+    "q65_bloom_decontam" -> DecontamOracleSql,
 
     // connected components as a recursive CTE: min reachable label per
     // node over the same symmetrized Jaccard-pair graph (UNION dedups, so

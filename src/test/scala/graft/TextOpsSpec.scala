@@ -201,6 +201,35 @@ class TextOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q65 bloom pre-filtered decontamination is bit-identical to q38") {
+    // the exact confirm join must erase every bloom false positive: same
+    // rows, same values, same order as the exact-set plan
+    val exact = TextOps.q38_decontamination(spark, sf).collect().map(_.toSeq)
+    val bloom = TextOps.q65_bloom_decontam(spark, sf).collect().map(_.toSeq)
+    assert(exact.nonEmpty, "fixture should contain contaminated docs")
+    assert(bloom.sameElements(exact), "bloom path changed the result")
+  }
+
+  test("q65 bloom funnel: no false negatives, fpr within the design bound") {
+    val (nTrain, nMaybe, nHit) = TextOps.bloomDecontamFunnel(spark, sf)
+    // soundness: every confirmed hit passed the pre-filter (hits are
+    // counted FROM the maybe set, so nHit ≤ nMaybe is structural; the
+    // real claim is that the confirmed count matches q38's contamination
+    // total over ALL train shingles — no hit was filtered away)
+    val q38Hits = TextOps.q38_decontamination(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_contaminated")).head.getLong(0)
+    assert(nHit >= q38Hits,
+      s"bloom dropped true hits: confirmed $nHit < q38's reported $q38Hits")
+    // selectivity: false positives over the clean rows stay under ~4× the
+    // 0.5% design fpr (the bound holds at the provable key ceiling; the
+    // fixture corpus sits well under it, slack for hash variance)
+    val fpr = (nMaybe - nHit).toDouble / math.max(1L, nTrain - nHit)
+    assert(fpr <= 0.02, s"bloom fpr $fpr exceeds 4x the design bound")
+    // and the pre-filter actually filters: the confirm join must see a
+    // small fraction of the corpus, else the scale story is vacuous
+    assert(nMaybe < nTrain, "pre-filter removed nothing")
+  }
+
   test("minhash LSH recalls the high-jaccard near-dup pairs") {
     val exact = TextOps.q34_ngram_jaccard(spark, sf)
       .filter(col("jaccard") >= 0.9)

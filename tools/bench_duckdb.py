@@ -2,13 +2,32 @@
 """Comparator for BENCH: run every SparkEntry oracle SQL text in DuckDB over
 the same parquet tables and report per-query seconds (warmup + min of 3,
 mirroring graft.Bench). Usage: bench_duckdb.py <sfDir> <verifyOutDir>
+[--shared-index]
 
 <verifyOutDir> must contain oracle_sql.json (written by graft.Verify).
+
+--shared-index mirrors graft.Bench's SHARED-INDEX ACCOUNTING into DuckDB:
+the dedup family's common derivations (the df-capped shingle table `shf`,
+the Jaccard pair table, the MinHash band table) are materialized as temp
+tables ONCE PER TIMED PASS and the member queries are rewritten to read
+them — build cost timed inside the pass and attributed to the first family
+member that runs (q34 for shf+pairs, q35 for bands), exactly Bench's
+attribution. The DEFAULT mode keeps per-query isolation and oracle-text
+identity with the CORRECTNESS gate; shared mode exists so the
+pipeline-vs-isolated asymmetry disclosed in Bench.scala can be measured
+from the DuckDB side too (EXPLAIN_r8). Rewrites are exact-substring
+surgery on the generated oracle texts; any marker miss disables that
+rewrite and is reported on stderr (the run stays correct, just unshared).
+Shared mode times with Bench-style interleaved passes (min across 3 full
+passes) rather than 3 consecutive samples; for DuckDB's storm-free
+single process the two samplings agree to noise.
 """
 import sys, os, json, time
 import duckdb
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+shared = "--shared-index" in sys.argv
+sfdir, outdir = args[0], args[1]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
@@ -18,23 +37,129 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
-times = {}
-for name in sorted(oracle):
-    if name.startswith("ss_"):  # fixed-size reference workload: correctness
-        continue                # surface, excluded from the scaling bench
+names = [n for n in sorted(oracle) if not n.startswith("ss_")]
+# fixed-size reference workload (ss_*): correctness surface, excluded
 
-    sql = oracle[name]
-    try:
-        con.execute(sql).fetchall()  # warmup
-        samples = []
-        for _ in range(3):
+# ---------------------------------------------------------------- shared mode
+# Markers are the exact generated substrings of the family oracle texts
+# (TextOps.shinglesSql / the pair and band CTE bodies). All three families
+# derive from one Scala string each, so the texts are char-identical across
+# member queries.
+SHF_END = "shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle))"
+PAIR_BODY = (
+    "SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common\n"
+    "           FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id\n"
+    "           GROUP BY a.doc_id, b.doc_id")
+BANDS_END = "]) AS band_key FROM mins)"
+
+build_sql = {}     # first-member name -> list of CREATE TEMP TABLE stmts
+rewritten = dict((n, oracle[n]) for n in names)
+
+def strip_shared_cte(sql, end_marker):
+    """Split 'WITH [RECURSIVE] <shared...end_marker>, rest' -> (cte, rest)."""
+    for head in ("WITH RECURSIVE ", "WITH "):
+        if sql.startswith(head):
+            i = sql.find(end_marker)
+            if i < 0:
+                return None
+            end = i + len(end_marker)
+            cte, rest = sql[len(head):end], sql[end:].lstrip()
+            if not rest.startswith(","):
+                return None
+            return head, cte, rest[1:].lstrip()
+    return None
+
+if shared:
+    fam_shf = [n for n in ("q34_ngram_jaccard", "q37_neardup_clusters",
+                           "q35_minhash_lsh", "q64_incremental_neardup")
+               if n in rewritten]
+    shf_cte = None
+    for n in fam_shf:
+        parts = strip_shared_cte(rewritten[n], SHF_END)
+        if parts is None:
+            print(f"[shared] marker miss in {n}: left isolated", file=sys.stderr)
+            continue
+        head, cte, rest = parts
+        if shf_cte is None:
+            shf_cte = cte
+        rewritten[n] = head + rest  # shf now resolves to the temp table
+    if shf_cte is not None:
+        build_sql.setdefault("q34_ngram_jaccard", []).append(
+            f"CREATE TEMP TABLE shf AS WITH {shf_cte} SELECT * FROM shf")
+    # pair table (q34 builds, q37 reuses) — replace the identical join body
+    jp_done = all(PAIR_BODY in rewritten.get(n, "")
+                  for n in ("q34_ngram_jaccard", "q37_neardup_clusters"))
+    if jp_done:
+        build_sql.setdefault("q34_ngram_jaccard", []).append(
+            f"CREATE TEMP TABLE jp AS {PAIR_BODY}")
+        for n in ("q34_ngram_jaccard", "q37_neardup_clusters"):
+            rewritten[n] = rewritten[n].replace(PAIR_BODY, "SELECT * FROM jp")
+    else:
+        print("[shared] pair-body marker miss: pair table left isolated",
+              file=sys.stderr)
+    # band table (q35 builds, q64 reuses) — the bands CTE chain ends at a
+    # fixed marker; everything up to it (hashed/mins/bands over shf) is
+    # char-identical between the two queries
+    band_cte = None
+    for n in ("q35_minhash_lsh", "q64_incremental_neardup"):
+        sql = rewritten.get(n, "")
+        i = sql.find(BANDS_END)
+        if not sql.startswith("WITH ") or i < 0:
+            print(f"[shared] bands marker miss in {n}: left isolated",
+                  file=sys.stderr)
+            continue
+        end = i + len(BANDS_END)
+        cte, rest = sql[len("WITH "):end], sql[end:].lstrip()
+        if band_cte is None:
+            band_cte = cte
+        # rest is the final 'SELECT ... FROM bands a JOIN bands b ...';
+        # point both sides at the temp table
+        rewritten[n] = rest.replace(" bands ", " bandtab ")
+    if band_cte is not None:
+        build_sql.setdefault("q35_minhash_lsh", []).append(
+            f"CREATE TEMP TABLE bandtab AS WITH {band_cte} SELECT * FROM bands")
+
+def run_pass(record):
+    """One full pass over the suite; record(name, seconds) per query."""
+    for tbl in ("shf", "jp", "bandtab"):
+        con.execute(f"DROP TABLE IF EXISTS {tbl}")
+    for name in names:
+        sql = rewritten[name]
+        try:
             t0 = time.perf_counter()
+            for b in build_sql.get(name, []):  # per-pass index build, timed
+                con.execute(b)
             con.execute(sql).fetchall()
-            samples.append(time.perf_counter() - t0)
-        times[name] = min(samples)
-    except Exception as e:
-        times[name] = -1.0
-        print(f"ERR {name}: {e}", file=sys.stderr)
+            record(name, time.perf_counter() - t0)
+        except Exception as e:
+            record(name, -1.0)
+            print(f"ERR {name}: {e}", file=sys.stderr)
+
+times = {}
+if shared:
+    samples = {n: [] for n in names}
+    run_pass(lambda n, s: None)  # warmup
+    for _ in range(3):
+        run_pass(lambda n, s: samples[n].append(s))
+    for n in names:
+        ok = [s for s in samples[n] if s >= 0]
+        times[n] = min(ok) if len(ok) == len(samples[n]) and ok else -1.0
+else:
+    for name in names:
+        sql = oracle[name]
+        try:
+            con.execute(sql).fetchall()  # warmup
+            s = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                s.append(time.perf_counter() - t0)
+            times[name] = min(s)
+        except Exception as e:
+            times[name] = -1.0
+            print(f"ERR {name}: {e}", file=sys.stderr)
+
 total = sum(v for v in times.values() if v >= 0)
 print(json.dumps({"metric": "duckdb_total", "value": total, "unit": "sec",
-                  "queries": times, "sf": sfdir}))
+                  "queries": times, "sf": sfdir,
+                  "shared_index": shared}))
