@@ -222,7 +222,9 @@ object Bench {
     // headline map + total and report them separately on stderr.
     val noOracle = queries.map(_._1).filterNot(SparkEntry.oracleSql.contains).toSet
     val gated = mins.filterNot { case (n, _) => noOracle(n) }
-    val total = math.rint(gated.collect { case (_, v) if v >= 0 => v }.sum * 1000) / 1000
+    // 2 decimals: 10 ms resolution on an ~85-query total is already inside
+    // the box's phase noise; the third decimal only spent line budget
+    val total = math.rint(gated.collect { case (_, v) if v >= 0 => v }.sum * 100) / 100
     val noOracleJson = noOracle.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     System.err.println(s"""[bench-detail] {"mins":${fmt(mins)},"medians":${fmt(medians)},"no_oracle":$noOracleJson}""")
     // Sketch attestations: the two rows-only-by-design sketches (q10b
@@ -275,11 +277,15 @@ object Bench {
           .select("q_id", "neighbor_id").collect()
           .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val exactNN = topAt(K)
+      // recalls at 2 decimals on the stdout line (full precision never
+      // carried more information than the probe count justifies; the
+      // 86-query map needs the chars)
+      def r2(x: Double) = math.rint(x * 100) / 100
       val recalls = Seq(1, 2, 4).map { np =>
         val ann = topAt(np)
         val r = exactNN.map { case (q, ex) =>
           ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
-        np -> r3(r.sum / r.size)
+        np -> r2(r.sum / r.size)
       }
       // PQ recall@3 vs the same exact neighborhood (q66's rerank budget is
       // fixed; the measured recall is the ADC quality evidence — the
@@ -290,7 +296,7 @@ object Bench {
       val exact3 = graft.operators.VectorOps.ivfSearch(spark, sfDir, nprobe = K, k = 3)
         .select("q_id", "neighbor_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      val pqRecall = r3(exact3.map { case (q, ex) =>
+      val pqRecall = r2(exact3.map { case (q, ex) =>
         pqTop.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
         .sum / exact3.size)
       // bounds (0.15 rel for q10b, 2.0 n/B rank units for q29b) and the

@@ -21,7 +21,7 @@ object BenchDiag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val mode = args.head
-    val names = args(1).split(",").toSeq
+    lazy val names = args(1).split(",").toSeq
     val qs = SparkEntry.queries
 
     def minOf(name: String, n: Int = 3): Double = {
@@ -65,6 +65,14 @@ object BenchDiag {
           }
           println(f"$name%-28s samples=${s.map(x => f"$x%.3f").mkString(",")}")
         }
+      case "funnel" =>
+        // q65 bloom pre-filter selectivity at this SF: how much of the
+        // train side the exact confirm join actually sees
+        val (nTrain, nMaybe, nHit) =
+          graft.operators.TextOps.bloomDecontamFunnel(spark, sfDir)
+        val fpr = (nMaybe - nHit).toDouble / math.max(1L, nTrain - nHit)
+        println(f"FUNNEL train=$nTrain maybe=$nMaybe confirmed=$nHit " +
+          f"fpr=$fpr%.5f join_fraction=${nMaybe.toDouble / nTrain}%.5f")
       case "confs" =>
         val variants = Seq(
           "base"        -> Seq(),
