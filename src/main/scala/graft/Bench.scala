@@ -36,6 +36,22 @@ import org.apache.spark.sql.SparkSession
   *     in the stdout line marks it).
   */
 object Bench {
+  /** The RAM-backed scratch decision, shared with BenchDiag: measurements
+    * that skip it land on the box's ~77 MB/s buffered-write throttle and
+    * bill shuffle IO stalls as query cost (a q9 sf30 probe read 61 s wall
+    * where the Bench config reads ~6 — the entire gap was tmp-dir shuffle
+    * writes). Any session that MEASURES must use the same scratch. */
+  def shmLocalDir: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    val shmUsable = shm.isDirectory && shm.canWrite
+    val shmOk = sys.env.getOrElse("SPARK_GRAFT_SHM", "auto") match {
+      case "0" | "off" => false
+      case "1" | "on"  => shmUsable
+      case _           => shmUsable && shm.getUsableSpace >= (16L << 30)
+    }
+    if (shmOk) Some("/dev/shm/spark-graft-local") else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,16 +70,7 @@ object Bench {
     // sf0.1–sf3 shuffle footprint; a box that can't spare that should
     // measure on its normal tmpdir). SPARK_GRAFT_SHM=0 forces it off,
     // =1 forces it on regardless of headroom.
-    val shm = new java.io.File("/dev/shm")
-    val shmUsable = shm.isDirectory && shm.canWrite
-    val shmOk = sys.env.getOrElse("SPARK_GRAFT_SHM", "auto") match {
-      case "0" | "off" => false
-      case "1" | "on"  => shmUsable
-      case _           => shmUsable && shm.getUsableSpace >= (16L << 30)
-    }
-    val localDir =
-      if (shmOk) Some("/dev/shm/spark-graft-local")
-      else None
+    val localDir = Bench.shmLocalDir
     val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)

@@ -12,12 +12,20 @@ object BenchDiag {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // Same scratch + compression config as Bench (see Bench.shmLocalDir):
+    // a diagnostic that measures on a different shuffle medium than the
+    // bench diagnoses the medium, not the query.
+    val spark = Bench.shmLocalDir.fold(b0)(d => b0
+      .config("spark.local.dir", d)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.broadcast.compress", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val mode = args.head
@@ -64,6 +72,42 @@ object BenchDiag {
             (System.nanoTime() - t0) / 1e9
           }
           println(f"$name%-28s samples=${s.map(x => f"$x%.3f").mkString(",")}")
+        }
+      case "spill" =>
+        // Per-query spill ledger: wall time is storm-dominated at sf30 on
+        // this box (same query swings 5x between legs), but the SPILL
+        // BYTES Spark's task metrics record are a function of memory
+        // budget and plan, not of CPU phase — so a memory ladder reads
+        // spill, not seconds. One warm + one measured run per query.
+        names.foreach { name =>
+          val fn = qs(name)
+          fn(spark, sfDir).count() // warm
+          Thread.sleep(500)       // let warmup task-end events drain
+          val mem = new java.util.concurrent.atomic.AtomicLong
+          val dsk = new java.util.concurrent.atomic.AtomicLong
+          val run = new java.util.concurrent.atomic.AtomicLong
+          val gc  = new java.util.concurrent.atomic.AtomicLong
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              val m = te.taskMetrics
+              if (m != null) {
+                mem.addAndGet(m.memoryBytesSpilled)
+                dsk.addAndGet(m.diskBytesSpilled)
+                run.addAndGet(m.executorRunTime)
+                gc.addAndGet(m.jvmGCTime)
+              }
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)      // drain the listener bus before reading
+          spark.sparkContext.removeSparkListener(listener)
+          println(f"SPILL $name wall=$w%.2f taskSum=${run.get / 1e3}%.1f " +
+            f"gcSum=${gc.get / 1e3}%.1f " +
+            f"memSpill=${mem.get / (1L << 20)}MiB diskSpill=${dsk.get / (1L << 20)}MiB")
         }
       case "funnel" =>
         // q65 bloom pre-filter selectivity at this SF: how much of the
