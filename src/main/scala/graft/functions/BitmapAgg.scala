@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Dense bit-set aggregate: OR together single-bit positions into one
+  * `array<bigint>` of packed 64-bit words — the distributed Bloom-filter
+  * builder behind TextOps.q65.
+  *
+  * Why native: the first q65 build aggregated the set words into a sparse
+  * `map<bigint,bigint>` via `map_from_entries(collect_list(...))`, and
+  * probed it with `element_at`. Spark maps are ARRAY-backed — `element_at`
+  * on a map is a LINEAR key scan, so every probe cost O(set words) and the
+  * whole pre-filter went quadratic in corpus size (measured 0.64 s at
+  * sf0.1 → 6.8 s at sf1 → 18.7 s at sf3, 10.6× time for 10× data). A dense
+  * long-array bitmap makes the probe `element_at(arr, idx)` — a direct
+  * O(1) index — and this aggregate builds that array in one pass:
+  * per-task buffers OR-merge (map-side combine applies; merge order is
+  * irrelevant, so the result is deterministic for a given input SET).
+  *
+  * Scale shape: the buffer is `nBits/64` longs REGARDLESS of input row
+  * count — sized by the caller from a data-independent ceiling (q65 uses
+  * the provable test-split character bound), never by the stream. Each
+  * partial crossing the exchange costs the bitmap size × task count; for
+  * bitmaps that outgrow that (≫100 MB), raise bits-per-key instead — the
+  * builder caps nBits at 2^33 (1 GiB) as a contract backstop.
+  *
+  * Positions outside [0, nBits) RAISE rather than wrap: a wrapped bit
+  * would silently corrupt membership answers downstream.
+  */
+case class DenseBitmapAgg(
+    child: Expression,
+    nBits: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  private val nWords: Int = (((nBits + 63) >> 6)).toInt
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType if nBits > 0 && nBits <= (1L << 33) => TypeCheckResult.TypeCheckSuccess
+    case LongType => TypeCheckResult.TypeCheckFailure(
+      s"dense_bitmap nBits must be in (0, 2^33], got $nBits")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dense_bitmap requires a bigint position, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nWords)
+
+  override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val pos = v.asInstanceOf[Long]
+      if (pos < 0 || pos >= nBits)
+        throw new IllegalArgumentException(
+          s"dense_bitmap position $pos outside [0, $nBits)")
+      b((pos >> 6).toInt) |= 1L << (pos & 63)
+    }
+    b
+  }
+
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < nWords) { b(i) |= o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Long]): Any = UnsafeArrayData.fromPrimitiveArray(b)
+
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val bytes = new Array[Byte](nWords * 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().put(b)
+    bytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val b = new Array[Long](nWords)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(b)
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DenseBitmapAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DenseBitmapAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): DenseBitmapAgg =
+    copy(child = newChild)
+  override def prettyName: String = "dense_bitmap"
+}
+
+object BitmapAgg {
+  /** Register `dense_bitmap(pos, nBits)` (nBits a foldable bigint literal). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dense_bitmap",
+      exprs => DenseBitmapAgg(exprs.head, exprs(1).eval(null) match {
+        case l: java.lang.Long    => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case other => throw new IllegalArgumentException(
+          s"dense_bitmap nBits must be an integer literal, got $other")
+      }).toAggregateExpression(),
+      "built-in")
+}

@@ -980,9 +980,18 @@ object TextOps {
   /** Shared plumbing for q65 + its selectivity evidence: the same
     * train/test split as q38, the one-row bloom bitmap over the test
     * shingles, and `maybe` = train shingles the filter cannot rule out.
-    * Returns (train, maybe, testShingles). */
+    * Returns (train, maybe, testShingles).
+    *
+    * The bitmap is a DENSE `array<bigint>` built by the native
+    * [[graft.functions.DenseBitmapAgg]] — NOT a sparse map: Spark's
+    * `element_at` on a map column is a linear key scan (maps are
+    * array-backed), which made the first cut of this probe O(set size)
+    * per row and the whole pre-filter quadratic in corpus size (sf0.1
+    * 0.64 s → sf1 6.8 s). Dense `element_at(arr, i)` is a direct index;
+    * probes are O(1) at any scale. */
   private def bloomDecontamParts(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.BitmapAgg.register(s)
     val sh = docsWide(s, d)
       .withColumn("h", md5_long(col("doc_id").cast(StringType), 0, 2))
       .select(col("doc_id"), col("h"),
@@ -997,13 +1006,9 @@ object TextOps {
     val bloomRow = testShingles
       .select((0 to 2).map(i => expr(probePos(i)).as(s"p$i")): _*)
       .select(explode(array(col("p0"), col("p1"), col("p2"))).as("pos"))
-      .select(expr("pos div 64").as("w"),
-              expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("bit"))
-      .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
-        .as("bloom"))
+      .agg(expr(s"dense_bitmap(pos, ${mBits}L)").as("bloom"))
     val mightContain = (0 to 2).map { i =>
-      expr(s"""(shiftright(coalesce(element_at(bloom, ${probePos(i)} div 64), 0L),
+      expr(s"""(shiftright(element_at(bloom, CAST(${probePos(i)} div 64 AS INT) + 1),
                            CAST(${probePos(i)} % 64 AS INT)) & 1L) = 1L""")
     }.reduce(_ && _)
     val maybe = train.crossJoin(broadcast(bloomRow)).filter(mightContain)

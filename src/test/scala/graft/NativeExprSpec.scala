@@ -291,4 +291,37 @@ class NativeExprSpec extends AnyFunSuite {
     assert(st("“quoted” café “quoted” café", 2) == ((3L, 2L, 2L)))
     assert(st("你好 世界 你好 世界", 2) == ((3L, 2L, 2L)))
   }
+
+  test("dense_bitmap: membership exact, partition-invariant, bounds raise") {
+    val s = registered
+    graft.functions.BitmapAgg.register(s)
+    import s.implicits._
+    val nBits = 1L << 10
+    val positions = Seq(0L, 1L, 63L, 64L, 65L, 511L, 512L, 1023L, 63L, 0L)
+    def bitmap(parts: Int): Array[Long] = {
+      val arr = positions.toDF("pos").repartition(parts)
+        .agg(expr(s"dense_bitmap(pos, ${nBits}L)")).head
+        .getSeq[Long](0).toArray
+      arr
+    }
+    val b1 = bitmap(1)
+    // word count = nBits/64; exactly the inserted bits are set (duplicates
+    // idempotent), everything else clear
+    assert(b1.length == (nBits / 64).toInt)
+    val want = positions.toSet
+    (0L until nBits).foreach { p =>
+      val set = ((b1((p >> 6).toInt) >>> (p & 63)) & 1L) == 1L
+      assert(set == want.contains(p), s"bit $p")
+    }
+    // merge-order / partitioning invariance: OR is commutative by
+    // construction, but the aggregate path (partials + exchange) must
+    // reproduce the single-partition result bit for bit
+    assert(bitmap(7).sameElements(b1))
+    // out-of-range position raises (never wraps: a wrapped bit corrupts
+    // membership silently)
+    val err = intercept[Exception] {
+      Seq(nBits).toDF("pos").agg(expr(s"dense_bitmap(pos, ${nBits}L)")).head
+    }
+    assert(err.getMessage != null)
+  }
 }
