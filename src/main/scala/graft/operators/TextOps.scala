@@ -945,20 +945,21 @@ object TextOps {
     * against the real shingle strings, so the output is bit-identical to
     * q38 (spec-pinned) and shares its oracle.
     *
-    * Construction is pure built-ins, fully codegen: probe positions are
-    * `pmod(xxhash64(shingle, i), m)` for i ∈ {0,1,2} (the seed column
-    * makes three independent hash functions of the one xxhash64 kernel),
-    * the bitmap is a sparse word→bits map built with `bit_or` aggregation
-    * (order-independent ⇒ deterministic for a given split), shipped as a
-    * one-row broadcast, and membership is a coalesced `element_at` + shift
-    * per probe. m is sized from the same provable character-sum ceiling as
-    * q38's budget check (shingles ≤ C/2), at 16 bits per expected key:
-    * worst-case fpr = (1 − e^(−3/16))^3 ≈ 0.5%, lower in practice because
-    * the ceiling over-counts.
+    * Probe positions are `pmod(xxhash64(shingle, i), m)` for i ∈ {0,1,2}
+    * (the seed column makes three independent hash functions of the one
+    * xxhash64 kernel); the bitmap is a dense `array<bigint>` built by the
+    * native [[graft.functions.DenseBitmapAgg]] (OR-merge ⇒ deterministic
+    * for a given split), shipped as a one-row broadcast; membership is an
+    * O(1) `element_at` index + shift per probe. m is sized from the same
+    * provable character-sum ceiling as q38's budget check (shingles ≤
+    * C/2), at 16 bits per expected key: worst-case fpr =
+    * (1 − e^(−3/16))^3 ≈ 0.5%, lower in practice because the ceiling
+    * over-counts.
     *
-    * Measured at sf0.1: 0.64 s isolated vs q38's 0.38 s — the pre-filter's
-    * fixed costs only pay off past the broadcast budget, which is exactly
-    * when this plan takes over (the two queries ARE the two regimes). */
+    * Measured (dense bitmap): sf0.1 0.39 s / sf1 0.73 / sf3 1.37 —
+    * linear, and already at parity with q38's exact-broadcast plan at
+    * sf0.1 (0.43). The two queries ARE the two regimes: q38 while the
+    * eval suite broadcasts, q65 past the budget. */
   val q65_bloom_decontam: Q = (s, d) => {
     val (train, maybe, testShingles) = bloomDecontamParts(s, d)
     // exact confirm: only the bloom survivors shuffle; semi join needs no
