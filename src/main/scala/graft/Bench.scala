@@ -52,6 +52,23 @@ object Bench {
     if (shmOk) Some("/dev/shm/spark-graft-local") else None
   }
 
+  /** Fixed single-thread CPU work, timed: the phase ruler. This box is a
+    * shared VM whose effective CPU speed drifts (9.4% steal measured under
+    * load in a CALM window; whole phases run ~2× slower) — the drift, not
+    * the code, explains most pair-to-pair scatter in the artifacts. A
+    * fixed-work timing taken WITH each run lets any two artifacts be
+    * phase-normalized after the fact: ratio of calib times = ratio of
+    * effective clock. 100M dependent multiply-xor steps, ~0.1-0.3 s. */
+  def calibrate(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 100000000) { x = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("calibration sentinel") // defeat DCE
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -154,6 +171,7 @@ object Bench {
       // winnow index, q64 the shingle/band index — same per-pass lifecycle
       "q63_winnow_dup_pairs", "q64_incremental_neardup")
 
+    val calibBefore = calibrate()
     val failed = scala.collection.mutable.Set[String]()
     val prepared = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
     // warmup pass (untimed) — also constructs the prepared plans
@@ -233,6 +251,12 @@ object Bench {
     // the box's phase noise; the third decimal only spent line budget
     val total = math.rint(gated.collect { case (_, v) if v >= 0 => v }.sum * 100) / 100
     val noOracleJson = noOracle.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // phase ruler bracketing the timed region (see calibrate()): stderr
+    // only — comparisons across artifacts divide by these, the stdout
+    // line's budget stays untouched
+    val calibAfter = calibrate()
+    System.err.println(
+      f"""[bench-detail] {"calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f}""")
     System.err.println(s"""[bench-detail] {"mins":${fmt(mins)},"medians":${fmt(medians)},"no_oracle":$noOracleJson}""")
     // Sketch attestations: the two rows-only-by-design sketches (q10b
     // HLL++, q29b quantile summary) carry their own evidence in the

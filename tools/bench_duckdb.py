@@ -25,6 +25,18 @@ single process the two samplings agree to noise.
 import sys, os, json, time
 import duckdb
 
+
+def calibrate():
+    """Fixed single-thread CPU work, timed — the phase ruler (mirrors
+    graft.Bench.calibrate). Comparisons across runs of THIS tool divide by
+    it; it does not need to match the JVM ruler's absolute speed."""
+    h = b"x" * 64
+    import hashlib
+    t0 = time.perf_counter()
+    for _ in range(200_000):
+        h = hashlib.sha256(h).digest()
+    return time.perf_counter() - t0
+
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 shared = "--shared-index" in sys.argv
 sfdir, outdir = args[0], args[1]
@@ -36,6 +48,7 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
         p = f"{p}/*.parquet"
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+calib_before = calibrate()
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 names = [n for n in sorted(oracle) if not n.startswith("ss_")]
 # fixed-size reference workload (ss_*): correctness surface, excluded
@@ -162,4 +175,6 @@ else:
 total = sum(v for v in times.values() if v >= 0)
 print(json.dumps({"metric": "duckdb_total", "value": total, "unit": "sec",
                   "queries": times, "sf": sfdir,
-                  "shared_index": shared}))
+                  "shared_index": shared,
+                  "calib_before_s": round(calib_before, 4),
+                  "calib_after_s": round(calibrate(), 4)}))
