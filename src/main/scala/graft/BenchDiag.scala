@@ -82,7 +82,10 @@ object BenchDiag {
         names.foreach { name =>
           val fn = qs(name)
           fn(spark, sfDir).count() // warm
-          Thread.sleep(500)       // let warmup task-end events drain
+          // same drain assumption as the post-run read (the bus is async;
+          // a listener registered while warm-run events are still queued
+          // would bill them to the measured run)
+          Thread.sleep(2000)
           val mem = new java.util.concurrent.atomic.AtomicLong
           val dsk = new java.util.concurrent.atomic.AtomicLong
           val run = new java.util.concurrent.atomic.AtomicLong

@@ -99,9 +99,13 @@ if shared:
     if shf_cte is not None:
         build_sql.setdefault("q34_ngram_jaccard", []).append(
             f"CREATE TEMP TABLE shf AS WITH {shf_cte} SELECT * FROM shf")
-    # pair table (q34 builds, q37 reuses) — replace the identical join body
-    jp_done = all(PAIR_BODY in rewritten.get(n, "")
-                  for n in ("q34_ngram_jaccard", "q37_neardup_clusters"))
+    # pair table (q34 builds, q37 reuses) — replace the identical join body.
+    # Gated on the shf strip having succeeded: jp's CREATE references the
+    # shf TEMP TABLE, so rewriting the pair body without it would turn a
+    # marker miss into hard query failures instead of 'left isolated'.
+    jp_done = shf_cte is not None and all(
+        PAIR_BODY in rewritten.get(n, "")
+        for n in ("q34_ngram_jaccard", "q37_neardup_clusters"))
     if jp_done:
         build_sql.setdefault("q34_ngram_jaccard", []).append(
             f"CREATE TEMP TABLE jp AS {PAIR_BODY}")
@@ -123,11 +127,18 @@ if shared:
             continue
         end = i + len(BANDS_END)
         cte, rest = sql[len("WITH "):end], sql[end:].lstrip()
+        # rest is the final 'SELECT ... FROM bands a JOIN bands b ...';
+        # point both sides at the temp table — and VERIFY the replacement
+        # took (a silent miss would reference the stripped CTE and fail as
+        # an unattributed query error)
+        body = rest.replace(" bands ", " bandtab ")
+        if " bands " in body or " bandtab " not in body:
+            print(f"[shared] bands body rewrite failed in {n}: left isolated",
+                  file=sys.stderr)
+            continue
         if band_cte is None:
             band_cte = cte
-        # rest is the final 'SELECT ... FROM bands a JOIN bands b ...';
-        # point both sides at the temp table
-        rewritten[n] = rest.replace(" bands ", " bandtab ")
+        rewritten[n] = body
     if band_cte is not None:
         build_sql.setdefault("q35_minhash_lsh", []).append(
             f"CREATE TEMP TABLE bandtab AS WITH {band_cte} SELECT * FROM bands")
