@@ -69,6 +69,24 @@ object Bench {
     dt
   }
 
+  /** All-core companion to [[calibrate]]: the same fixed work on every
+    * core at once, reporting wall seconds. The single-thread ruler stayed
+    * flat (0.17 s) across back-to-back suites that differed 14% — the
+    * burst steal a shared VM applies under FULL load doesn't show at one
+    * thread. Ratio mtCalib/calibrate ≈ effective all-core slowdown; two
+    * artifacts with matching single-thread rulers but different mt rulers
+    * were taken under different contention, and their totals should be
+    * read through the mt ratio. */
+  def calibrateMt(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => calibrate())
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -172,6 +190,7 @@ object Bench {
       "q63_winnow_dup_pairs", "q64_incremental_neardup")
 
     val calibBefore = calibrate()
+    val calibMtBefore = calibrateMt(cpus.toInt)
     val failed = scala.collection.mutable.Set[String]()
     val prepared = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
     // warmup pass (untimed) — also constructs the prepared plans
@@ -255,8 +274,10 @@ object Bench {
     // only — comparisons across artifacts divide by these, the stdout
     // line's budget stays untouched
     val calibAfter = calibrate()
+    val calibMtAfter = calibrateMt(cpus.toInt)
     System.err.println(
-      f"""[bench-detail] {"calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f}""")
+      f"""[bench-detail] {"calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f,""" +
+      f""""calib_mt_before_s":$calibMtBefore%.3f,"calib_mt_after_s":$calibMtAfter%.3f}""")
     System.err.println(s"""[bench-detail] {"mins":${fmt(mins)},"medians":${fmt(medians)},"no_oracle":$noOracleJson}""")
     // Sketch attestations: the two rows-only-by-design sketches (q10b
     // HLL++, q29b quantile summary) carry their own evidence in the
