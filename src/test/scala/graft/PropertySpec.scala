@@ -73,4 +73,23 @@ class PropertySpec extends AnyFunSuite {
       Prop(ids.toSeq == (1 to ids.length))
     })
   }
+
+  test("dense_bitmap equals a reference BitSet for random positions and widths") {
+    graft.functions.BitmapAgg.register(spark)
+    import spark.implicits._
+    // widths straddle word boundaries (64-multiples and off-by-one) so the
+    // last-word edge is always in play
+    val widthGen = Gen.oneOf(64L, 65L, 127L, 128L, 1000L, 4096L, 4097L)
+    val prop = forAll(widthGen, Gen.choose(2, 5)) { (nBits, parts) =>
+      val rnd = new scala.util.Random(nBits * 31 + parts)
+      val positions = List.fill(50)(math.abs(rnd.nextLong()) % nBits)
+      val arr = positions.toDF("pos").repartition(parts)
+        .agg(expr(s"dense_bitmap(pos, ${nBits}L)")).head.getSeq[Long](0)
+      val want = positions.toSet
+      (0L until nBits).forall { p =>
+        (((arr((p >> 6).toInt) >>> (p & 63)) & 1L) == 1L) == want.contains(p)
+      } && arr.length == ((nBits + 63) / 64).toInt
+    }
+    checkProp(prop)
+  }
 }
