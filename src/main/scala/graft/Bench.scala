@@ -372,7 +372,17 @@ object Bench {
     // saying nothing the basename doesn't; the driver records its own sf
     // field anyway. Bought the room for q65's map entry.
     val sfTag = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt2s(gated)}$attest,"sf":"$sfTag"}"""
+    // Head-token keys on the stdout line (round 9): "q34", not
+    // "q34_ngram_jaccard". The 73-entry full-name map sat 14 chars under
+    // the driver's ~1924-char tail-capture cap — every added query forced
+    // another ad-hoc trim (rounds 8.3/8.4). Head tokens are unique across
+    // the suite (checked here; falls back to full names if that ever
+    // breaks), full names stay on the stderr [bench-detail] line and in
+    // CORRECTNESS_r*/oracle_sql.json, and the mapping is the obvious
+    // prefix. Frees ~1000 chars of budget permanently.
+    val heads = gated.map { case (n, v) => n.split("_").head -> v }
+    val outMap = if (heads.map(_._1).distinct.size == heads.size) heads else gated
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt2s(outMap)}$attest,"sf":"$sfTag"}"""
     // hard budget: the driver tails the last 2000 chars and sbt appends a
     // ~90-char [success] trailer after this line
     if (line.length > 1900)

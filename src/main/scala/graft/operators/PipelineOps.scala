@@ -125,14 +125,72 @@ object PipelineOps {
       .orderBy("source", "shard", "chunk_id")
   }
 
+  // ------------------------------------------------- deterministic shards
+  /** Deterministic training-shard assignment + manifest — the EXPORT step
+    * of corpus assembly: every document lands in shard
+    * `md5(doc_id) mod `[[NShards]], documents order within a shard by
+    * their full content-independent hash (a reproducible global shuffle —
+    * the same property q56/q57 use: any engine, any partitioning, any
+    * re-run derives the identical layout, so a training job is exactly
+    * reproducible from the manifest alone). The query is the manifest a
+    * loader consumes: per-shard doc/token counts plus the hash span
+    * (min/max over the order key — restart bookkeeping for resumable
+    * ingestion).
+    *
+    * Shape at scale: one hash-partitioned exchange on the shard key (md5
+    * is uniform, so shards are balanced by construction — no salting
+    * needed), aggregate state is one row per shard. [[writeShards]] is
+    * the materializing twin: same assignment, `partitionBy(shard)` layout
+    * with hash-sorted rows inside each shard file. */
+  val NShards = 16L
+
+  private def shardCols(df: DataFrame): DataFrame = {
+    // first md5 byte as int (the q38/q57 hash idiom) → mod NShards; the
+    // ORDER key is the full 32-hex digest (lowercase in both engines)
+    df.withColumn("h", md5(col("doc_id").cast(StringType)))
+      .withColumn("shard", pmod(conv(substring(col("h"), 1, 2), 16, 10).cast(LongType), lit(NShards)))
+  }
+
+  val q70_shards: Q = (s, d) =>
+    shardCols(documents(s, d)
+        .select(col("doc_id"), expr(s"size($TOKENS)").cast(LongType).as("n_tok")))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("n_tokens"),
+           min(col("h")).as("first_h"),
+           max(col("h")).as("last_h"))
+      .boundedOrderBy("shard")
+
+  /** Materialize the sharded layout: `out/shard=K/` parquet, rows
+    * hash-ordered inside each shard — the loader-consumable twin of
+    * [[q70_shards]]'s manifest (PipelineOpsSpec round-trips the two). */
+  def writeShards(s: SparkSession, d: String, out: String): Unit =
+    shardCols(documents(s, d))
+      .repartition(NShards.toInt, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+
   // --------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q60_pii_scrub"       -> q60_pii_scrub,
     "q61_domain_mixture"  -> q61_domain_mixture,
-    "q62_sequence_pack"   -> q62_sequence_pack
+    "q62_sequence_pack"   -> q62_sequence_pack,
+    "q70_shards"          -> q70_shards
   )
 
   val oracles: Map[String, String] = Map(
+    // same hash (md5 of the decimal doc_id string), same first-byte mod
+    // rule, same lexicographic min/max over the lowercase hex digest
+    "q70_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS h,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents)
+         SELECT ('0x' || substring(h, 1, 2))::BIGINT % $NShards AS shard,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(h) AS first_h, MAX(h) AS last_h
+         FROM t GROUP BY 1 ORDER BY 1""",
+
     // same regexes (shared Scala constants), same replacement order; 'g'
     // flag = replace-all to match Spark's regexp_replace semantics
     "q60_pii_scrub" ->

@@ -978,6 +978,92 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------ curation funnel
+  /** The end-to-end curation funnel — the composed pipeline a training-data
+    * team actually ships, reported as a per-stage survival ledger
+    * `(stage, stage_name, n_docs, n_tokens)`:
+    *
+    *   0 raw        → the whole corpus
+    *   1 lang_id    → q32's marker heuristic resolves a language (any
+    *                  marker score > 0 ⇔ the argmax CASE lands on one)
+    *   2 quality    → q31's signals pass fixed bars: n_tokens ≥ 20,
+    *                  distinct_ratio ≥ 0.35, stop_ratio ≤ 0.15
+    *   3 repetition → NOT q59-repetitive (Gopher bars: top-2-gram share
+    *                  ≤ 0.20, duplicate-3-gram share ≤ 0.18)
+    *   4 decontam   → not flagged by q38 (train-split docs with ≥ 5%
+    *                  eval-shingle contamination)
+    *   5 dedup      → q33's canonical-survivor election (min doc_id per
+    *                  md5 fingerprint) AMONG STAGE-4 SURVIVORS — dedup
+    *                  runs last, over what curation kept, as in production
+    *
+    * Plan shape: every stage-1..3 signal is row-local over ONE wide scan
+    * (native gram_stats — no shuffle); the q38 flag set joins broadcast
+    * (it is a filtered aggregate, corpus-bounded small); the only
+    * corpus-sized shuffle is the fingerprint window for the dedup
+    * election (the q33 exchange). The final rollup is a single-row
+    * aggregate unpivoted with stack() — 6 rows out. At 100 TB: one scan +
+    * one hash exchange, no quadratic term anywhere. */
+  val q69_funnel: Q = (s, d) => {
+    graft.functions.GramStats.register(s)
+    import graft.functions.GramStats.gram_stats
+    def hits(words: String) = s"size(filter($TOKENS, t -> t IN ($words)))"
+    val flagged = q38_decontamination(s, d)
+      .select(col("doc_id")).withColumn("contaminated", lit(1))
+    val sig = docsWide(s, d)
+      .select(
+        col("doc_id"),
+        expr(s"size($TOKENS)").as("n_tokens"),
+        expr(s"size(array_distinct($TOKENS))").as("n_distinct"),
+        expr(s"size(filter($TOKENS, t -> t IN ('the', 'a')))").as("n_stop"),
+        expr(hits("'the', 'a', 'and'")).as("s_en"),
+        expr(hits("'el', 'la', 'los'")).as("s_es"),
+        expr(hits("'der', 'und', 'die'")).as("s_de"),
+        expr(hits("'le', 'les', 'et'")).as("s_fr"),
+        expr(hits("'的', '是', '在'")).as("s_zh"),
+        gram_stats(col("text"), 2).as("g2"),
+        gram_stats(col("text"), 3).as("g3"),
+        md5(regexp_replace(lower(trim(col("text"))), " +", " ")).as("fp"))
+      // 0-guarded fractions (docs below 2/3 tokens have no grams; the
+      // quality bar already excludes them, the guard just keeps NaN out
+      // of the boolean algebra in both engines)
+      .withColumn("top2", when(col("g2.n_grams") >= 1,
+        col("g2.max_count").cast(DoubleType) / col("g2.n_grams").cast(DoubleType))
+        .otherwise(lit(0.0)))
+      .withColumn("dup3", when(col("g3.n_grams") >= 1,
+        (col("g3.n_grams") - col("g3.n_distinct")).cast(DoubleType)
+          / col("g3.n_grams").cast(DoubleType)).otherwise(lit(0.0)))
+      .withColumn("p1",
+        col("s_en") > 0 || col("s_es") > 0 || col("s_de") > 0 ||
+        col("s_fr") > 0 || col("s_zh") > 0)
+      .withColumn("p2", col("p1") && col("n_tokens") >= 20 &&
+        col("n_distinct").cast(DoubleType) / col("n_tokens") >= 0.35 &&
+        col("n_stop").cast(DoubleType) / col("n_tokens") <= 0.15)
+      .withColumn("p3", col("p2") && !(col("top2") > 0.20 || col("dup3") > 0.18))
+      .join(broadcast(flagged), Seq("doc_id"), "left_outer")
+      .withColumn("p4", col("p3") && col("contaminated").isNull)
+      .withColumn("canon",
+        min(when(col("p4"), col("doc_id"))).over(Window.partitionBy("fp")))
+      .withColumn("p5", col("p4") && col("doc_id") === col("canon"))
+    def stageAgg(p: String, n: String, t: String) =
+      Seq(sum(when(col(p), 1L).otherwise(0L)).as(n),
+          sum(when(col(p), col("n_tokens").cast(LongType)).otherwise(0L)).as(t))
+    sig.agg(
+        count(lit(1)).as("c0"),
+        (Seq(sum(col("n_tokens").cast(LongType)).as("t0")) ++
+         stageAgg("p1", "c1", "t1") ++ stageAgg("p2", "c2", "t2") ++
+         stageAgg("p3", "c3", "t3") ++ stageAgg("p4", "c4", "t4") ++
+         stageAgg("p5", "c5", "t5")): _*)
+      .select(expr(
+        """stack(6,
+             0, 'raw',        c0, t0,
+             1, 'lang_id',    c1, t1,
+             2, 'quality',    c2, t2,
+             3, 'repetition', c3, t3,
+             4, 'decontam',   c4, t4,
+             5, 'dedup',      c5, t5) AS (stage, stage_name, n_docs, n_tokens)"""))
+      .boundedOrderBy("stage")
+  }
+
   /** Shared plumbing for q65 + its selectivity evidence: the same
     * train/test split as q38, the one-row bloom bitmap over the test
     * shingles, and `maybe` = train shingles the filter cannot rule out.
@@ -1127,6 +1213,7 @@ object TextOps {
     "q37_neardup_clusters"  -> q37_neardup_clusters,
     "q38_decontamination"   -> q38_decontamination,
     "q65_bloom_decontam"    -> q65_bloom_decontam,
+    "q69_funnel"            -> q69_funnel,
   )
 
   private def hitsSql(words: String) =
@@ -1161,8 +1248,10 @@ object TextOps {
 
   /** One decontamination semantics, two plans under test: q38 (exact
     * broadcast set, budget-checked) and q65 (bloom pre-filter + exact
-    * confirm) both reduce to this SQL. */
-  private val DecontamOracleSql =
+    * confirm) both reduce to this SQL. The ORDER-BY-free body is also the
+    * `flagged` sub-derivation of the q69 funnel oracle — one source of
+    * truth for the semantics, three consumers. */
+  private val DecontamBodySql =
     """WITH sh AS (
          SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
                 unnest(list_distinct(list_transform(
@@ -1179,10 +1268,66 @@ object TextOps {
        FROM train t LEFT JOIN test_sh ts ON t.shingle = ts.shingle
        GROUP BY t.doc_id
        HAVING CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-           / CAST(COUNT(*) AS DOUBLE) >= 0.05
-       ORDER BY t.doc_id"""
+           / CAST(COUNT(*) AS DOUBLE) >= 0.05"""
+
+  private val DecontamOracleSql = DecontamBodySql + "\n       ORDER BY t.doc_id"
+
+  /** q69: the funnel oracle — each stage's predicate is the same SQL its
+    * standalone query uses (q32 markers, q31 ratios, q59 gram fractions
+    * with the 0-guard, the decontam body verbatim, q33's fingerprint), the
+    * stage CTEs chain, and the ledger is a UNION ALL of six aggregates. */
+  private val FunnelOracleSql = {
+    def hs(words: String) = hitsSql(words)
+    s"""WITH sig AS (
+         SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS dr,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS sr,
+           ${hs("'the', 'a', 'and'")} AS s_en,
+           ${hs("'el', 'la', 'los'")} AS s_es,
+           ${hs("'der', 'und', 'die'")} AS s_de,
+           ${hs("'le', 'les', 'et'")} AS s_fr,
+           ${hs("'的', '是', '在'")} AS s_zh,
+           md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+         FROM documents),
+       rtok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       rg2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || chr(1) || t[i+1])) AS g FROM rtok),
+       rc2 AS (SELECT doc_id, g, COUNT(*) AS c FROM rg2 GROUP BY 1, 2),
+       rs2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+                 CAST(MAX(c) AS BIGINT) AS max2 FROM rc2 GROUP BY 1),
+       rg3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS g FROM rtok),
+       rc3 AS (SELECT doc_id, g, COUNT(*) AS c FROM rg3 GROUP BY 1, 2),
+       rs3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3, COUNT(*) AS d3 FROM rc3 GROUP BY 1),
+       rp AS (SELECT rs2.doc_id AS doc_id,
+                CASE WHEN n2 >= 1 THEN CAST(max2 AS DOUBLE) / CAST(n2 AS DOUBLE) ELSE 0 END AS top2,
+                CASE WHEN n3 >= 1 THEN CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE) ELSE 0 END AS dup3
+              FROM rs2 JOIN rs3 ON rs2.doc_id = rs3.doc_id),
+       flagged AS (SELECT doc_id FROM ($DecontamBodySql)),
+       f1 AS (SELECT * FROM sig
+              WHERE s_en > 0 OR s_es > 0 OR s_de > 0 OR s_fr > 0 OR s_zh > 0),
+       f2 AS (SELECT * FROM f1 WHERE n_tokens >= 20 AND dr >= 0.35 AND sr <= 0.15),
+       f3 AS (SELECT f2.* FROM f2 LEFT JOIN rp USING (doc_id)
+              WHERE NOT (COALESCE(top2, 0) > 0.20 OR COALESCE(dup3, 0) > 0.18)),
+       f4 AS (SELECT * FROM f3 WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+       f5 AS (SELECT * FROM f4
+              QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp))
+       SELECT * FROM (
+         SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM sig
+         UNION ALL SELECT 1, 'lang_id', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM f1
+         UNION ALL SELECT 2, 'quality', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM f2
+         UNION ALL SELECT 3, 'repetition', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM f3
+         UNION ALL SELECT 4, 'decontam', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM f4
+         UNION ALL SELECT 5, 'dedup', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM f5)
+       ORDER BY stage"""
+  }
 
   val oracles: Map[String, String] = Map(
+    "q69_funnel" -> FunnelOracleSql,
     "q56_hash_sample" ->
       """SELECT l_returnflag, COUNT(*) AS n_sampled,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sampled_qty

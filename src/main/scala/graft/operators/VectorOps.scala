@@ -330,8 +330,59 @@ object VectorOps {
       .boundedOrderBy("q_id", "rnk")
   }
 
+  // ------------------------------------------------------ semantic dedup
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
+    * look for near-duplicate PAIRS only inside each cluster — the cluster
+    * assignment bounds the quadratic term the way LSH bands bound q35's,
+    * so the pair join is cell-local, never all-pairs. A vector is a
+    * semantic duplicate when some SMALLER-id member of its cell sits
+    * within the cosine threshold (min-id survivor election, the same
+    * canonical rule as q33/q37); the report is the per-cell dedup ledger
+    * (members / duplicates / kept).
+    *
+    * Reuses the persisted IVF index ([[IvfIndex]]) as the clustering — the
+    * production shape: one k-means build serves search (q46/q67) AND
+    * curation (this query). Assignments are cell-partitioned on disk, so
+    * the self-join's equi-key IS the storage partition key: at 100 TB each
+    * cell's pairs compute from one partition's data, and the shuffle is
+    * bounded by cell size, not corpus size. The threshold 0.2 matches
+    * q42's near-dup bar on this synthetic corpus (near-orthogonal random
+    * embeddings — real text embeddings would sit at ~0.95+).
+    *
+    * Persisted centroids are the oracle boundary (q46 discipline): DuckDB
+    * replays assignment, in-cell pairing, and the min-id election from the
+    * same centroid doubles — hash-checked. */
+  val SemDedupTau = 0.2
+
+  val q68_semdedup: Q = (s, d) => {
+    register(s)
+    val idx = IvfIndex.ensure(s, d)
+    val asg = IvfIndex.assignments(s, idx)
+    val a = asg.select(col("cid"), col("vec_id").as("d1"),
+                       col("v").as("v1"), col("norm").as("n1"))
+    // independently resolved scan for side b (fresh exprIds end to end) —
+    // the q42/BandJoin self-join freshness discipline
+    val b = s.read.parquet(s"$idx/assignments")
+      .select(col("cid").as("cid_b"), col("vec_id").as("d2"),
+              col("v").as("v2"), col("norm").as("n2"))
+    val dups = a.join(b, col("cid") === col("cid_b") && col("d1") < col("d2"))
+      .withColumn("cosine", dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") >= SemDedupTau)
+      .select(col("cid"), col("d2"))
+      .distinct()                        // a vector lives in exactly one cell
+      .groupBy("cid").agg(count(lit(1)).as("n_dups"))
+    asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      .join(dups, Seq("cid"), "left_outer")
+      .withColumn("n_dups", coalesce(col("n_dups"), lit(0L)))
+      .withColumn("n_kept", col("n_members") - col("n_dups"))
+      .select(col("cid"), col("n_members"), col("n_dups"), col("n_kept"))
+      .boundedOrderBy("cid")
+  }
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
+    "q68_semdedup"     -> q68_semdedup,
     "q67_ivfpq_ann"    -> q67_ivfpq_ann,
     "q66_pq_ann"       -> q66_pq_ann,
     "q46_ivf_ann"      -> q46_ivf_ann,
@@ -352,6 +403,35 @@ object VectorOps {
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)"
 
   val oracles: Map[String, String] = Map(
+    // q68: assignment replayed from the persisted IVF centroids (q46's
+    // members CTE), in-cell pairs, min-id duplicate election, per-cell
+    // ledger — cells with zero duplicates kept via the left join
+    "q68_semdedup" ->
+      s"""WITH cent AS (
+           SELECT cid, cv FROM read_parquet('__IVF__/centroids.parquet/*.parquet')),
+         vecs AS (
+           SELECT vec_id, $VECD_SQL AS v, sqrt(${dotDuck("v0", "v0").replace("v0", VECD_SQL)}) AS norm
+           FROM embeddings),
+         members AS (
+           SELECT vec_id, v, norm, cid FROM (
+             SELECT vec_id, v, norm, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM (SELECT vec_id, v, norm, cid, ${sqDuck("v", "cv")} AS d2 FROM vecs, cent))
+           WHERE rn = 1),
+         dup AS (
+           SELECT a.cid, b.vec_id AS d2
+           FROM members a JOIN members b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) >= $SemDedupTau
+           GROUP BY 1, 2),
+         dupc AS (SELECT cid, COUNT(*) AS n_dups FROM dup GROUP BY 1),
+         mem AS (SELECT cid, COUNT(*) AS n_members FROM members GROUP BY 1)
+         SELECT m.cid, m.n_members,
+           COALESCE(d.n_dups, 0) AS n_dups,
+           m.n_members - COALESCE(d.n_dups, 0) AS n_kept
+         FROM mem m LEFT JOIN dupc d USING (cid)
+         ORDER BY m.cid""",
+
     // replays the SEARCH from the persisted centroids (the oracle
     // boundary — see IvfIndex scaladoc): assignment to nearest centroid,
     // nprobe=2 probe cells, exact cosine re-rank — all plain SQL

@@ -101,4 +101,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tiny.forall(_.getLong(2) == 0L))
     assert(tiny.map(_.getLong(3)).sum == 5) // all five docs accounted for
   }
+
+  test("q70 shard manifest: rule recompute, totals, and writer round-trip") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the assignment rule, reimplemented driver-side on the tiny corpus
+    val expected = (0L to 4L).groupBy(id =>
+      Integer.parseInt(md5hex(id.toString).take(2), 16) % PipelineOps.NShards)
+      .map { case (s, ids) => s -> ids.size.toLong }
+    val tiny = PipelineOps.q70_shards(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny == expected, s"got $tiny expected $expected")
+
+    // real corpus: every doc in exactly one shard, shard ids in range,
+    // token totals conserved
+    val m = PipelineOps.q70_shards(spark, sf).collect()
+    assert(m.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+    assert(m.forall(r => r.getLong(0) >= 0 && r.getLong(0) < PipelineOps.NShards))
+    val totalTok = Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(m.map(_.getLong(2)).sum == totalTok)
+
+    // writer round-trip: per-shard dirs match the manifest (count + hash
+    // span) and rows inside each shard file are hash-ordered — the layout
+    // a loader can binary-resume from
+    val out = java.nio.file.Files.createTempDirectory("shards").toString + "/docs"
+    PipelineOps.writeShards(spark, sf, out)
+    m.foreach { r =>
+      val (shard, n, firstH, lastH) =
+        (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4))
+      val hs = spark.read.parquet(s"$out/shard=$shard")
+        .select("h").collect().map(_.getString(0))
+      assert(hs.length == n, s"shard $shard count")
+      assert(hs.head == firstH && hs.last == lastH, s"shard $shard span")
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b }, s"shard $shard order")
+    }
+  }
 }

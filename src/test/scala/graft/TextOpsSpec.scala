@@ -268,4 +268,55 @@ class TextOpsSpec extends AnyFunSuite {
       .filter(size(split(col("text"), " ")) >= 3).count()
     assert(q.count() == eligible)
   }
+
+  test("q69 funnel: constructed corpus drops exactly one doc per stage rule") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funneldocs").toString
+    def hb(id: Long): Int = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString, 16)
+    // split membership is md5(doc_id)-derived (q57's rule): pick one
+    // TEST-split id (first byte >= 0xe6) and train-split ids (< 0xcc)
+    val testId = (0L to 4000L).find(hb(_) >= 230).get
+    val trainIds = (0L to 4000L).filter(hb(_) < 204).take(8)
+    def toks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val contamText = "the " + toks(23, "c")
+    val dupText    = "the " + toks(23, "d")
+    val docs = Seq(
+      trainIds(0) -> toks(25, "zz"),                       // no marker → stage 1
+      trainIds(1) -> "the b c d e",                        // 5 tokens → stage 2
+      trainIds(2) -> ("the " + Seq.fill(30)("w").mkString(" ")), // dr 2/31 → stage 2
+      trainIds(3) -> ("the " + toks(14, "u") + " " +
+        Seq.fill(9)("r s").mkString(" ")),                 // top2 9/32 → stage 3
+      trainIds(4) -> contamText,                           // flagged → stage 4
+      testId      -> contamText,                           // test split: never flagged
+      trainIds(5) -> dupText,                              // dup pair: min id survives
+      trainIds(6) -> dupText,                              //   the other → stage 5
+      trainIds(7) -> ("the " + toks(23, "e")))             // clean: survives
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ledger = TextOps.q69_funnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ledger.keySet == Set(0, 1, 2, 3, 4, 5))
+    assert(ledger.map { case (k, v) => k -> v._2 } ==
+      Map(0 -> 9L, 1 -> 8L, 2 -> 6L, 3 -> 5L, 4 -> 4L, 5 -> 3L),
+      s"stage doc counts: $ledger")
+    assert(ledger(0)._1 == "raw" && ledger(5)._1 == "dedup")
+    // tokens are monotone non-increasing down the funnel
+    val tk = (0 to 5).map(ledger(_)._3)
+    assert(tk.zip(tk.tail).forall { case (a, b) => a >= b }, s"tokens: $tk")
+
+    // real corpus: raw row matches the table, stages monotone, and the
+    // dedup-stage drop can never exceed q33's total duplicate count
+    val real = TextOps.q69_funnel(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getLong(2), r.getLong(3)))
+    assert(real.head._1 == Tables.documents(spark, sf).count())
+    assert(real.zip(real.tail).forall { case (a, b) => a._1 >= b._1 && a._2 >= b._2 })
+    val q33dups = TextOps.q33_fingerprint_dedup(spark, sf).agg(sum("n_dups"))
+      .head().getLong(0)
+    assert(real(4)._1 - real(5)._1 <= q33dups)
+  }
 }

@@ -101,4 +101,34 @@ class VectorOpsSpec extends AnyFunSuite {
       .filter(col("d1") >= col("d2")).count()
     assert(bad == 0)
   }
+
+  test("q68 semdedup ledger matches a driver-side recompute from the index") {
+    import graft.operators.IvfIndex
+    val idx = IvfIndex.ensure(spark, sf)
+    // independent reimplementation: collected assignments, per-cell
+    // all-pairs cosine, min-id duplicate election — plain Scala
+    val asg = spark.read.parquet(s"$idx/assignments")
+      .select("cid", "vec_id", "v", "norm").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Long]("vec_id"),
+                 r.getSeq[Double](2).toArray, r.getAs[Double]("norm")))
+    val expected = asg.groupBy(_._1).map { case (cid, ms) =>
+      val sorted = ms.sortBy(_._2)
+      val dups = sorted.count { case (_, id, v, n) =>
+        sorted.exists { case (_, id2, v2, n2) =>
+          id2 < id && {
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += v(i) * v2(i); i += 1 }
+            s / (n * n2) >= VectorOps.SemDedupTau
+          }
+        }
+      }
+      cid -> ((ms.length.toLong, dups.toLong, (ms.length - dups).toLong))
+    }
+    val got = VectorOps.q68_semdedup(spark, sf).collect()
+      .map(r => r.getAs[Int]("cid") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, s"ledger mismatch: got $got expected $expected")
+    // every vector is in exactly one cell ⇒ members sum to the corpus
+    assert(got.values.map(_._1).sum == Tables.embeddings(spark, sf).count())
+  }
 }
