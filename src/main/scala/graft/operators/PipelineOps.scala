@@ -166,6 +166,14 @@ object PipelineOps {
     * [[q70_shards]]'s manifest (PipelineOpsSpec round-trips the two). */
   def writeShards(s: SparkSession, d: String, out: String): Unit =
     shardCols(documents(s, d))
+      // hash-repartition on the shard VALUE: all rows of a shard land in
+      // one task ⇒ exactly one file per shard dir, so the in-file sort IS
+      // the shard's global hash order (the spec's binary-resume property).
+      // The cost is write-skew when two shard values hash to one of the
+      // NShards partitions — bounded at 2-3 shards/task, and preferred
+      // over range partitioning, which balances tasks but can split a
+      // shard across files and leave the dir's order a listing-order
+      // artifact.
       .repartition(NShards.toInt, col("shard"))
       .sortWithinPartitions(col("shard"), col("h"))
       .write.mode("overwrite").partitionBy("shard").parquet(out)

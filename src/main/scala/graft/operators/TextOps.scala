@@ -1039,7 +1039,15 @@ object TextOps {
         col("n_distinct").cast(DoubleType) / col("n_tokens") >= 0.35 &&
         col("n_stop").cast(DoubleType) / col("n_tokens") <= 0.15)
       .withColumn("p3", col("p2") && !(col("top2") > 0.20 || col("dup3") > 0.18))
-      .join(broadcast(flagged), Seq("doc_id"), "left_outer")
+      // NO forced broadcast on the flag set: it is corpus-derived (worst
+      // case the whole train split qualifies), so a broadcast() hint here
+      // would be the driver-OOM class the q34/q38 live-budget swaps exist
+      // to prevent. AQE's runtime stats convert the join to broadcast
+      // whenever the set is actually small (the common case) and keep the
+      // shuffle join when it isn't — the sig side is already hash-
+      // partitioned on doc_id by docsWide, so the fallback costs one
+      // small-side exchange only.
+      .join(flagged, Seq("doc_id"), "left_outer")
       .withColumn("p4", col("p3") && col("contaminated").isNull)
       .withColumn("canon",
         min(when(col("p4"), col("doc_id"))).over(Window.partitionBy("fp")))
