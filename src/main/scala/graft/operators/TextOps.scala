@@ -1003,13 +1003,16 @@ object TextOps {
     * election (the q33 exchange). The final rollup is a single-row
     * aggregate unpivoted with stack() — 6 rows out. At 100 TB: one scan +
     * one hash exchange, no quadratic term anywhere. */
-  val q69_funnel: Q = (s, d) => {
+  /** Per-document row-local funnel signals and the stage-1..3 flags over
+    * any `(doc_id, text)` frame — ONE definition shared by the batch
+    * funnel (q69) and the streaming twin
+    * ([[graft.streaming.DocsFunnel]]), so the two can never drift.
+    * Output: `(doc_id, n_tokens, fp, p1, p2, p3)`. */
+  private[graft] def funnelSignals(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GramStats.register(s)
     import graft.functions.GramStats.gram_stats
     def hits(words: String) = s"size(filter($TOKENS, t -> t IN ($words)))"
-    val flagged = q38_decontamination(s, d)
-      .select(col("doc_id")).withColumn("contaminated", lit(1))
-    val sig = docsWide(s, d)
+    docs
       .select(
         col("doc_id"),
         expr(s"size($TOKENS)").as("n_tokens"),
@@ -1039,6 +1042,26 @@ object TextOps {
         col("n_distinct").cast(DoubleType) / col("n_tokens") >= 0.35 &&
         col("n_stop").cast(DoubleType) / col("n_tokens") <= 0.15)
       .withColumn("p3", col("p2") && !(col("top2") > 0.20 || col("dup3") > 0.18))
+      .select("doc_id", "n_tokens", "fp", "p1", "p2", "p3")
+  }
+
+  /** The decontamination reference list: distinct shingles of the TEST
+    * split (q57's md5-range rule, first byte ≥ 0xe6) — the FIXED input a
+    * production decontamination pass consumes while the crawl grows.
+    * q38/q65 derive the same set inline (sharing the shingle scan with
+    * their train side); this standalone builder feeds the streaming
+    * funnel and any external caller. */
+  def testShingleSet(s: SparkSession, d: String): DataFrame =
+    docsWide(s, d)
+      .withColumn("h", md5_long(col("doc_id").cast(StringType), 0, 2))
+      .filter(col("h") >= 230)
+      .select(explode(word_shingles(col("text"))).as("shingle"))
+      .distinct()
+
+  val q69_funnel: Q = (s, d) => {
+    val flagged = q38_decontamination(s, d)
+      .select(col("doc_id")).withColumn("contaminated", lit(1))
+    val sig = funnelSignals(s, docsWide(s, d))
       // NO forced broadcast on the flag set: it is corpus-derived (worst
       // case the whole train split qualifies), so a broadcast() hint here
       // would be the driver-OOM class the q34/q38 live-budget swaps exist

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.operators.TextOps
+import graft.functions.Md5Long.md5_long
+import graft.functions.WordShingles.word_shingles
+
+/** Streaming CURATION — q69's funnel ledger maintained incrementally over
+  * file-drop deliveries ([[DocsIngest.source]]'s daily-crawl shape).
+  *
+  * Per delivery: every row-local stage flag (lang-id, quality, repetition
+  * — [[TextOps.funnelSignals]], the SAME definition the batch funnel
+  * compiles, so the two cannot drift) is computed on the delivery alone;
+  * the decontamination flag is checked against a FIXED test-shingle list
+  * (the production shape — the eval suite is pinned while the crawl
+  * grows; [[TextOps.testShingleSet]] builds it). Cross-delivery state is
+  * two idempotent keyed sinks under `stateDir`:
+  *
+  *   - `parts/batch_id=K`  — the delivery's additive stage-0..4 ledger
+  *     sums. Overwritten per batch id, so a replayed micro-batch
+  *     supersedes its own previous write (the runIncrementalHourly
+  *     discipline) instead of double-counting.
+  *   - `p4/batch_id=K`     — the delivery's per-fingerprint stage-4
+  *     survivor partial (min doc_id + that doc's token count). The
+  *     global dedup election (q33/q69 min-id rule) is an associative
+  *     fold over these partials, so a later delivery holding a smaller
+  *     id REVISES the canonical survivor without reprocessing old data.
+  *
+  * [[ledger]] assembles the same 6-row frame q69 emits. Delivery cost
+  * scales with the delivery, not the corpus (both sinks are per-batch
+  * writes); assembly folds the p4 partials — one row per (batch,
+  * fingerprint-seen-in-batch), compacted periodically at scale (cf.
+  * Exporter.compactPartitioned; with a transactional table format the
+  * partial fold becomes a MERGE into one keyed table).
+  *
+  * Equality contract (DocsFunnelSpec): whenever the fixed list equals the
+  * union corpus's own test split, the assembled ledger is exactly q69's
+  * on the union of deliveries — spec-pinned after EACH delivery and
+  * across a min-id revision that straddles deliveries. */
+object DocsFunnel {
+
+  private val partsSchema = StructType(
+    (0 to 4).flatMap(i => Seq(StructField(s"c$i", LongType),
+                              StructField(s"t$i", LongType))) :+
+      StructField("batch_id", LongType))
+
+  private val p4Schema = StructType(Seq(
+    StructField("fp", StringType),
+    StructField("min_id", LongType),
+    StructField("min_tokens", IntegerType),
+    StructField("batch_id", LongType)))
+
+  /** One micro-batch: flags on the delivery, then the two keyed writes.
+    * Pure function of (batch, testShingles, batchId) — replay-safe. */
+  private[streaming] def processBatch(s: SparkSession, batch: DataFrame,
+      testShingles: DataFrame, stateDir: String, batchId: Long): Unit = {
+    // Register the native expressions on the BATCH's session: micro-batches
+    // run on a CLONED SparkSession whose function registry was snapshotted
+    // at stream start, so registering on the outer session reaches the
+    // clone only if it happened before start() — observed as
+    // UNRESOLVED_ROUTINE gram_stats on the first stream of a fresh JVM.
+    val bs = batch.sparkSession
+    graft.functions.Md5Long.register(bs)
+    graft.functions.WordShingles.register(bs)
+    val sig = TextOps.funnelSignals(bs, batch)
+    // q38's decontamination rule, per-doc-local given the fixed list:
+    // train-split docs (md5 first byte < 0xcc) with ≥ 5% shingle overlap.
+    // No broadcast hint (catalogue rule: the list is an input of unknown
+    // size); AQE broadcasts it when it is actually small.
+    val flagged = batch
+      .withColumn("h", md5_long(col("doc_id").cast(StringType), 0, 2))
+      .filter(col("h") < 204)
+      .select(col("doc_id"), explode(word_shingles(col("text"))).as("shingle"))
+      .join(testShingles.withColumn("hit", lit(1)), Seq("shingle"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+           sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .filter(col("n_hit").cast(DoubleType) / col("n_sh").cast(DoubleType) >= 0.05)
+      .select(col("doc_id"), lit(1).as("contaminated"))
+    val withP4 = sig.join(flagged, Seq("doc_id"), "left_outer")
+      .withColumn("p4", col("p3") && col("contaminated").isNull)
+      .cache()
+    try {
+      def cnt(p: String, n: String, t: String) =
+        Seq(sum(when(col(p), 1L).otherwise(0L)).as(n),
+            coalesce(sum(when(col(p), col("n_tokens").cast(LongType))
+              .otherwise(0L)), lit(0L)).as(t))
+      withP4.agg(
+          count(lit(1)).as("c0"),
+          (Seq(coalesce(sum(col("n_tokens").cast(LongType)), lit(0L)).as("t0")) ++
+           cnt("p1", "c1", "t1") ++ cnt("p2", "c2", "t2") ++
+           cnt("p3", "c3", "t3") ++ cnt("p4", "c4", "t4")): _*)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$stateDir/parts/batch_id=$batchId")
+      withP4.filter(col("p4"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("min_id"),
+             min_by(col("n_tokens"), col("doc_id")).as("min_tokens"))
+        .write.mode("overwrite")
+        .parquet(s"$stateDir/p4/batch_id=$batchId")
+    } finally withP4.unpersist()
+  }
+
+  /** Start the incremental funnel over `deliveryDir`. `testShingles` is
+    * the fixed decontamination list (see scaladoc). */
+  def start(s: SparkSession, deliveryDir: String, testShingles: DataFrame,
+            stateDir: String): StreamingQuery =
+    DocsIngest.source(s, deliveryDir)
+      .writeStream
+      .option("checkpointLocation", s"$stateDir/_ckpt")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        processBatch(s, b, testShingles, stateDir, id)
+      }
+      .start()
+
+  /** Assemble the q69-shaped ledger `(stage, stage_name, n_docs,
+    * n_tokens)` from the two sinks: additive sums for stages 0–4, the
+    * min-id fold over the p4 partials for stage 5. */
+  def ledger(s: SparkSession, stateDir: String): DataFrame = {
+    val parts = s.read.schema(partsSchema).parquet(s"$stateDir/parts")
+    val agg = parts.agg(
+      sum("c0").as("c0"),
+      ((1 to 4).flatMap(i => Seq(sum(s"c$i").as(s"c$i"))) ++
+       (0 to 4).map(i => sum(s"t$i").as(s"t$i"))): _*).head()
+    def c(i: Int) = Option(agg.getAs[java.lang.Long](s"c$i")).map(_.toLong).getOrElse(0L)
+    def t(i: Int) = Option(agg.getAs[java.lang.Long](s"t$i")).map(_.toLong).getOrElse(0L)
+    val p4 = s.read.schema(p4Schema).parquet(s"$stateDir/p4")
+      .groupBy("fp")
+      .agg(min(col("min_id")).as("gid"),
+           min_by(col("min_tokens"), col("min_id")).as("gtok"))
+    val g = p4.agg(count(lit(1)).as("c5"),
+                   coalesce(sum(col("gtok").cast(LongType)), lit(0L)).as("t5")).head()
+    val names = Seq("raw", "lang_id", "quality", "repetition", "decontam", "dedup")
+    val rows = (0 to 4).map(i => Row(i, names(i), c(i), t(i))) :+
+      Row(5, names(5), g.getLong(0), g.getLong(1))
+    val schema = StructType(Seq(
+      StructField("stage", IntegerType), StructField("stage_name", StringType),
+      StructField("n_docs", LongType), StructField("n_tokens", LongType)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      .orderBy("stage")
+  }
+}
