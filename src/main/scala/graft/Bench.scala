@@ -187,7 +187,12 @@ object Bench {
       "q36_simhash_pairs", "q37_neardup_clusters",
       // shared-index family additions (third r8 session): q63 rides the
       // winnow index, q64 the shingle/band index — same per-pass lifecycle
-      "q63_winnow_dup_pairs", "q64_incremental_neardup")
+      "q63_winnow_dup_pairs", "q64_incremental_neardup",
+      // round 9: q38's decontam report is materialized once per pass and
+      // shared with q69's flag set (build attributed to q38, the first
+      // consumer in sort order); q65 deliberately keeps its own plan —
+      // it measures the bloom alternative of the same semantics
+      "q38_decontamination", "q69_funnel")
 
     val calibBefore = calibrate()
     val calibMtBefore = calibrateMt(cpus.toInt)

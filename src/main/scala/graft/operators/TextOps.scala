@@ -319,8 +319,34 @@ object TextOps {
   private val winnowCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Long), DataFrame]
 
+  private val decontamCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, Int, Long), DataFrame]
+
   private[graft] def invalidateSharedIndex(): Unit = {
-    groupCache.clear(); pairCache.clear(); winnowCache.clear()
+    groupCache.clear(); pairCache.clear(); winnowCache.clear(); decontamCache.clear()
+  }
+
+  /** Shared MATERIALIZED decontamination report (round 9): the q38 result
+    * table — flagged train docs with their overlap counts — computed once
+    * per corpus snapshot and consumed by BOTH q38 (the report) and q69
+    * (the funnel's stage-4 flag set); a production pipeline computes its
+    * contamination flags once and feeds every downstream consumer. Same
+    * lifecycle, conf-keying, and per-pass accounting as the shingle index
+    * (Bench invalidates per timed pass; build lands inside the timed
+    * region on the first consumer in sort order — q38). The key carries
+    * the broadcast budget q38's internal swap consults. Coalesced narrow
+    * before the checkpoint (NOTES_r8: near-empty wide stages bill ~0.2 s
+    * of pure scheduling to every consumer of a tiny table). q65 stays OFF
+    * this cache deliberately: it exists to measure the bloom PLAN of the
+    * same semantics — reading a shared materialization would erase the
+    * thing it measures. */
+  private def sharedDecontamFlags(s: SparkSession, d: String): DataFrame = {
+    decontamCache.keySet.removeIf { case (ses, _, _, _, _) => ses.sparkContext.isStopped }
+    val key = (s, d, s.sessionState.conf.autoBroadcastJoinThreshold,
+      s.sessionState.conf.numShufflePartitions,
+      graft.Tables.pathStamp(s"$d/documents.parquet"))
+    decontamCache.computeIfAbsent(key,
+      _ => decontamReport(s, d).coalesce(4).localCheckpoint(true))
   }
 
   /** Shared df-capped winnow fingerprint groups `(fp_hash, g)` — the
@@ -877,7 +903,11 @@ object TextOps {
     * 100 TB shape: train side streams, benchmark side broadcasts), and
     * the overlap fraction is exact integer counting. Emits every train
     * doc with ≥ 5% shingle overlap. */
-  val q38_decontamination: Q = (s, d) => {
+  val q38_decontamination: Q = (s, d) =>
+    sharedDecontamFlags(s, d).orderBy("doc_id")
+
+  /** The decontamination derivation behind [[sharedDecontamFlags]]/q38. */
+  private def decontamReport(s: SparkSession, d: String): DataFrame = {
     // Split membership: the first md5 hex byte as an integer (md5_long of
     // 2 nibbles) — numerically identical to comparing the 2-char hex
     // substring lexicographically ('cc' = 204, 'e6' = 230), minus the
@@ -925,7 +955,6 @@ object TextOps {
       .select(col("doc_id"), col("n_shingles"),
               col("n_contaminated").cast(LongType).as("n_contaminated"),
               col("contamination"))
-      .orderBy("doc_id")
   }
 
   // -------------------------------- bloom-filter decontamination (scale path)
@@ -1059,7 +1088,10 @@ object TextOps {
       .distinct()
 
   val q69_funnel: Q = (s, d) => {
-    val flagged = q38_decontamination(s, d)
+    // the SHARED materialized report (one decontam computation per corpus
+    // snapshot feeds q38's report AND this flag set — see
+    // sharedDecontamFlags' accounting notes)
+    val flagged = sharedDecontamFlags(s, d)
       .select(col("doc_id")).withColumn("contaminated", lit(1))
     val sig = funnelSignals(s, docsWide(s, d))
       // NO forced broadcast on the flag set: it is corpus-derived (worst
