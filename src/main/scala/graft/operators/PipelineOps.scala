@@ -125,6 +125,44 @@ object PipelineOps {
       .orderBy("source", "shard", "chunk_id")
   }
 
+  // ------------------------------------------- temperature-scaled mixture
+  /** Temperature-scaled domain mixture (the Pile/Dolma T-sampling shape,
+    * T = 0.5): target share ∝ actual_share^T, which upweights small
+    * sources less aggressively than q61's uniform target. weight =
+    * target/actual, with the same max-epochs cap.
+    *
+    * Float discipline: the normalizer Z = Σ_s sqrt(share_s) is a DOUBLE
+    * sum, so its accumulation order must be pinned for oracle parity —
+    * the per-source rows are collected into a SOURCE-SORTED array
+    * (sources are a fixed small domain; the collect is bounded by it,
+    * same class as IvfIndex's K-bounded centroid pull) and Z is an
+    * in-row left fold (`aggregate` ≡ DuckDB `list_reduce`, the q40
+    * pattern), so every double op replays in the same order. sqrt is
+    * correctly rounded in both engines (T = 0.5 is chosen over an
+    * arbitrary pow for exactly that guarantee). */
+  val q71_temperature_mix: Q = (s, d) => {
+    val perSource = documents(s, d)
+      .select(col("source"), expr(s"size($TOKENS)").cast(LongType).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("toks"))
+    perSource
+      .agg(array_sort(collect_list(struct(col("source"), col("docs"), col("toks"))))
+             .as("arr"),
+           sum(col("toks")).as("tot"))
+      .withColumn("z", expr(
+        """aggregate(arr, CAST(0 AS DOUBLE),
+             (acc, x) -> acc + sqrt(CAST(x.toks AS DOUBLE) / CAST(tot AS DOUBLE)))"""))
+      .select(explode(col("arr")).as("x"), col("tot"), col("z"))
+      .select(col("x.source").as("source"), col("x.docs").as("docs"),
+              col("x.toks").as("toks"),
+              (col("x.toks").cast(DoubleType) / col("tot").cast(DoubleType)).as("share"),
+              (sqrt(col("x.toks").cast(DoubleType) / col("tot").cast(DoubleType)) / col("z"))
+                .as("t_share"))
+      .withColumn("weight", col("t_share") / col("share"))
+      .withColumn("epochs", least(col("weight"), lit(5.0)))
+      .boundedOrderBy("source")
+  }
+
   // ------------------------------------------------- deterministic shards
   /** Deterministic training-shard assignment + manifest — the EXPORT step
     * of corpus assembly: every document lands in shard
@@ -183,10 +221,34 @@ object PipelineOps {
     "q60_pii_scrub"       -> q60_pii_scrub,
     "q61_domain_mixture"  -> q61_domain_mixture,
     "q62_sequence_pack"   -> q62_sequence_pack,
-    "q70_shards"          -> q70_shards
+    "q70_shards"          -> q70_shards,
+    "q71_temperature_mix" -> q71_temperature_mix
   )
 
   val oracles: Map[String, String] = Map(
+    // same exact-int aggregation, same source-sorted struct list, same
+    // 0-init left fold for Z (list_reduce ≡ aggregate), same per-row
+    // double ops — bit-exact across engines (sqrt correctly rounded)
+    "q71_temperature_mix" ->
+      """WITH t AS (SELECT source, COUNT(*) AS docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+           FROM documents GROUP BY 1),
+         one AS (SELECT list_sort(list({'source': source, 'docs': docs, 'toks': toks})) AS arr,
+           CAST(SUM(toks) AS BIGINT) AS tot FROM t),
+         zc AS (SELECT arr, tot,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(arr, x -> sqrt(CAST(x.toks AS DOUBLE) / CAST(tot AS DOUBLE)))),
+             (acc, v) -> acc + v) AS z FROM one),
+         e AS (SELECT unnest(arr) AS x, tot, z FROM zc)
+         SELECT x.source AS source, x.docs AS docs, x.toks AS toks,
+           CAST(x.toks AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+           sqrt(CAST(x.toks AS DOUBLE) / CAST(tot AS DOUBLE)) / z AS t_share,
+           (sqrt(CAST(x.toks AS DOUBLE) / CAST(tot AS DOUBLE)) / z)
+             / (CAST(x.toks AS DOUBLE) / CAST(tot AS DOUBLE)) AS weight,
+           LEAST((sqrt(CAST(x.toks AS DOUBLE) / CAST(tot AS DOUBLE)) / z)
+             / (CAST(x.toks AS DOUBLE) / CAST(tot AS DOUBLE)), 5.0) AS epochs
+         FROM e ORDER BY source""",
+
     // same hash (md5 of the decimal doc_id string), same first-byte mod
     // rule, same lexicographic min/max over the lowercase hex digest
     "q70_shards" ->

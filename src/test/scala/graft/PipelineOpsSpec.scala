@@ -102,6 +102,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tiny.map(_.getLong(3)).sum == 5) // all five docs accounted for
   }
 
+  test("q71 temperature mixture: normalized target, softer than uniform") {
+    val rows = PipelineOps.q71_temperature_mix(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // shares and temperature shares both normalize
+    assert(math.abs(rows.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-12)
+    // T = 0.5 upweights the minority source, but LESS than the uniform
+    // target does (q61) — the point of temperature sampling
+    val uni = PipelineOps.q61_domain_mixture(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val minority = rows.minBy(_._2._1)._1
+    assert(rows(minority)._3 > 1.0, "minority source must be upweighted")
+    assert(rows(minority)._3 < uni(minority),
+      s"temperature weight ${rows(minority)._3} should be softer than uniform ${uni(minority)}")
+    // epochs cap
+    assert(rows.values.forall(v => v._4 <= 5.0 && v._4 > 0))
+  }
+
   test("q70 shard manifest: rule recompute, totals, and writer round-trip") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
