@@ -386,7 +386,13 @@ object Bench {
     // CORRECTNESS_r*/oracle_sql.json, and the mapping is the obvious
     // prefix. Frees ~1000 chars of budget permanently.
     val heads = gated.map { case (n, v) => n.split("_").head -> v }
-    val outMap = if (heads.map(_._1).distinct.size == heads.size) heads else gated
+    val headsUnique = heads.map(_._1).distinct.size == heads.size
+    // the fallback flips the stdout map's key FORMAT (head tokens → full
+    // names); a parser built for one breaks on the other, so the flip must
+    // be observable, not silent (ADVICE r9)
+    if (!headsUnique)
+      System.err.println("[bench] WARNING head-token key collision — stdout 'queries' map falls back to FULL-NAME keys this run")
+    val outMap = if (headsUnique) heads else gated
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt2s(outMap)}$attest,"sf":"$sfTag"}"""
     // hard budget: the driver tails the last 2000 chars and sbt appends a
     // ~90-char [success] trailer after this line

@@ -322,8 +322,12 @@ object TextOps {
   private val decontamCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, Int, Long), DataFrame]
 
+  private val testShingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]
+
   private[graft] def invalidateSharedIndex(): Unit = {
-    groupCache.clear(); pairCache.clear(); winnowCache.clear(); decontamCache.clear()
+    groupCache.clear(); pairCache.clear(); winnowCache.clear()
+    decontamCache.clear(); testShingleCache.clear()
   }
 
   /** Shared MATERIALIZED decontamination report (round 9): the q38 result
@@ -347,6 +351,29 @@ object TextOps {
       graft.Tables.pathStamp(s"$d/documents.parquet"))
     decontamCache.computeIfAbsent(key,
       _ => decontamReport(s, d).coalesce(4).localCheckpoint(true))
+  }
+
+  /** Shared MATERIALIZED test-shingle set (round 10): the decontamination
+    * reference list ([[testShingleSet]]) computed once per corpus
+    * snapshot and consumed by BOTH decontamination regimes — q38's exact
+    * report (via [[decontamReport]], and through it q69's flag set) and
+    * q65's bloom pre-filter — the way a production pipeline pins one eval
+    * list per release and feeds every hygiene pass from it. NOTES_r9
+    * counted three independent derivations of this set per bench pass.
+    * Sharing the LIST is not sharing the PLAN: q65 stays off the
+    * decontam-REPORT cache (its reason to exist is measuring the bloom
+    * plan of the same semantics), but the fixed reference input upstream
+    * of both plans is legitimately one artifact. Same lifecycle and
+    * accounting as the shingle index: memoized per (session, dir, file
+    * footprint), invalidated per Bench pass, build lands inside the timed
+    * region of the first consumer in run order (q38). Coalesced narrow —
+    * the set is a single slim column (NOTES_r8 near-empty-wide-stage
+    * note). */
+  private def sharedTestShingles(s: SparkSession, d: String): DataFrame = {
+    testShingleCache.keySet.removeIf { case (ses, _, _) => ses.sparkContext.isStopped }
+    val key = (s, d, graft.Tables.pathStamp(s"$d/documents.parquet"))
+    testShingleCache.computeIfAbsent(key,
+      _ => testShingleSet(s, d).coalesce(4).localCheckpoint(true))
   }
 
   /** Shared df-capped winnow fingerprint groups `(fp_hash, g)` — the
@@ -913,12 +940,17 @@ object TextOps {
     // substring lexicographically ('cc' = 204, 'e6' = 230), minus the
     // hex-string round trip. Shingling is the native WordShingles pass
     // (see shingles() above).
-    val sh = docsWide(s, d)
+    // Train side explodes ONLY train-split documents (the split filter
+    // runs before the shingle fan-out — docs in the [0xcc, 0xe6) holdout
+    // range used to be exploded and discarded); the test side is the
+    // shared materialized reference list (round 10, see
+    // [[sharedTestShingles]]).
+    val train = docsWide(s, d)
       .withColumn("h", md5_long(col("doc_id").cast(StringType), 0, 2))
-      .select(col("doc_id"), col("h"),
+      .filter(col("h") < 204)
+      .select(col("doc_id"),
               explode(word_shingles(col("text"))).as("shingle"))
-    val testShingles = sh.filter(col("h") >= 230).select("shingle").distinct()
-    val train = sh.filter(col("h") < 204)
+    val testShingles = sharedTestShingles(s, d)
     // Broadcast→shuffle swap for the TEST SHINGLE SET (same live-budget
     // pattern as jaccardPairs' sizes table): the test split is ~10% of
     // docs and its distinct shingles grow with the corpus, so a forced
@@ -1077,9 +1109,10 @@ object TextOps {
   /** The decontamination reference list: distinct shingles of the TEST
     * split (q57's md5-range rule, first byte ≥ 0xe6) — the FIXED input a
     * production decontamination pass consumes while the crawl grows.
-    * q38/q65 derive the same set inline (sharing the shingle scan with
-    * their train side); this standalone builder feeds the streaming
-    * funnel and any external caller. */
+    * Feeds the streaming funnel and any external caller directly; the
+    * batch decontamination family reads it through the MATERIALIZED
+    * [[sharedTestShingles]]. Only the test split's documents are exploded
+    * (filter before the shingle fan-out — ~10% of the corpus). */
   def testShingleSet(s: SparkSession, d: String): DataFrame =
     docsWide(s, d)
       .withColumn("h", md5_long(col("doc_id").cast(StringType), 0, 2))
@@ -1107,12 +1140,15 @@ object TextOps {
       .withColumn("canon",
         min(when(col("p4"), col("doc_id"))).over(Window.partitionBy("fp")))
       .withColumn("p5", col("p4") && col("doc_id") === col("canon"))
+    // sums coalesce to 0L so the EMPTY corpus yields the all-zero ledger
+    // (sum over zero rows is NULL; the oracle and the streaming twin's
+    // ledger both COALESCE — ADVICE r9 degenerate-case parity)
     def stageAgg(p: String, n: String, t: String) =
-      Seq(sum(when(col(p), 1L).otherwise(0L)).as(n),
-          sum(when(col(p), col("n_tokens").cast(LongType)).otherwise(0L)).as(t))
+      Seq(coalesce(sum(when(col(p), 1L).otherwise(0L)), lit(0L)).as(n),
+          coalesce(sum(when(col(p), col("n_tokens").cast(LongType)).otherwise(0L)), lit(0L)).as(t))
     sig.agg(
         count(lit(1)).as("c0"),
-        (Seq(sum(col("n_tokens").cast(LongType)).as("t0")) ++
+        (Seq(coalesce(sum(col("n_tokens").cast(LongType)), lit(0L)).as("t0")) ++
          stageAgg("p1", "c1", "t1") ++ stageAgg("p2", "c2", "t2") ++
          stageAgg("p3", "c3", "t3") ++ stageAgg("p4", "c4", "t4") ++
          stageAgg("p5", "c5", "t5")): _*)
@@ -1142,12 +1178,17 @@ object TextOps {
   private def bloomDecontamParts(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.BitmapAgg.register(s)
-    val sh = docsWide(s, d)
+    // Same sharing as decontamReport (round 10): train explodes only
+    // train-split docs, the test side is the shared materialized list.
+    // The list is DISTINCT where the old inline derivation was not — the
+    // bitmap OR-fold and the left-semi confirm are both multiplicity-
+    // blind, so results are unchanged.
+    val train = docsWide(s, d)
       .withColumn("h", md5_long(col("doc_id").cast(StringType), 0, 2))
-      .select(col("doc_id"), col("h"),
+      .filter(col("h") < 204)
+      .select(col("doc_id"),
               explode(word_shingles(col("text"))).as("shingle"))
-    val testShingles = sh.filter(col("h") >= 230).select("shingle")
-    val train = sh.filter(col("h") < 204)
+    val testShingles = sharedTestShingles(s, d)
     // m sized at 16 bits per EXPECTED test-split key: tokens ≤ chars/2,
     // test share = 26/256 of docs (expected-case under uniform hashing,
     // NOT a per-split ceiling — a corpus whose long documents happen to

@@ -55,8 +55,11 @@ object DocsFunnel {
     StructField("batch_id", LongType)))
 
   /** One micro-batch: flags on the delivery, then the two keyed writes.
-    * Pure function of (batch, testShingles, batchId) — replay-safe. */
-  private[streaming] def processBatch(s: SparkSession, batch: DataFrame,
+    * Pure function of (batch, testShingles, batchId) — replay-safe. All
+    * work runs on `batch.sparkSession` (the cloned micro-batch session);
+    * no outer session is taken, so the wrong-registry mistake (see the
+    * registration note below) cannot be reintroduced by accident. */
+  private[streaming] def processBatch(batch: DataFrame,
       testShingles: DataFrame, stateDir: String, batchId: Long): Unit = {
     // Register the native expressions on the BATCH's session: micro-batches
     // run on a CLONED SparkSession whose function registry was snapshotted
@@ -113,7 +116,7 @@ object DocsFunnel {
       .writeStream
       .option("checkpointLocation", s"$stateDir/_ckpt")
       .foreachBatch { (b: DataFrame, id: Long) =>
-        processBatch(s, b, testShingles, stateDir, id)
+        processBatch(b, testShingles, stateDir, id)
       }
       .start()
 
@@ -121,14 +124,22 @@ object DocsFunnel {
     * n_tokens)` from the two sinks: additive sums for stages 0–4, the
     * min-id fold over the p4 partials for stage 5. */
   def ledger(s: SparkSession, stateDir: String): DataFrame = {
-    val parts = s.read.schema(partsSchema).parquet(s"$stateDir/parts")
+    // Before the first micro-batch commits, neither sink directory exists;
+    // the ledger of an empty stream is the all-zero six-row frame, not an
+    // AnalysisException (ADVICE r9). Explicit schemas make the empty
+    // frames shape-identical to the populated ones.
+    def sink(path: String, schema: StructType): DataFrame =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+        s.read.schema(schema).parquet(path)
+      else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    val parts = sink(s"$stateDir/parts", partsSchema)
     val agg = parts.agg(
       sum("c0").as("c0"),
       ((1 to 4).flatMap(i => Seq(sum(s"c$i").as(s"c$i"))) ++
        (0 to 4).map(i => sum(s"t$i").as(s"t$i"))): _*).head()
     def c(i: Int) = Option(agg.getAs[java.lang.Long](s"c$i")).map(_.toLong).getOrElse(0L)
     def t(i: Int) = Option(agg.getAs[java.lang.Long](s"t$i")).map(_.toLong).getOrElse(0L)
-    val p4 = s.read.schema(p4Schema).parquet(s"$stateDir/p4")
+    val p4 = sink(s"$stateDir/p4", p4Schema)
       .groupBy("fp")
       .agg(min(col("min_id")).as("gid"),
            min_by(col("min_tokens"), col("min_id")).as("gtok"))
