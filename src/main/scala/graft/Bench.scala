@@ -328,7 +328,7 @@ object Bench {
       // the exact neighborhood for nprobe ∈ {1,2,4}. The exact side is
       // ivfSearch at nprobe=K — probing every cell IS the exact scan
       // (same re-rank, same tie-break), an identity IvfSpec pins.
-      val K = graft.operators.IvfIndex.K
+      val K = graft.operators.IvfIndex.kFor(spark, sfDir)
       def topAt(np: Int): Map[Long, Set[Long]] =
         graft.operators.VectorOps.ivfSearch(spark, sfDir, nprobe = np, k = 10)
           .select("q_id", "neighbor_id").collect()

@@ -72,6 +72,11 @@ object Tables {
     val files = if (f.isDirectory) f.listFiles() else Array(f)
     if (files == null) 0L else files.filter(_.isFile).map(stamp).sum
   }
+  /** Footer row count of `embeddings` — IvfIndex.kFor (K∝N coarse-
+    * quantizer sizing) consults it at ensure/build time. */
+  def embeddingsCount(s: SparkSession, d: String): Long =
+    tableRows(s, d, "embeddings")
+
   private def tableRows(s: SparkSession, d: String, name: String): Long = {
     rowCounts.keySet.removeIf { case (ses, _, _) => ses.sparkContext.isStopped }
     val p = s"$d/$name.parquet"

@@ -45,7 +45,7 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__WH__", whDir)
-        .replace("__IVF__", graft.operators.IvfIndex.indexDir(sfDir))
+        .replace("__IVF__", graft.operators.IvfIndex.indexDirFor(spark, sfDir))
         .replace("__PQ__", graft.operators.PqIndex.indexDir(sfDir)))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

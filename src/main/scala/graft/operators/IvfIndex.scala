@@ -5,7 +5,6 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.expressions.Window
 
 import graft.Tables._
 import graft.functions.DotProduct.register
@@ -15,13 +14,14 @@ import graft.functions.DotProduct.register
   * quantizer and persists it, and a SEARCH path that only reads the index
   * (see VectorOps.q46_ivf_ann).
   *
-  * Build: deterministic k-means (init = first K vectors, fixed Lloyd
-  * iterations, ties to the smaller centroid id), then one final assignment
-  * pass against the FINAL centroids, persisted as
-  *   - `centroids.parquet`  — (cid INT, cv ARRAY<DOUBLE>), K rows
+  * Build: deterministic k-means (init = the k lowest-id training vectors,
+  * fixed Lloyd iterations, ties to the smaller centroid id), then one final
+  * assignment pass of the FULL corpus against the FINAL centroids,
+  * persisted as
+  *   - `centroids.parquet`  — (cid INT, cv ARRAY<DOUBLE>), ≤ k rows
   *   - `assignments/`       — (vec_id, v, norm) partitioned by cid: the
   *     cell-partitioned layout, so a search reading nprobe cells touches
-  *     only nprobe/K of the corpus (partition pruning on cid)
+  *     only ~nprobe/K of the corpus (partition pruning on cid)
   *
   * The per-iteration centroid collect is the standard k-means-on-Spark
   * lineage cut — K×dim doubles, bounded by K, never by data size — and it
@@ -30,48 +30,100 @@ import graft.functions.DotProduct.register
   * Persisted centroids are the oracle boundary: the search (assignment of
   * every vector to its nearest persisted centroid + nprobe probe cells +
   * exact cosine re-rank) is plain SQL over the centroids table, so DuckDB
-  * can replay it bit-for-bit — q46 is hash-checked, not rows-only.
+  * can replay it bit-for-bit — q46 is hash-checked, not rows-only. Any
+  * K/Iters/sampling choice below changes WHICH index is built, never
+  * whether the oracle matches: the replay always starts from what was
+  * persisted.
   */
 object IvfIndex {
 
-  val K = 16
+  /** Coarse-quantizer sizing (round 10, VERDICT r9 #2 — the one open
+    * scale item): K grows with the corpus, K(N) = ⌈N / CellTarget⌉, so
+    * the per-cell population — and every per-cell cost built on it: q68
+    * semdedup's in-cell pair term (~cell²·K = N·cell), a probe's scan
+    * share (nprobe·cell rows) — stays ~CellTarget instead of growing
+    * N/K. This is what SemDeDup-style deployments do (cluster count
+    * scales to hold cells at a workable size; ~10⁵ clusters for web-scale
+    * corpora). MinK floors tiny fixtures and the driver's sf≤0.1 tables
+    * (N ≤ 2000 ⇒ K = 16, identical to the round-≤9 index) so the
+    * correctness surface is unchanged; growth engages from ~8k vectors. */
+  val MinK = 16
+  val CellTarget = 512
   val Iters = 3
   val NProbe = 2
+  /** Lloyd trains on a deterministic stride sample of ~SamplePerCell
+    * vectors per centroid (the FAISS practice: training needs a
+    * representative sample, not the corpus — full-corpus Lloyd at K∝N is
+    * O(N²/CellTarget) distance work). The FINAL assignment pass always
+    * covers the full corpus. */
+  val SamplePerCell = 64
 
-  /** Index location derived from the build inputs (sfDir, K, Iters): each
+  def kFor(n: Long): Int =
+    math.max(MinK.toLong, (n + CellTarget - 1) / CellTarget).toInt
+  /** K for `sfDir`'s embeddings table (footer row count — metadata only). */
+  def kFor(s: SparkSession, sfDir: String): Int =
+    kFor(graft.Tables.embeddingsCount(s, sfDir))
+
+  /** Index location derived from the build inputs (sfDir, k, iters): each
     * configuration owns its directory, so a run for one sf can never
     * silently swap the centroids out from under another sf's oracle
     * replay (the round-2 fixed `current/` path rebuilt in place on
     * mismatch — racy across JVMs and across a Verify run vs the driver's
     * later DuckDB read). The oracle SQL carries an `__IVF__` placeholder
-    * that Verify resolves via this same function at dump time. */
-  def indexDir(sfDir: String, k: Int = K, iters: Int = Iters): String = {
+    * that Verify resolves via [[indexDirFor]] at dump time. */
+  def indexDir(sfDir: String, k: Int, iters: Int = Iters): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$sfDir|$k|$iters".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     s"/root/repo/target/ivf_index/$h"
   }
 
+  /** The directory [[ensure]] resolves for `sfDir` — K derived from the
+    * data, so callers (Verify's `__IVF__` substitution) agree with the
+    * build without carrying K around. */
+  def indexDirFor(s: SparkSession, sfDir: String): String =
+    indexDir(sfDir, kFor(s, sfDir))
+
   private val VECD = "transform(embedding, x -> CAST(x AS DOUBLE))"
   private def sqdist = expr(
     "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
 
+  /** Nearest-centroid assignment, AGGREGATION form: `min_by` over the
+    * (d2, cid) order — selection-identical to the oracle's ROW_NUMBER
+    * replay (same sqdist doubles, same smaller-cid tie order; both pick
+    * the (d2, cid)-minimum) but it partially aggregates map-side: the
+    * N×K distance rows collapse to one row per vector BEFORE any
+    * exchange. The round-≤9 window form shuffled all N×K rows to rank
+    * them — fine at K=16, a non-starter once K∝N. */
+  private def assign(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("d2", sqdist)
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("v"), col("cid")),
+                  struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cid"))
+
   /** Train + persist the index for `sfDir` into `indexDir`. */
   def build(s: SparkSession, sfDir: String, indexDir: String,
-            k: Int = K, iters: Int = Iters): Unit = {
+            k: Int, iters: Int = Iters): Unit = {
     register(s)
     import s.implicits._
+    val n = graft.Tables.embeddingsCount(s, sfDir)
     val vecs = embeddings(s, sfDir).select(col("vec_id"), expr(VECD).as("v"))
-    var cent = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+    // deterministic training sample: every stride-th vec_id (stride = 1
+    // below ~SamplePerCell·k vectors ⇒ sample = corpus, today's test sfs)
+    val stride = math.max(1L, n / (k.toLong * SamplePerCell))
+    val trainVecs =
+      if (stride == 1L) vecs else vecs.filter(col("vec_id") % stride === 0)
+    // init = k lowest-id training vectors; k×dim doubles — the bounded
+    // lineage cut (see scaladoc)
+    val init = trainVecs.orderBy("vec_id").limit(k)
+      .select(col("v")).as[Seq[Double]].collect()
+    var cent = init.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cid", "cv")
     for (_ <- 1 to iters) {
-      val assign = vecs.crossJoin(broadcast(cent))
-        .withColumn("d2", sqdist)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
-      val newCent = assign
+      val a = assign(trainVecs, cent)
+      val newCent = a
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cid")
@@ -79,13 +131,10 @@ object IvfIndex {
       // K×dim doubles — the bounded lineage cut (see scaladoc)
       cent = broadcast(newCent.as[(Int, Seq[Double])].collect().toSeq.toDF("cid", "cv"))
     }
-    // final assignment against the FINAL centroids — what search + oracle
-    // see; norm is per-row constant, so precompute it into the index
-    val finalAssign = vecs.crossJoin(broadcast(cent))
-      .withColumn("d2", sqdist)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
-      .filter(col("rn") === 1)
+    // final assignment: FULL corpus against the FINAL centroids — what
+    // search + oracle see; norm is per-row constant, so precompute it
+    // into the index
+    val finalAssign = assign(vecs, cent)
       .select(col("vec_id"), col("v"),
               sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))).as("norm"),
               col("cid"))
@@ -105,11 +154,12 @@ object IvfIndex {
     * build only when the completion marker is absent (per-config dirs
     * never need the rebuild-on-mismatch dance). */
   def ensure(s: SparkSession, sfDir: String): String = synchronized {
-    val dir = indexDir(sfDir)
+    val k = kFor(s, sfDir)
+    val dir = indexDir(sfDir, k)
     val meta = Paths.get(s"$dir/_meta.json")
-    val want = s"""{"sfDir":"$sfDir","k":$K,"iters":$Iters}"""
+    val want = s"""{"sfDir":"$sfDir","k":$k,"iters":$Iters}"""
     if (!Files.exists(meta) || Files.readString(meta) != want)
-      build(s, sfDir, dir, K, Iters)
+      build(s, sfDir, dir, k, Iters)
     dir
   }
 
@@ -122,7 +172,6 @@ object IvfIndex {
   /** Index-build CLI: `runMain graft.operators.IvfIndex <sfDir> [indexDir]`. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val outDir = if (args.length > 1) args(1) else indexDir(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -132,8 +181,10 @@ object IvfIndex {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    build(s, sfDir, outDir)
-    println(s"IVF_INDEX_BUILT $outDir k=$K iters=$Iters")
+    val k = kFor(s, sfDir)
+    val outDir = if (args.length > 1) args(1) else indexDir(sfDir, k)
+    build(s, sfDir, outDir, k)
+    println(s"IVF_INDEX_BUILT $outDir k=$k iters=$Iters")
     s.stop()
   }
 }

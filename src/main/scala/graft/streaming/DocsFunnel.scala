@@ -40,7 +40,13 @@ import graft.functions.WordShingles.word_shingles
   * Equality contract (DocsFunnelSpec): whenever the fixed list equals the
   * union corpus's own test split, the assembled ledger is exactly q69's
   * on the union of deliveries — spec-pinned after EACH delivery and
-  * across a min-id revision that straddles deliveries. */
+  * across a min-id revision that straddles deliveries. The precondition
+  * is itself spec'd from the failing side (round 10): a list pinned
+  * BEFORE a new eval document arrives can only UNDER-flag relative to
+  * batch q69 on the union (the pinned list is a subset of the union test
+  * split's shingles), so streaming's stage-4/5 survivors are a superset
+  * of batch's — DocsFunnelSpec's "pinned list older than the eval suite"
+  * case pins the strict one-doc gap. */
 object DocsFunnel {
 
   private val partsSchema = StructType(

@@ -95,6 +95,69 @@ class DocsFunnelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ledger before the first micro-batch is the all-zero six-row frame") {
+    val stateDir = java.nio.file.Files.createTempDirectory("funnel_state0").toString
+    val names = Seq("raw", "lang_id", "quality", "repetition", "decontam", "dedup")
+    assert(ledgerSet(DocsFunnel.ledger(spark, stateDir)) ==
+           names.zipWithIndex.map { case (n, i) => (i, n, 0L, 0L) }.toSet)
+  }
+
+  test("pinned list older than the eval suite UNDER-flags: streaming keeps what batch drops") {
+    // The equality contract's PRECONDITION, tested from the failing side
+    // (VERDICT r9 #5): when the fixed decontamination list was pinned
+    // BEFORE a new eval document arrived, the streaming funnel cannot
+    // know the new document's shingles — so it can only UNDER-flag
+    // relative to batch q69 on the union corpus (never over-flag: the
+    // pinned list is a subset of the union test split's shingles, and a
+    // train doc flagged against a subset is flagged against the
+    // superset). Direction: streaming stage-4/5 survivors ⊇ batch's.
+    import spark.implicits._
+    def hb(id: Long): Int = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString, 16)
+    val testIds = (0L to 4000L).filter(hb(_) >= 230).take(2)
+    val (testA, testB) = (testIds(0), testIds(1))
+    val trainIds = (0L to 4000L).filter(hb(_) < 204).take(2)
+    def toks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val contamA = "the " + toks(23, "c")
+    val contamB = "the " + toks(23, "f")
+    // trainIds(1) extends contamB (same shingles + a few more ⇒ ~85%
+    // overlap, still a DISTINCT fingerprint from testB — otherwise the
+    // stage-5 min-id election would absorb the stage-4 difference)
+    val all = Seq(
+      trainIds(0) -> contamA, testA -> contamA,             // flagged by BOTH sides
+      trainIds(1) -> (contamB + " " + toks(4, "g")),        // flagged by batch only
+      testB -> contamB)
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d1 = all.filter(col("doc_id") =!= testB)
+    val corpusAll = writeCorpus(all)
+    // the fixed list is pinned from the PREFIX corpus — testB's shingles
+    // are not in it
+    val fixedList = TextOps.testShingleSet(spark, writeCorpus(d1))
+    val deliveryDir = java.nio.file.Files.createTempDirectory("funnel_in3").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("funnel_state3").toString
+    deliver(d1, deliveryDir, "documents_d1.parquet")
+    deliver(all.filter(col("doc_id") === testB), deliveryDir, "documents_d2.parquet")
+    val q = DocsFunnel.start(spark, deliveryDir, fixedList, stateDir)
+    try {
+      q.processAllAvailable()
+      val streamed = ledgerSet(DocsFunnel.ledger(spark, stateDir))
+      val batch = ledgerSet(TextOps.q69_funnel(spark, corpusAll))
+      def at(m: Set[(Int, String, Long, Long)], stage: Int): (Long, Long) =
+        m.collectFirst { case (`stage`, _, nd, nt) => (nd, nt) }.get
+      // row-local stages agree — the divergence is decontamination only
+      (0 to 3).foreach(i => assert(at(streamed, i) == at(batch, i),
+        s"stage $i diverged — expected decontam-only divergence"))
+      // the documented inequality direction, strictly: batch flags
+      // trainIds(1) against testB's shingles, the pinned list cannot
+      assert(at(streamed, 4)._1 == at(batch, 4)._1 + 1 &&
+             at(streamed, 5)._1 == at(batch, 5)._1 + 1,
+        "streaming must keep exactly the one train doc whose eval twin postdates the pinned list")
+    } finally q.stop()
+  }
+
   test("real-corpus parity split reaches the batch q69 ledger") {
     val docs = Tables.documents(spark, sf)
     val fixedList = TextOps.testShingleSet(spark, sf)

@@ -120,7 +120,7 @@ class PqSpec extends AnyFunSuite {
   test("recall@3 vs the exact scan clears the fixture floor") {
     // exact side: ivfSearch probing every cell IS the exact scan
     // (IvfSpec pins that identity)
-    val exact = VectorOps.ivfSearch(spark, sf, nprobe = graft.operators.IvfIndex.K, k = 3)
+    val exact = VectorOps.ivfSearch(spark, sf, nprobe = graft.operators.IvfIndex.kFor(spark, sf), k = 3)
       .select("q_id", "neighbor_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val pq = VectorOps.q66_pq_ann(spark, sf)

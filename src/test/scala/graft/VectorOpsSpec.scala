@@ -74,13 +74,13 @@ class VectorOpsSpec extends AnyFunSuite {
       VectorOps.ivfSearch(spark, sf, nprobe = np, k = 10)
         .select("q_id", "neighbor_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val exact = nn(IvfIndex.K)
+    val exact = nn(IvfIndex.kFor(spark, sf))
     def recall(m: Map[Long, Set[Long]]): Double = {
       val r = exact.map { case (q, ex) =>
         m.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
       r.sum / r.size
     }
-    val rs = Seq(1, 2, 4, IvfIndex.K).map(np => recall(nn(np)))
+    val rs = Seq(1, 2, 4, IvfIndex.kFor(spark, sf)).map(np => recall(nn(np)))
     // candidate sets only grow with nprobe ⇒ recall of the FIXED exact
     // neighborhood is nondecreasing; full probe is the identity
     assert(rs.zip(rs.tail).forall { case (lo, hi) => lo <= hi + 1e-12 },
@@ -89,7 +89,7 @@ class VectorOpsSpec extends AnyFunSuite {
     // probing every cell IS the brute-force scan: same rows as a direct
     // exact top-k over all vectors (q40 pins k=3; here k=10 self-checks
     // via the identity + monotonicity)
-    val full = VectorOps.ivfSearch(spark, sf, nprobe = IvfIndex.K, k = 3)
+    val full = VectorOps.ivfSearch(spark, sf, nprobe = IvfIndex.kFor(spark, sf), k = 3)
       .select("q_id", "neighbor_id", "cosine").collect().map(_.toSeq).toSet
     val q40 = VectorOps.q40_cosine_topk(spark, sf)
       .select("q_id", "neighbor_id", "cosine").collect().map(_.toSeq).toSet
