@@ -109,7 +109,17 @@ object IvfIndex {
     register(s)
     import s.implicits._
     val n = graft.Tables.embeddingsCount(s, sfDir)
-    val vecs = embeddings(s, sfDir).select(col("vec_id"), expr(VECD).as("v"))
+    // The O(N·K) assignment stage must parallelize by CPU budget, not by
+    // input file layout: a compacted corpus (few large parquet files ⇒ few
+    // splits) otherwise serializes the dominant stage onto a handful of
+    // tasks (observed at sf30: 101 MB in 5 files ⇒ ≤5 tasks busy on a
+    // 32-thread box for a 703M-distance-row stage). One corpus shuffle —
+    // O(N) rows, amortized against O(N·K) distance work — buys full
+    // parallelism; skipped when the scan already splits wide enough.
+    val raw = embeddings(s, sfDir).select(col("vec_id"), expr(VECD).as("v"))
+    val para = s.sparkContext.defaultParallelism
+    val vecs =
+      if (raw.rdd.getNumPartitions >= para) raw else raw.repartition(para * 2)
     // deterministic training sample: every stride-th vec_id (stride = 1
     // below ~SamplePerCell·k vectors ⇒ sample = corpus, today's test sfs)
     val stride = math.max(1L, n / (k.toLong * SamplePerCell))
@@ -139,8 +149,13 @@ object IvfIndex {
               sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))).as("norm"),
               col("cid"))
     cent.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
-    finalAssign.write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$indexDir/assignments")
+    // Cluster by cid before the partitioned write: without it every write
+    // task emits a file into every cid directory it touches (tasks×K small
+    // files — ~37k at sf30's K=1172). After the shuffle each cid lives in
+    // exactly one task ⇒ one file per cell, which is also the read-side
+    // friendly layout (a probe opens nprobe files).
+    finalAssign.repartition(col("cid")).write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$indexDir/assignments")
     // _meta.json is the build-complete marker, written LAST via atomic
     // rename: a concurrent reader either sees a complete index or none.
     val tmp = Paths.get(s"$indexDir/_meta.json.tmp")
