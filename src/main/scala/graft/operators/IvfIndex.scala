@@ -95,7 +95,7 @@ object IvfIndex {
     * N×K distance rows collapse to one row per vector BEFORE any
     * exchange. The round-≤9 window form shuffled all N×K rows to rank
     * them — fine at K=16, a non-starter once K∝N. */
-  private def assign(vecs: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assign(vecs: DataFrame, cent: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cent))
       .withColumn("d2", sqdist)
       .groupBy("vec_id")
