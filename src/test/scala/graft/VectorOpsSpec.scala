@@ -62,6 +62,18 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(ivf.size == exact.size)
   }
 
+  test("IVF search prunes the assignments scan to the probed cells (DPP)") {
+    // the nprobe/K scan-share claim rests on the cell-partitioned layout
+    // being PRUNED at the scan: the probe-cells side is a runtime result,
+    // so the pruning is Spark's dynamic partition pruning — pin that the
+    // executed plan carries a dynamicpruning PartitionFilter on cid, so a
+    // refactor of the join can never silently regress to a full-index read
+    val plan = VectorOps.q46_ivf_ann(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the assignments scan:\n${plan.take(1200)}")
+  }
+
   test("IVF assignment is deterministic across runs") {
     val a = VectorOps.q46_ivf_ann(spark, sf).collect().map(_.toSeq).toSeq
     val b = VectorOps.q46_ivf_ann(spark, sf).collect().map(_.toSeq).toSeq
