@@ -307,14 +307,22 @@ object Bench {
         // meaningless: the estimate occupies the rank INTERVAL
         // [count(<est), count(<=est)]; error = distance from the target
         // rank p·n to that interval, in n/B units (B = 1000)
+        // rank bounds as AGGREGATIONS, never a collect: the old form
+        // collected+sorted the group's column driver-side — fine at the
+        // bench sf (200k doubles), a ~1 h GC stall at the 300× probe
+        // scale (60 M boxed rows per collect × 6). Same math: lo/hi are
+        // exact counts either way.
         def err(colName: String, p: Double, est: Double): Double = {
-          val vs = li.filter(col("l_returnflag") === g)
-            .select(col(colName)).collect().map(_.getDouble(0)).sorted
-          val lo = vs.count(_ < est); val hi = vs.count(_ <= est)
-          val target = p * vs.length
+          import org.apache.spark.sql.functions.{sum, when, lit, count}
+          val r = li.filter(col("l_returnflag") === g).agg(
+            sum(when(col(colName) < est, 1L).otherwise(0L)).as("lo"),
+            sum(when(col(colName) <= est, 1L).otherwise(0L)).as("hi"),
+            count(lit(1)).as("n")).head()
+          val lo = r.getLong(0); val hi = r.getLong(1); val n = r.getLong(2)
+          val target = p * n
           val rows = if (target < lo) lo - target
                      else if (target > hi) target - hi else 0.0
-          rows / (vs.length / 1000.0)
+          rows / (n / 1000.0)
         }
         Seq(err("l_quantity", 0.5, approxP(g)._1),
             err("l_extendedprice", 0.9, approxP(g)._2))

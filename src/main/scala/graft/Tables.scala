@@ -77,7 +77,7 @@ object Tables {
   def embeddingsCount(s: SparkSession, d: String): Long =
     tableRows(s, d, "embeddings")
 
-  private def tableRows(s: SparkSession, d: String, name: String): Long = {
+  private[graft] def tableRows(s: SparkSession, d: String, name: String): Long = {
     rowCounts.keySet.removeIf { case (ses, _, _) => ses.sparkContext.isStopped }
     val p = s"$d/$name.parquet"
     rowCounts.computeIfAbsent((s, p, pathStamp(p)),
@@ -134,6 +134,26 @@ object Tables {
     * observed average lengths (TESTDATA.md schemas). Deliberately high —
     * past-budget means "stop broadcasting", so overestimating flips early
     * (safe); underestimating OOMs. */
+  /** SHUFFLE_HASH only while the per-task build fits — dimBroadcast's
+    * live budget applied to the OTHER forced join strategy. A forced
+    * shuffle-hash hint removes Catalyst's sort-merge fallback exactly
+    * when it's needed: SHJ builds one build-side partition per task, so
+    * per-task memory grows linearly with the fact table at fixed
+    * shuffle width, and at some scale the build cannot acquire its page
+    * (observed empirically at the 300× probe scale: q6/q28 died in
+    * warmup with "Can't acquire 67108864 bytes to build hash relation"
+    * — EXPLAIN_r10 §7). Estimate per-task bytes as rows × rowBytes ×
+    * 4 (hash-map overhead: key array + load factor + UnsafeRow copies)
+    * / shuffle width; hint while ≤ 32 MB, else return the frame
+    * unhinted and the planner picks SMJ — which degrades to disk, not
+    * OOM. Same overestimate-flips-early discipline as dimBroadcast. */
+  def shuffleHashIfFits(s: SparkSession, buildRows: Long, rowBytes: Long,
+                        df: DataFrame): DataFrame = {
+    val width = math.max(1, s.sessionState.conf.numShufflePartitions)
+    if (buildRows * rowBytes * 4 / width <= (32L << 20)) df.hint("shuffle_hash")
+    else df
+  }
+
   def customerB(s: SparkSession, d: String): DataFrame =
     dimBroadcast(s, d, "customer", rowBytes = 160)
   def partB(s: SparkSession, d: String): DataFrame =

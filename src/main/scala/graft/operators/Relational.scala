@@ -160,7 +160,11 @@ object Relational {
            min(col("l_shipdate").cast(DateType)).as("first_ship"),
            max(unix_date(col("l_shipdate").cast(DateType))).as("max_sd"))
     perOrder
-      .join(orders(s, d).hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      // shuffle-hash while the per-task build fits, SMJ beyond (live
+      // budget — the forced hint OOMs once orders outgrows the width;
+      // see Tables.shuffleHashIfFits / EXPLAIN_r10 §7)
+      .join(shuffleHashIfFits(s, tableRows(s, d, "orders"), 120, orders(s, d)),
+            col("l_orderkey") === col("o_orderkey"))
       .join(oc, col("o_orderdate").cast(DateType) === col("oc.full_date"))
       .join(sc, col("first_ship") === col("sc.full_date"))
       .groupBy("o_orderpriority")
@@ -425,8 +429,11 @@ object Relational {
     orders(s, d)
       // SHUFFLE_HASH: the anti join only needs a key-set of the right
       // side — SMJ's two full sorts buy nothing here, and the build side
-      // is a single deduplicatable bigint column (bounded per partition).
-      .join(lineitem(s, d).select("l_orderkey").hint("shuffle_hash"),
+      // is a single deduplicatable bigint column. Still budget-gated:
+      // even a key-only build grows linearly with the fact at fixed
+      // width (24 B/row UnsafeRow; see Tables.shuffleHashIfFits).
+      .join(shuffleHashIfFits(s, tableRows(s, d, "lineitem"), 24,
+              lineitem(s, d).select("l_orderkey")),
             col("o_orderkey") === col("l_orderkey"), "left_anti")
       .select(col("o_orderkey"), col("o_totalprice"),
               col("o_orderdate").cast(DateType).as("order_date"))

@@ -1258,8 +1258,18 @@ object TextOps {
     val keep = md5_long(
       concat(col("l_orderkey").cast(StringType), lit(":"),
              col("l_linenumber").cast(StringType)), 0, 2) < 26
-    lineitem(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
+    // ... but the fan-out exchange is a LAYOUT workaround, not the plan
+    // you want at scale: a 100 TB lineitem arrives as thousands of splits
+    // and the row-local hash already runs wide — shuffling the full
+    // corpus to sample it would be the bottleneck. Gate the repartition
+    // on the scan actually being narrower than the machine (the bench's
+    // single-row-group file ⇒ 1 task), same layout-vs-CPU-budget rule as
+    // the IVF build's assignment stage (EXPLAIN_r10 §1a).
+    val li = lineitem(s, d)
+    val spread =
+      if (li.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) li
+      else li.repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
+    spread
       .groupBy("l_returnflag")
       .agg(count(when(keep, 1)).as("n_sampled"),
            sum(when(keep, money(col("l_quantity")))).cast(DoubleType).as("sampled_qty"))

@@ -83,7 +83,10 @@ object Warehouse {
       // task, so the partial hash aggregate pays ~|lineitem| probe+insert
       // work for <2× row reduction (vs q6's clean 4× on l_orderkey alone).
       // Kept raw: the exchange is the cheaper of the two (EXPLAIN_r7).
-      .join(orders(s, d).hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      // budget-gated hint: SMJ once orders outgrows the per-task build
+      // envelope (Tables.shuffleHashIfFits; EXPLAIN_r10 §7)
+      .join(shuffleHashIfFits(s, tableRows(s, d, "orders"), 120, orders(s, d)),
+            col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority", "l_returnflag")
       .agg(
         floor(sum(datediff(col("l_shipdate").cast(DateType),
