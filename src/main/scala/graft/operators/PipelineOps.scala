@@ -216,16 +216,79 @@ object PipelineOps {
       .sortWithinPartitions(col("shard"), col("h"))
       .write.mode("overwrite").partitionBy("shard").parquet(out)
 
+  // ------------------------------------------------------ snapshot diff
+  /** Snapshot-to-snapshot corpus diff — the change-tracking step an
+    * incremental pipeline runs between deliveries (which documents were
+    * added / removed / revised since the last snapshot decides what
+    * downstream stages must reprocess; a full-rebuild ETL like the
+    * reference's sidesteps this, a 100 TB pipeline cannot). Two
+    * snapshots are DERIVED deterministically from the documents table
+    * (old: every doc_id % 7 ≠ 6; new: every doc_id % 5 ≠ 4, with every
+    * 11th doc's text revised) so the DuckDB oracle replays the identical
+    * construction; the operator itself is snapshot-agnostic.
+    *
+    * Shape at scale: row-local md5 fingerprints on each side, ONE
+    * full-outer equi-join shuffle on doc_id, aggregate to a 4-row
+    * ledger. In production the per-delivery (doc_id, fp, n_tok) manifest
+    * is persisted at ingest (q70's pattern), so the diff scans two
+    * narrow manifests and never re-reads text. */
+  val q72_snapshot_diff: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("text"),
+      expr(s"size($TOKENS)").cast(LongType).as("tok"))
+    val old = docs.filter(col("doc_id") % 7 =!= 6)
+      .select(col("doc_id").as("o_id"), md5(col("text")).as("o_fp"),
+              col("tok").as("o_tok"))
+    val neu = docs.filter(col("doc_id") % 5 =!= 4)
+      .withColumn("text2",
+        when(col("doc_id") % 11 === 0, upper(col("text"))).otherwise(col("text")))
+      .select(col("doc_id").as("n_id"), md5(col("text2")).as("n_fp"),
+              col("tok").as("n_tok"))
+    old.join(neu, col("o_id") === col("n_id"), "full_outer")
+      .withColumn("status",
+        when(col("o_id").isNull, lit("added"))
+          .when(col("n_id").isNull, lit("removed"))
+          .when(col("o_fp") =!= col("n_fp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("n_tok"), col("o_tok"))).as("n_tokens"),
+           sum(coalesce(col("n_id"), col("o_id"))).as("id_sum"))
+      .boundedOrderBy("status")
+  }
+
   // --------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q60_pii_scrub"       -> q60_pii_scrub,
     "q61_domain_mixture"  -> q61_domain_mixture,
     "q62_sequence_pack"   -> q62_sequence_pack,
     "q70_shards"          -> q70_shards,
-    "q71_temperature_mix" -> q71_temperature_mix
+    "q71_temperature_mix" -> q71_temperature_mix,
+    "q72_snapshot_diff"   -> q72_snapshot_diff
   )
 
   val oracles: Map[String, String] = Map(
+    // same snapshot construction, same md5-of-UTF8 fingerprints (case
+    // revision via upper() — ASCII corpus, parity proven by q33's
+    // lower()), same full-outer join; sums are exact ints
+    "q72_snapshot_diff" ->
+      """WITH docs AS (SELECT doc_id, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+         o AS (SELECT doc_id AS o_id, md5(text) AS o_fp, tok AS o_tok
+               FROM docs WHERE doc_id % 7 != 6),
+         n AS (SELECT doc_id AS n_id,
+                 md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS n_fp,
+                 tok AS n_tok
+               FROM docs WHERE doc_id % 5 != 4)
+         SELECT CASE WHEN o_id IS NULL THEN 'added'
+                     WHEN n_id IS NULL THEN 'removed'
+                     WHEN o_fp != n_fp THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+           COUNT(*) AS n_docs,
+           CAST(SUM(COALESCE(n_tok, o_tok)) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(n_id, o_id)) AS BIGINT) AS id_sum
+         FROM o FULL OUTER JOIN n ON o_id = n_id
+         GROUP BY 1 ORDER BY 1""",
+
     // same exact-int aggregation, same source-sorted struct list, same
     // 0-init left fold for Z (list_reduce ≡ aggregate), same per-row
     // double ops — bit-exact across engines (sqrt correctly rounded)

@@ -121,6 +121,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.values.forall(v => v._4 <= 5.0 && v._4 > 0))
   }
 
+  test("q72 snapshot diff: constructed corpus hits every status exactly") {
+    import spark.implicits._
+    // snapshot rules: old = id%7≠6, new = id%5≠4, revised when id%11==0.
+    //   0 → both, revised        → changed
+    //   1,2,3 → both, unrevised  → unchanged
+    //   4 → old only (4%5==4)    → removed
+    //   6 → new only (6%7==6)    → added
+    //   11 → both, 11%11==0      → changed
+    val d = java.nio.file.Files.createTempDirectory("snapdocs").toString
+    Seq(0L, 1L, 2L, 3L, 4L, 6L, 11L)
+      .map(id => (id, s"lower case body of document $id", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val ledger = PipelineOps.q72_snapshot_diff(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(ledger == Map(
+      "added" -> (1L, 6L), "removed" -> (1L, 4L),
+      "changed" -> (2L, 11L), "unchanged" -> (3L, 6L)))
+  }
+
   test("q70 shard manifest: rule recompute, totals, and writer round-trip") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
