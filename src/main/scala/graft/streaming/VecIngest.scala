@@ -95,4 +95,12 @@ object VecIngest {
       base.select("vec_id", "v", "norm", "cid").unionByName(delta)
     }
   }
+
+  // Search-side pruning note (audited, UnionDppSpec): Catalyst's dynamic
+  // partition pruning DOES cross the base∪delta Union — a cid join above
+  // assignmentsWithDelta plants a DPP filter on BOTH partitioned scans,
+  // so a probe reads nprobe cells of each layout, not two full indexes —
+  // PROVIDED the probing side carries a selective predicate (q46's
+  // `rn <= nprobe` filter qualifies; a bare LIMIT does not trigger the
+  // rule). No join-below-union rewrite is needed.
 }
