@@ -314,15 +314,20 @@ object Bench {
         // exact counts either way.
         def err(colName: String, p: Double, est: Double): Double = {
           import org.apache.spark.sql.functions.{sum, when, lit, count}
+          import org.apache.spark.sql.functions.coalesce
+          // coalesce: a group with ZERO matching rows sums to NULL — the
+          // old collect form degraded to NaN there; getLong would NPE
           val r = li.filter(col("l_returnflag") === g).agg(
-            sum(when(col(colName) < est, 1L).otherwise(0L)).as("lo"),
-            sum(when(col(colName) <= est, 1L).otherwise(0L)).as("hi"),
+            coalesce(sum(when(col(colName) < est, 1L).otherwise(0L)), lit(0L)).as("lo"),
+            coalesce(sum(when(col(colName) <= est, 1L).otherwise(0L)), lit(0L)).as("hi"),
             count(lit(1)).as("n")).head()
           val lo = r.getLong(0); val hi = r.getLong(1); val n = r.getLong(2)
-          val target = p * n
-          val rows = if (target < lo) lo - target
-                     else if (target > hi) target - hi else 0.0
-          rows / (n / 1000.0)
+          if (n == 0L) 0.0 else {
+            val target = p * n
+            val rows = if (target < lo) lo - target
+                       else if (target > hi) target - hi else 0.0
+            rows / (n / 1000.0)
+          }
         }
         Seq(err("l_quantity", 0.5, approxP(g)._1),
             err("l_extendedprice", 0.9, approxP(g)._2))

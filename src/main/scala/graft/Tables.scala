@@ -149,8 +149,25 @@ object Tables {
     * OOM. Same overestimate-flips-early discipline as dimBroadcast. */
   def shuffleHashIfFits(s: SparkSession, buildRows: Long, rowBytes: Long,
                         df: DataFrame): DataFrame = {
-    val width = math.max(1, s.sessionState.conf.numShufflePartitions)
-    if (buildRows * rowBytes * 4 / width <= (32L << 20)) df.hint("shuffle_hash")
+    val conf = s.sessionState.conf
+    val width = math.max(1, conf.numShufflePartitions).toLong
+    val buildBytes = buildRows * rowBytes
+    // numShufflePartitions is an upper bound, not a promise: AQE partition
+    // coalescing (on by default) merges post-shuffle partitions up to the
+    // advisory size, so the per-task build can be wider than total/width by
+    // the coalescing factor. Size against the EFFECTIVE width — at most
+    // buildBytes/advisory partitions survive coalescing (estimated from the
+    // build side alone, which UNDERcounts the stage's total shuffle bytes,
+    // so effWidth is an underestimate and the per-task figure an
+    // overestimate: the gate flips to SMJ early, same safe direction as
+    // dimBroadcast).
+    val effWidth =
+      if (conf.adaptiveExecutionEnabled && conf.coalesceShufflePartitionsEnabled) {
+        val advisory = math.max(1L, conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+        math.max(1L, math.min(width, buildBytes / advisory))
+      } else width
+    if (buildBytes * 4 / effWidth <= (32L << 20)) df.hint("shuffle_hash")
     else df
   }
 

@@ -71,9 +71,16 @@ object IvfIndex {
     * mismatch — racy across JVMs and across a Verify run vs the driver's
     * later DuckDB read). The oracle SQL carries an `__IVF__` placeholder
     * that Verify resolves via [[indexDirFor]] at dump time. */
+  /** Build-algorithm tag, part of the content address: a change to HOW the
+    * index is built (sampling scheme, assignment pruning) must not serve a
+    * stale directory built by the previous algorithm — the _meta check
+    * alone would pass, because meta only records (sfDir, k, iters). b2 =
+    * hash-stride training sample (round 11, ADVICE fix). */
+  val BuildTag = "b2"
+
   def indexDir(sfDir: String, k: Int, iters: Int = Iters): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|$k|$iters".getBytes("UTF-8"))
+      .digest(s"$sfDir|$k|$iters|$BuildTag".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     s"/root/repo/target/ivf_index/$h"
   }
@@ -120,15 +127,28 @@ object IvfIndex {
     val para = s.sparkContext.defaultParallelism
     val vecs =
       if (raw.rdd.getNumPartitions >= para) raw else raw.repartition(para * 2)
-    // deterministic training sample: every stride-th vec_id (stride = 1
-    // below ~SamplePerCell·k vectors ⇒ sample = corpus, today's test sfs)
+    // deterministic training sample: ~1/stride of vec_ids selected by HASH,
+    // not raw modulo — `vec_id % stride === 0` assumes ids are dense from 0
+    // (an id space all ≡ 1 mod stride would yield an EMPTY sample); hashing
+    // decorrelates selection from any id-assignment pattern while staying a
+    // pure function of vec_id (same sample at any partitioning). xxhash64
+    // never reaches an oracle-checked output here: it only picks WHICH
+    // vectors train the quantizer, and the oracle replays from the
+    // persisted centroids regardless. (stride = 1 below ~SamplePerCell·k
+    // vectors ⇒ sample = corpus, today's test sfs.)
     val stride = math.max(1L, n / (k.toLong * SamplePerCell))
     val trainVecs =
-      if (stride == 1L) vecs else vecs.filter(col("vec_id") % stride === 0)
+      if (stride == 1L) vecs
+      else vecs.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
     // init = k lowest-id training vectors; k×dim doubles — the bounded
     // lineage cut (see scaladoc)
     val init = trainVecs.orderBy("vec_id").limit(k)
       .select(col("v")).as[Seq[Double]].collect()
+    // A sparse/skewed id space could still undersize the sample; fail loud
+    // rather than silently training fewer centroids than _meta records.
+    require(init.length == k,
+      s"IVF init needs $k training vectors, sample yielded ${init.length} " +
+        s"(n=$n stride=$stride) — corpus too small for k or sampling skewed")
     var cent = init.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq.toDF("cid", "cv")
     for (_ <- 1 to iters) {

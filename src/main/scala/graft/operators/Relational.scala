@@ -281,7 +281,14 @@ object Relational {
     // broadcast-joining the 1:1 dim onto the (eventually top-10) rows is
     // result-identical (FK inner-join drops the same groups either way)
     // and keeps the wide string column out of the 600k-row shuffle — the
-    // plan you want at 100 TB. The per-group sum runs in long e4 units
+    // plan you want at 100 TB.
+    // PRECONDITION (FK integrity): ranking here runs over the bare fact
+    // aggregate, while the oracle joins part BEFORE ranking — an
+    // l_partkey absent from part would consume a rank slot on this side
+    // but be excluded pre-rank by the oracle. Equivalence rests on every
+    // l_partkey existing in part (true of the generated testdata and of
+    // any FK-clean warehouse); on a non-FK corpus move the join above
+    // `agg` (and pay the wide shuffle) or pre-filter to part's key set. The per-group sum runs in long e4 units
     // (bounded per-part groups) and converts to the exact decimal at the
     // aggregate boundary — see revenueE4.
     val agg = lineitem(s, d)
@@ -841,6 +848,11 @@ object Relational {
              / CAST(SUM(rev_d) OVER () AS DOUBLE) * 100 AS cum_pct
          FROM a ORDER BY n_name""",
 
+    // FK PRECONDITION: this SQL joins part BEFORE ranking; the Spark side
+    // ranks the bare fact aggregate and joins after `rnk <= 10` (see the
+    // q12 builder note). Hash parity rests on every l_partkey existing in
+    // part — true of the generated testdata; a non-FK corpus would shift
+    // rank slots between the two forms.
     "q12_rank_parts" ->
       s"""WITH pr AS (
            SELECT p_partkey, p_name, SUM($REV_SQL) AS rev_d

@@ -80,19 +80,95 @@ object VecIngest {
       }
       .start()
 
-  /** Base + delta assignments as one frame — what search reads. The
-    * delta rows carry the identical (vec_id, v, norm, cid) schema, so
-    * every consumer of [[IvfIndex.assignments]] can take this instead;
-    * cid stays a partition column in both layouts (pruning intact). */
+  /** COMMITTED delta batch directories: `bid=<n>` subdirs carrying the
+    * `_SUCCESS` marker their partitioned write commits last. Guarding on
+    * these (not on bare directory existence) fixes two failure shapes: a
+    * deltaDir created but never written (schema-inference error on an
+    * empty read) and a half-written batch from a crash mid-write (a bare
+    * read would union its partial files; the replaying stream will
+    * overwrite that bid, but a concurrent reader must not see it). */
+  private[graft] def committedBidDirs(deltaDir: String): Seq[String] = {
+    val d = new java.io.File(deltaDir)
+    val kids = if (d.isDirectory) d.listFiles() else null
+    if (kids == null) Seq.empty
+    else kids.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bid=") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getPath).sorted
+  }
+
+  /** Collected-liveness budget: the latest-wins filter below collects one
+    * (vec_id, max bid, n) row per DISTINCT delta vector to the driver —
+    * bounded by the DELTA (the incremental increment), never the corpus,
+    * and gated here like the 1 M-edge union-find guard. A delta past this
+    * bound has outgrown incremental maintenance — the deployment answer is
+    * folding it into a base rebuild — but reads stay CORRECT meanwhile via
+    * the join fallback. */
+  val MaxCollectedIds = 1000000
+
+  /** Base + delta assignments as one frame, LATEST-WINS by vec_id — what
+    * search reads. The delta rows carry the identical (vec_id, v, norm,
+    * cid) schema, so every consumer of [[IvfIndex.assignments]] can take
+    * this instead; cid stays a partition column in both layouts.
+    *
+    * Upsert semantics: a vec_id re-delivered after the base build (a
+    * revised embedding) supersedes its base row, and a later delivery
+    * supersedes an earlier one — each vector appears EXACTLY ONCE, from
+    * its highest bid (or base when never re-delivered). The liveness
+    * predicates are deliberately ROW-LOCAL (`isInCollection` over the
+    * driver-collected delta id set → InSet): a join-based dedup would sit
+    * between the probed-cells join and the partitioned scans and break
+    * the audited DPP pruning (UnionDppSpec), while Filter-over-Scan keeps
+    * it intact — and dropping a superseded row is correct under pruning
+    * exactly because the filter is cid-independent. Past
+    * [[MaxCollectedIds]] distinct delta ids the code falls back to
+    * anti/semi joins (correct, pruning degraded, rebuild overdue). */
   def assignmentsWithDelta(s: SparkSession, indexDir: String,
-                           deltaDir: String): DataFrame = {
+                           deltaDir: String,
+                           maxCollectedIds: Int = MaxCollectedIds): DataFrame = {
     val base = IvfIndex.assignments(s, indexDir)
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(deltaDir)))
-      base
+      .select("vec_id", "v", "norm", "cid")
+    val bidDirs = committedBidDirs(deltaDir)
+    if (bidDirs.isEmpty) base
     else {
-      val delta = s.read.parquet(deltaDir)
-        .select("vec_id", "v", "norm", "cid")
-      base.select("vec_id", "v", "norm", "cid").unionByName(delta)
+      // basePath keeps bid/cid as partition columns when reading the
+      // committed subset of batch directories
+      val delta = s.read.option("basePath", deltaDir).parquet(bidDirs: _*)
+        .withColumn("bid", col("bid").cast(LongType))
+      val winsDf = delta.groupBy("vec_id")
+        .agg(max(col("bid")).as("bid"), count(lit(1)).as("n"))
+      val nIds = winsDf.limit(maxCollectedIds + 1).count()
+      if (nIds > maxCollectedIds) {
+        // join fallback: same semantics, no driver set
+        base.join(winsDf.select("vec_id"), Seq("vec_id"), "left_anti")
+          .unionByName(delta
+            .join(winsDf.select("vec_id", "bid"), Seq("vec_id", "bid"), "left_semi")
+            .select("vec_id", "v", "norm", "cid"))
+      } else {
+        val wins = winsDf.collect()
+        val deltaIds = wins.map(_.getLong(0))
+        // only vec_ids delivered in >1 batch need a bid check; with none
+        // (the common append-only case) the delta branch reads unfiltered
+        val dups = wins.filter(_.getLong(2) > 1L)
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val liveDelta =
+          if (dups.isEmpty) delta
+          else if (dups.size <= 64)
+            // few re-deliveries (the realistic shape): a bounded OR-fold
+            // stays one codegen'd row-local predicate
+            delta.filter(!col("vec_id").isInCollection(dups.keys.toSeq) ||
+              dups.foldLeft(lit(false)) { case (acc, (id, bid)) =>
+                acc || (col("vec_id") === id && col("bid") === bid)
+              })
+          else
+            // many re-deliveries: semi-join the winner pairs on the DELTA
+            // branch only — the base branch (where DPP pruning pays) keeps
+            // its row-local filter; the delta side is the small increment
+            delta.join(winsDf.select("vec_id", "bid"),
+              Seq("vec_id", "bid"), "left_semi")
+        base.filter(!col("vec_id").isInCollection(deltaIds))
+          .unionByName(liveDelta.select("vec_id", "v", "norm", "cid"))
+      }
     }
   }
 

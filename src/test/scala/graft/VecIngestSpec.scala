@@ -78,6 +78,67 @@ class VecIngestSpec extends AnyFunSuite {
     assert(once.size == 7)
   }
 
+  test("latest-wins: a re-delivery supersedes base and earlier delta rows") {
+    val idx = IvfIndex.ensure(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val ids = emb.select("vec_id").orderBy("vec_id").limit(2)
+      .collect().map(_.getLong(0))
+    val (x, donor) = (ids(0), ids(1))
+    val newId = 400000L
+    val deltaDir = tmp("vec_upsert")
+    // bid=0: a brand-new vector (donor's embedding under newId) and a
+    // REVISION of base vector x (x now carries donor's embedding)
+    VecIngest.assignBatch(
+      emb.filter(col("vec_id") === donor)
+        .select(lit(newId).as("vec_id"), col("embedding"), col("label"))
+        .unionByName(emb.filter(col("vec_id") === donor)
+          .select(lit(x).as("vec_id"), col("embedding"), col("label"))),
+      idx, deltaDir, batchId = 0L)
+    // bid=1: newId revised again, now to x's ORIGINAL embedding
+    VecIngest.assignBatch(
+      emb.filter(col("vec_id") === x)
+        .select(lit(newId).as("vec_id"), col("embedding"), col("label")),
+      idx, deltaDir, batchId = 1L)
+
+    val combined = VecIngest.assignmentsWithDelta(spark, idx, deltaDir)
+    // every vec_id exactly once — no (base, revision) or (bid0, bid1) pairs
+    assert(combined.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0)
+    val base = IvfIndex.assignments(spark, idx)
+    def vOf(df: DataFrame, id: Long): Seq[Double] =
+      df.filter(col("vec_id") === id).select("v").head().getSeq[Double](0)
+    // x carries the revision (donor's vector), newId carries bid=1's (x's
+    // original vector)
+    assert(vOf(combined, x) == vOf(base, donor))
+    assert(vOf(combined, newId) == vOf(base, x))
+    // the join-fallback path (budget forced to 0) agrees bit-for-bit
+    assert(rows(VecIngest.assignmentsWithDelta(spark, idx, deltaDir,
+      maxCollectedIds = 0)) == rows(combined))
+  }
+
+  test("only committed bid= directories are read") {
+    val idx = IvfIndex.ensure(spark, sf)
+    val base = IvfIndex.assignments(spark, idx).select("vec_id", "v", "norm", "cid")
+    // a deltaDir that EXISTS but holds no committed batch → exactly base
+    // (the bare-read form threw a schema-inference error here)
+    val emptyDir = tmp("vec_empty")
+    assert(rows(VecIngest.assignmentsWithDelta(spark, idx, emptyDir)) == rows(base))
+    // one committed batch + one crash-shaped leftover (bid dir with a junk
+    // parquet file, no _SUCCESS): the leftover must be invisible — reading
+    // it would fail on the corrupt footer
+    val deltaDir = tmp("vec_commit")
+    val d = Tables.embeddings(spark, sf).limit(3)
+      .withColumn("vec_id", col("vec_id") + 500000L)
+    VecIngest.assignBatch(d, idx, deltaDir, batchId = 0L)
+    val junk = java.nio.file.Paths.get(deltaDir, "bid=7")
+    java.nio.file.Files.createDirectories(junk)
+    java.nio.file.Files.write(junk.resolve("part-corrupt.parquet"),
+      Array[Byte](1, 2, 3))
+    val combined = VecIngest.assignmentsWithDelta(spark, idx, deltaDir)
+    assert(combined.count() == base.count() + 3)
+    assert(VecIngest.committedBidDirs(deltaDir).size == 1)
+  }
+
   test("search over base+delta sees the new vectors; empty delta equals base") {
     val idx = IvfIndex.ensure(spark, sf)
     val base = IvfIndex.assignments(spark, idx).select("vec_id", "v", "norm", "cid")
