@@ -571,15 +571,41 @@ object TextOps {
     * sf0.1), then fanned to the member docs by exploding g.docs. The
     * groups come from the SHARED materialized index (one build per
     * pipeline session, not one per dedup operator). */
-  private def lshBands(s: SparkSession, d: String): DataFrame = {
-    val hashed = sharedCappedGroups(s, d, dfCap = 50)
+  private def lshBands(s: SparkSession, d: String): DataFrame =
+    bandRowsFromGroups(sharedCappedGroups(s, d, dfCap = 50))
+
+  /** (doc_id, band_key) from capped shingle GROUPS — all 16 family hashes
+    * computed once per distinct shingle on the group row, then fanned to
+    * member docs. The efficient form for a full-corpus (or base-index)
+    * build; [[bandRowsFromShingles]] is the per-delivery twin. */
+  private[graft] def bandRowsFromGroups(capped: DataFrame): DataFrame = {
+    graft.functions.Md5Long.register(capped.sparkSession)
+    val hashed = capped
       .select(col("g.docs").as("docs"),
               md5_long(col("shingle"), 0, 12).as("h1"),
               md5_long(col("shingle"), 12, 12).as("h2"))
       .select(col("docs") +:
         (0 until 16).map(i => expr(s"(h1 + $i * h2) % $MinhashP").as(s"f$i")): _*)
-    val shf = hashed.select(explode(col("docs")).as("doc_id") +:
-      (0 until 16).map(i => col(s"f$i")): _*)
+    minsToBands(hashed.select(explode(col("docs")).as("doc_id") +:
+      (0 until 16).map(i => col(s"f$i")): _*))
+  }
+
+  /** (doc_id, band_key) from bare (doc_id, shingle) rows — hashes per
+    * occurrence, the right shape for a DELTA whose cost must scale with
+    * the delivery (no group index to share; duplicates are harmless under
+    * min). Same family, same band keys as [[bandRowsFromGroups]]. */
+  private[graft] def bandRowsFromShingles(docShingles: DataFrame): DataFrame = {
+    graft.functions.Md5Long.register(docShingles.sparkSession)
+    minsToBands(docShingles
+      .select(col("doc_id"),
+              md5_long(col("shingle"), 0, 12).as("h1"),
+              md5_long(col("shingle"), 12, 12).as("h2"))
+      .select(col("doc_id") +:
+        (0 until 16).map(i => expr(s"(h1 + $i * h2) % $MinhashP").as(s"f$i")): _*))
+  }
+
+  /** 16 per-doc signature minima → 4 concatenated band keys. */
+  private def minsToBands(shf: DataFrame): DataFrame = {
     val minAggs = (0 until 16).map(i => min(col(s"f$i")).as(s"m$i"))
     val mins = shf.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     mins.select(col("doc_id"), explode(array(
@@ -606,18 +632,45 @@ object TextOps {
     * count and the first matching base doc.
     *
     * This is the asymmetric topology production dedup actually runs day to
-    * day: the base band table is computed ONCE and persisted (bucketed by
-    * band_key, like IvfIndex's persisted centroids); each daily delta —
-    * orders of magnitude smaller — computes only its own signatures and
-    * equi-joins the bucketed index, so daily cost scales with |delta|, not
-    * |corpus|. Here both sides derive from one session-shared band table
-    * (the persisted-index analog), and the join is the same bucketed
-    * band_key equi-join as q35 — never all-pairs. */
+    * day, and since round 11 it runs against the PERSISTED incremental
+    * index (streaming/BandIngest — the text twin of VecIngest): the base
+    * band table and the frozen banned-shingle set are built ONCE per
+    * config and persisted (like IvfIndex's centroids); the delta —
+    * orders of magnitude smaller — computes only its own signatures
+    * against the frozen banned set and lands under `delta/bid=<n>` via
+    * the same replay-idempotent keyed sink the vector side uses. The
+    * probe broadcast-joins the delta bands against one scan of the
+    * persisted base (live budget gate; no base shuffle), so daily cost
+    * scales with |delta|, not |corpus| — never all-pairs.
+    *
+    * SEMANTICS (vs rounds ≤10): the df-cap is frozen at BASE build —
+    * a shingle is banned iff its BASE document frequency exceeds the
+    * cap — rather than evaluated over base+delta jointly. That is the
+    * price of incrementality (a joint cap would have to re-sign old docs
+    * whenever a delta pushes a shingle over it) and exactly mirrors the
+    * IVF contract: the model (banned set / centroids) retrains only at
+    * the scheduled base rebuild. The oracle SQL applies the same frozen
+    * cap, so the entry stays hash-checked. */
   val q64_incremental_neardup: Q = (s, d) => {
-    val bands = lshBands(s, d)
-    val base  = bands.filter(pmod(col("doc_id"), lit(10)) <  8).as("o")
-    val delta = bands.filter(pmod(col("doc_id"), lit(10)) >= 8).as("n")
-    delta.join(base, col("n.band_key") === col("o.band_key"))
+    val idx = graft.streaming.BandIngest.ensure(s, d)
+    val deltaDir = s"$idx/delta"
+    // one-time batch ingest of "today's crawl" through the SAME pure
+    // band computation the stream's foreachBatch runs (bit-equality of
+    // the two paths is spec-pinned in BandIngestSpec)
+    if (graft.streaming.BandIngest.deltaBands(s, deltaDir).isEmpty)
+      graft.streaming.BandIngest.ingestBatch(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) >= 8),
+        idx, deltaDir, batchId = 0L)
+    val base = graft.streaming.BandIngest.baseBands(s, idx).as("o")
+    val delta = graft.streaming.BandIngest.deltaBands(s, deltaDir).get
+    // broadcast the delta while it fits the session budget (~90 B/band
+    // row, 4 rows/doc); past it the planner shuffles both sides like any
+    // equi-join — same live-swap discipline as dimBroadcast
+    val budget = s.sessionState.conf.autoBroadcastJoinThreshold
+    val deltaRows = delta.count()
+    val n = (if (budget > 0 && deltaRows * 90 <= budget) broadcast(delta)
+             else delta).as("n")
+    n.join(base, col("n.band_key") === col("o.band_key"))
       .groupBy(col("n.doc_id").as("delta_id"))
       .agg(countDistinct(col("o.doc_id")).as("n_base_matches"),
            min(col("o.doc_id")).as("first_base_match"))
@@ -1662,9 +1715,22 @@ object TextOps {
 
     // q64: the identical signature/band derivation, with the q35 pair join
     // replaced by the asymmetric delta(doc_id%10>=8) x base(<8) probe and
-    // a per-delta-doc rollup
+    // a per-delta-doc rollup. The df-cap is FROZEN AT BASE BUILD (banned =
+    // shingles whose BASE df exceeds 50), matching the incremental index's
+    // contract — both the persisted base bands and the per-delivery delta
+    // bands exclude exactly that set (see the q64 builder note).
     "q64_incremental_neardup" ->
-      s"""WITH ${shinglesSql(50)},
+      s"""WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         banned AS (
+           SELECT shingle FROM sh WHERE doc_id % 10 < 8
+           GROUP BY shingle HAVING COUNT(*) > 50),
+         shf AS (
+           SELECT sh.doc_id, sh.shingle FROM sh
+           LEFT JOIN banned USING (shingle) WHERE banned.shingle IS NULL),
          hashed AS (
            SELECT doc_id,
              ('0x' || substring(md5(shingle), 1, 12))::BIGINT AS h1,
