@@ -109,6 +109,25 @@ object Relational {
            count(lit(1)).as("n_items"))
       .boundedOrderBy("p_brand")
 
+  /** q4's aggregation over the PERSISTED bucket-co-located (lineitem,
+    * part) layout (sources/BucketedLayout) — the twin that shows the
+    * layout lever: both tables bucketed by the partkey, so past the
+    * broadcast budget the join is exchange-free on BOTH sides (the plan
+    * q4 cannot have once `part` outgrows broadcast: sort-merge with two
+    * full shuffles). Same result, same oracle SQL as q4 — only the
+    * physical layout differs. Plan pinned in BucketedLayoutSpec; the
+    * scale A/B factor is recorded in EXPLAIN_r11. */
+  val q73_bucketed_brand_revenue: Q = (s, d) => {
+    val (li, pt) = graft.sources.BucketedLayout.ensure(s, d)
+    s.table(li)
+      .join(s.table(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(dsum(revenue).as("revenue"),
+           dsum(money(col("l_quantity"))).as("total_qty"),
+           count(lit(1)).as("n_items"))
+      .boundedOrderBy("p_brand")
+  }
+
   // --------------------------------------------------- q5: multi-hop chain
   /** J6 — Orders⋈Location⋈State⋈Region chain (DA:cell 4) → here
     * orders⋈customer⋈nation⋈region; all dims broadcast. */
@@ -664,6 +683,7 @@ object Relational {
     "q2_dedup_merge"        -> q2_dedup_merge,
     "q3_distinct"           -> q3_distinct,
     "q4_brand_revenue"      -> q4_brand_revenue,
+    "q73_bucketed_brand_revenue" -> q73_bucketed_brand_revenue,
     "q5_region_revenue"     -> q5_region_revenue,
     "q6_ship_delay"         -> q6_ship_delay,
     "q7_monthly_sales"      -> q7_monthly_sales,
@@ -772,6 +792,17 @@ object Relational {
          ORDER BY l_returnflag, l_linestatus""",
 
     "q4_brand_revenue" ->
+      s"""SELECT p_brand,
+           CAST(SUM($REV_SQL) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    // q73 = q4 over the bucketed layout: identical semantics, identical
+    // SQL — the entry exists to hash-check that the persisted bucketed
+    // copies are value-faithful to the source tables
+    "q73_bucketed_brand_revenue" ->
       s"""SELECT p_brand,
            CAST(SUM($REV_SQL) AS DOUBLE) AS revenue,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,

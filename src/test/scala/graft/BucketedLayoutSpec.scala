@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.BucketedLayout
+
+/** The bucketed (lineitem, part) layout must be value-faithful to the
+  * source tables AND exchange-free under the join it exists for. */
+class BucketedLayoutSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("bucketed join is exchange-free; the plain-table twin is not") {
+    val (li, pt) = BucketedLayout.ensure(spark, sf)
+    // force sort-merge (the strategy that engages past the broadcast
+    // budget — at test scale the planner would broadcast and trivially
+    // skip the exchange this spec is about)
+    val bucketed = spark.table(li).hint("merge")
+      .join(spark.table(pt), col("l_partkey") === col("p_partkey"))
+    val bPlan = bucketed.queryExecution.executedPlan.toString
+    assert(!bPlan.contains("Exchange"),
+      s"bucketed merge join must not shuffle either side:\n$bPlan")
+    assert(bPlan.contains("SortMergeJoin"))
+    // same join over the plain parquet scans shuffles both sides
+    val plain = Tables.lineitem(spark, sf).hint("merge")
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+    assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
+    // the scans themselves are recognized as bucketed (co-location, the
+    // thing the layout buys; the in-partition merge-join Sorts remain —
+    // Spark ≥3.0 only propagates bucket sort order behind
+    // spark.sql.legacy.bucketedTableScan.outputOrdering because it
+    // cannot trust multi-file buckets to be sorted)
+    assert(bPlan.contains("Bucketed: true"))
+  }
+
+  test("one file per bucket (write pre-clustered by the bucket hash)") {
+    val (li, _) = BucketedLayout.ensure(spark, sf)
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $li")
+      .filter(col("col_name") === "Location").select("data_type").head.getString(0)
+    val files = new java.io.File(loc.stripPrefix("file:"))
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length <= BucketedLayout.Buckets,
+      s"expected at most ${BucketedLayout.Buckets} files, found ${files.length}")
+    // bucket ids in file names are what the reader keys on — all distinct
+    val ids = files.map(_.getName.replaceAll(".*_(\\d{5})\\..*", "$1")).toSet
+    assert(ids.size == files.length)
+  }
+
+  test("q73 (bucketed) result equals q4 (source tables)") {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val a = rows(SparkEntry.queries("q4_brand_revenue")(spark, sf))
+    val b = rows(SparkEntry.queries("q73_bucketed_brand_revenue")(spark, sf))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
