@@ -186,7 +186,11 @@ object Bench {
     val rebuildEachPass = Set("q34_ngram_jaccard", "q35_minhash_lsh",
       "q36_simhash_pairs", "q37_neardup_clusters",
       // shared-index family additions (third r8 session): q63 rides the
-      // winnow index, q64 the shingle/band index — same per-pass lifecycle
+      // winnow index — same per-pass lifecycle. q64 stopped sharing the
+      // in-session band index in r11 (it reads the PERSISTED BandIngest
+      // base, built once at warmup like q46's IVF ensure); it stays here
+      // so each pass re-pays the construction-time delta count + probe —
+      // the true per-day incremental cost, not a cached plan.
       "q63_winnow_dup_pairs", "q64_incremental_neardup",
       // round 9: q38's decontam report is materialized once per pass and
       // shared with q69's flag set (build attributed to q38, the first

@@ -75,8 +75,11 @@ object IvfIndex {
     * index is built (sampling scheme, assignment pruning) must not serve a
     * stale directory built by the previous algorithm — the _meta check
     * alone would pass, because meta only records (sfDir, k, iters). b2 =
-    * hash-stride training sample (round 11, ADVICE fix). */
-  val BuildTag = "b2"
+    * hash-stride training sample (round 11, ADVICE fix); b3 = column-mean
+    * Lloyd recompute + centroid-space-pruned assignment (round 11 — the
+    * means are the same reals, but a different float association order
+    * must not share a directory with the old form). */
+  val BuildTag = "b3"
 
   def indexDir(sfDir: String, k: Int, iters: Int = Iters): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -92,8 +95,11 @@ object IvfIndex {
     indexDir(sfDir, kFor(s, sfDir))
 
   private val VECD = "transform(embedding, x -> CAST(x AS DOUBLE))"
-  private def sqdist = expr(
-    "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+  /** Native codegen'd sqdist (functions.SqDist) — bit-identical left fold
+    * to the composed aggregate/zip_with form it replaced (and to the
+    * oracle's list_reduce), without the per-row interpreted lambdas +
+    * intermediate array that dominated the sf30 build's scoring. */
+  private def sqdist = graft.functions.SqDist.sq_dist(col("v"), col("cv"))
 
   /** Nearest-centroid assignment, AGGREGATION form: `min_by` over the
     * (d2, cid) order — selection-identical to the oracle's ROW_NUMBER
@@ -102,13 +108,133 @@ object IvfIndex {
     * N×K distance rows collapse to one row per vector BEFORE any
     * exchange. The round-≤9 window form shuffled all N×K rows to rank
     * them — fine at K=16, a non-starter once K∝N. */
-  private[graft] def assign(vecs: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    graft.functions.SqDist.register(vecs.sparkSession)
     vecs.crossJoin(broadcast(cent))
       .withColumn("d2", sqdist)
       .groupBy("vec_id")
       .agg(min_by(struct(col("v"), col("cid")),
                   struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cid"))
+  }
+
+  // ------------------------- centroid-space pruning for the build (r11)
+  /** Below this K the exhaustive crossJoin is cheaper than the two-level
+    * pass (and all driver testdata sfs sit below it — K = 16 — so the
+    * correctness surface runs the reference form). */
+  val PruneMinK = 64
+
+  /** K-means over the CENTROIDS themselves, driver-side (K×dim doubles —
+    * the same bounded lineage-cut scale as the Lloyd collect): ⌈√K⌉
+    * super-centroids, deterministic (init = lowest-cid centroids, fixed
+    * iterations, ties to the smaller sid). Returns the populated supers
+    * as (sid, sv, |sv|², radius) with radius = max member distance —
+    * the triangle-inequality bound [[assignPruned]] prunes with. */
+  private def superCluster(cent: Seq[(Int, Seq[Double])])
+      : (Seq[(Int, Seq[Double], Double, Double)], Map[Int, Int]) = {
+    val sorted = cent.sortBy(_._1)
+    val pts = sorted.map(_._2.toArray).toArray
+    val nS = math.ceil(math.sqrt(pts.length.toDouble)).toInt
+    val dim = pts.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    var sv = Array.tabulate(nS)(j => pts(j).clone())
+    val member = new Array[Int](pts.length)
+    def assignAll(): Unit = {
+      var p = 0
+      while (p < pts.length) {
+        var best = 0; var bestD = d2(pts(p), sv(0)); var j = 1
+        while (j < nS) {
+          val dj = d2(pts(p), sv(j))
+          if (dj < bestD) { bestD = dj; best = j } // strict < ⇒ smaller sid ties
+          j += 1
+        }
+        member(p) = best; p += 1
+      }
+    }
+    for (_ <- 1 to 5) {
+      assignAll()
+      val sums = Array.fill(nS)(new Array[Double](dim))
+      val cnts = new Array[Int](nS)
+      for (p <- pts.indices) {
+        val j = member(p); cnts(j) += 1
+        var i = 0; while (i < dim) { sums(j)(i) += pts(p)(i); i += 1 }
+      }
+      sv = Array.tabulate(nS)(j =>
+        if (cnts(j) == 0) sv(j) // empty keeps its previous center
+        else { val m = sums(j); var i = 0
+               while (i < dim) { m(i) /= cnts(j); i += 1 }; m })
+    }
+    // FINAL membership against the FINAL positions — radius and the
+    // cid→sid map must come from the same pass, or a centroid could sit
+    // outside its super's recorded radius and break the prune bound
+    assignAll()
+    val supers = (0 until nS).flatMap { j =>
+      val members = pts.indices.filter(member(_) == j)
+      if (members.isEmpty) None
+      else {
+        val r = members.map(p => math.sqrt(d2(pts(p), sv(j)))).max
+        Some((j, sv(j).toSeq, sv(j).map(x => x * x).sum, r))
+      }
+    }
+    (supers, sorted.indices.map(p => sorted(p)._1 -> member(p)).toMap)
+  }
+
+  /** Two-level EXACT assignment — selection-identical to [[assign]], with
+    * the N×K distance term cut to N×(√K + candidate cells). Per vector:
+    * distances to the ⌈√K⌉ supers (codegen'd dot-product form — pruning
+    * only needs valid bounds, not the reference arithmetic), an upper
+    * bound ub = min(dˢ + r), then only supers with dˢ − r ≤ ub can hold
+    * the nearest centroid (triangle inequality; ε-margin absorbs float
+    * rounding in the BOUND — the surviving candidates are re-scored with
+    * the exact same sqdist/(d2, cid) min_by as `assign`, so ties and the
+    * argmin are bit-identical, spec-pinned in IvfPruneSpec). At K∝N this
+    * turns the build's final pass from O(N²/CellTarget) into
+    * O(N·√(N/CellTarget)) — the EXPLAIN_r10 §1 residual. */
+  private[graft] def assignPruned(vecs0: DataFrame,
+                                  cent: Seq[(Int, Seq[Double])]): DataFrame = {
+    val sp = vecs0.sparkSession
+    import sp.implicits._
+    register(sp)
+    graft.functions.SqDist.register(sp)
+    val (supers, cidSid) = superCluster(cent)
+    val cent2 = broadcast(
+      cent.map { case (cid, cv) => (cidSid(cid), cid, cv) }
+        .toDF("sid", "cid", "cv"))
+    val supersLit = typedlit(supers) // array<struct<_1 sid,_2 sv,_3 |sv|²,_4 r>>
+    val dp = graft.functions.DotProduct.dot_product _
+    vecs0
+      .withColumn("nv", dp(col("v"), col("v")))
+      .withColumn("ds", transform(supersLit, sup => struct(
+        sqrt(greatest(col("nv") + sup.getField("_3")
+          - lit(2.0) * dp(col("v"), sup.getField("_2")), lit(0.0))).as("d"),
+        sup.getField("_1").as("sid"), sup.getField("_4").as("r"))))
+      .withColumn("ub",
+        array_min(transform(col("ds"), x => x.getField("d") + x.getField("r"))))
+      .withColumn("cand", filter(col("ds"), x =>
+        x.getField("d") - x.getField("r") <=
+          col("ub") + lit(1e-9) * (col("ub") + lit(1.0))))
+      .select(col("vec_id"), col("v"), col("nv"),
+        explode(transform(col("cand"), x => x.getField("sid"))).as("sid"))
+      .join(cent2, "sid")
+      .withColumn("d2", sqdist) // EXACT reference arithmetic for survivors
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("v"), col("cid")),
+                  struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cid"))
+  }
+
+  /** Dispatch: exhaustive below [[PruneMinK]], two-level above. */
+  private[graft] def assignVia(vecs: DataFrame,
+                               cent: Seq[(Int, Seq[Double])]): DataFrame =
+    if (cent.size < PruneMinK) {
+      val sp = vecs.sparkSession
+      import sp.implicits._
+      assign(vecs, cent.toDF("cid", "cv"))
+    } else assignPruned(vecs, cent)
 
   /** Train + persist the index for `sfDir` into `indexDir`. */
   def build(s: SparkSession, sfDir: String, indexDir: String,
@@ -137,9 +263,16 @@ object IvfIndex {
     // persisted centroids regardless. (stride = 1 below ~SamplePerCell·k
     // vectors ⇒ sample = corpus, today's test sfs.)
     val stride = math.max(1L, n / (k.toLong * SamplePerCell))
+    // persist the sample: init + every Lloyd iteration is an ACTION, and
+    // without the cache each one re-pays the corpus scan AND the widening
+    // shuffle above (measured at sf30: the scan/shuffle replays, not the
+    // distance math, dominated the training phase). The sample is N/8 at
+    // K∝N (K·SamplePerCell rows) — memory-first, disk-backed past the
+    // executor budget, never recomputed; released after training.
     val trainVecs =
-      if (stride == 1L) vecs
-      else vecs.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+      (if (stride == 1L) vecs
+       else vecs.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init = k lowest-id training vectors; k×dim doubles — the bounded
     // lineage cut (see scaladoc)
     val init = trainVecs.orderBy("vec_id").limit(k)
@@ -149,26 +282,37 @@ object IvfIndex {
     require(init.length == k,
       s"IVF init needs $k training vectors, sample yielded ${init.length} " +
         s"(n=$n stride=$stride) — corpus too small for k or sampling skewed")
-    var cent = init.zipWithIndex
-      .map { case (v, i) => (i, v) }.toSeq.toDF("cid", "cv")
-    for (_ <- 1 to iters) {
-      val a = assign(trainVecs, cent)
-      val newCent = a
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(named_struct('p', pos, 'm', m))), s -> s.m)").as("cv"))
+    var centArr: Seq[(Int, Seq[Double])] = init.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq
+    val dim = init.head.length
+    for (it <- 1 to iters) {
+      val t0 = System.nanoTime()
+      // assignVia: exhaustive at small K, centroid-space-pruned at K∝N
+      // scale — selection-identical either way (IvfPruneSpec)
+      val a = assignVia(trainVecs, centArr)
+      // per-component means in ONE partially-aggregated groupBy (dim avg
+      // columns): the round-≤10 posexplode form shuffled sample×dim rows
+      // per iteration to average them — the exchange, not the distance
+      // math, was the training bottleneck at sf30
+      val newCent = a.groupBy("cid")
+        .agg(avg(col("v")(0)).as("m0"),
+             (1 until dim).map(i => avg(col("v")(i)).as(s"m$i")): _*)
+        .select(col("cid"), array((0 until dim).map(i => col(s"m$i")): _*).as("cv"))
       // K×dim doubles — the bounded lineage cut (see scaladoc)
-      cent = broadcast(newCent.as[(Int, Seq[Double])].collect().toSeq.toDF("cid", "cv"))
+      centArr = newCent.as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+      System.err.println(f"[ivf-build] lloyd iter $it: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    trainVecs.unpersist()
+    val tFin = System.nanoTime()
     // final assignment: FULL corpus against the FINAL centroids — what
     // search + oracle see; norm is per-row constant, so precompute it
     // into the index
-    val finalAssign = assign(vecs, cent)
+    val finalAssign = assignVia(vecs, centArr)
       .select(col("vec_id"), col("v"),
               sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))).as("norm"),
               col("cid"))
-    cent.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    centArr.toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
     // Cluster by cid before the partitioned write: without it every write
     // task emits a file into every cid directory it touches (tasks×K small
     // files — ~37k at sf30's K=1172). After the shuffle each cid lives in
@@ -176,6 +320,8 @@ object IvfIndex {
     // friendly layout (a probe opens nprobe files).
     finalAssign.repartition(col("cid")).write.mode("overwrite")
       .partitionBy("cid").parquet(s"$indexDir/assignments")
+    System.err.println(
+      f"[ivf-build] final assign+write: ${(System.nanoTime() - tFin) / 1e9}%.1f s")
     // _meta.json is the build-complete marker, written LAST via atomic
     // rename: a concurrent reader either sees a complete index or none.
     val tmp = Paths.get(s"$indexDir/_meta.json.tmp")

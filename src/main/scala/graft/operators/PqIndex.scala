@@ -45,12 +45,14 @@ object PqIndex {
   }
 
   private val VECD = "transform(embedding, x -> CAST(x AS DOUBLE))"
-  private def sqdist = expr(
-    "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+  /** Native codegen'd sqdist — bit-identical to the composed form (see
+    * functions.SqDist). */
+  private def sqdist = graft.functions.SqDist.sq_dist(col("sv"), col("cv"))
 
   /** Train + persist codebooks and codes for `sfDir` into `dir`. */
   def build(s: SparkSession, sfDir: String, dir: String): Unit = {
     import s.implicits._
+    graft.functions.SqDist.register(s)
     val sub = embeddings(s, sfDir)
       .select(col("vec_id"), expr(VECD).as("v"))
       .select(col("vec_id"), explode(expr(

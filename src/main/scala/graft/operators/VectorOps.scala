@@ -7,7 +7,13 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables._
 import graft.Tuning.BoundedSortOps
-import graft.functions.DotProduct.{dot_product, register}
+import graft.functions.DotProduct.dot_product
+
+  // (import note: `register` below registers BOTH native vector
+  // expressions — every consumer that may plan dot_product can also plan
+  // sq_dist, and a session that skipped the index BUILD (marker hit) must
+  // still resolve it: the round-11 CPUS=32 determinism probe caught q46
+  // failing exactly when a prior run had left the index on disk.)
 import graft.functions.TopKByScore.top_k_by_score
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64).
@@ -22,6 +28,12 @@ import graft.functions.TopKByScore.top_k_by_score
   * style bit code so the candidate join is bucket-local — the 100 TB path.
   */
 object VectorOps {
+
+  private def register(s: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.DotProduct.register(s)
+    graft.functions.SqDist.register(s)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Elementwise-double copy of the embedding. */
@@ -184,8 +196,8 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), expr(VECD).as("qv"))
       .withColumn("qn", sqrt(dot_product(col("qv"), col("qv"))))
     val probeCells = probes.crossJoin(cent)
-      .withColumn("d2", expr(
-        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("d2", // native SqDist: bit-identical fold, codegen'd
+        graft.functions.SqDist.sq_dist(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("d2"), col("cid"))))
       .filter(col("rn") <= nprobe)
@@ -297,8 +309,8 @@ object VectorOps {
                        - element_at(cb, CAST(i AS INT) * $dsub + j))))"""))
       .drop("cb")
     val probeCells = probes.crossJoin(cent)
-      .withColumn("d2", expr(
-        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("d2", // native SqDist: bit-identical fold, codegen'd
+        graft.functions.SqDist.sq_dist(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("d2"), col("cid"))))
       .filter(col("rn") <= IvfIndex.NProbe)

@@ -35,6 +35,33 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("sq_dist is BIT-identical to the aggregate/zip_with fold; ragged → NULL") {
+    graft.functions.SqDist.register(spark)
+    graft.functions.DotProduct.register(spark)
+    // real corpus vectors, all pairs of a 40-vector slice (1.6k pairs of
+    // 64-dim doubles), plus constructed edge rows
+    val v = Tables.embeddings(spark, sf).filter(col("vec_id") < 40)
+      .select(col("vec_id").as("ia"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("a"))
+    val w = Tables.embeddings(spark, sf).filter(col("vec_id") < 40)
+      .select(col("vec_id").as("ib"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("b"))
+    val bad = v.crossJoin(w)
+      .select(
+        graft.functions.SqDist.sq_dist(col("a"), col("b")).as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("composed"))
+      // BIT comparison, not ==: NaN-safe and ulp-strict
+      .filter(expr("CAST(native AS STRING) IS DISTINCT FROM CAST(composed AS STRING)") ||
+        expr("isnan(native) <> isnan(composed)"))
+    assert(bad.count() == 0)
+    // ragged lengths: NULL, same as the null-padding zip_with sum
+    import spark.implicits._
+    val ragged = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(graft.functions.SqDist.sq_dist(col("a"), col("b")).as("d"))
+    assert(ragged.head().isNullAt(0))
+  }
+
   test("md5_long first-byte compare matches hex-substring compare") {
     val s = registered
     val d = Tables.lineitem(s, sf)
