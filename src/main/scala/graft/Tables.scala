@@ -77,6 +77,16 @@ object Tables {
   def embeddingsCount(s: SparkSession, d: String): Long =
     tableRows(s, d, "embeddings")
 
+  /** On-disk parquet footprint of a table — metadata-only (file listing),
+    * used by layout gates (Relational.liPart) that need a SIZE, not a row
+    * count, to decide whether a persisted layout's per-bucket share is
+    * big enough to be worth its task granularity. */
+  def tableBytes(d: String, name: String): Long = {
+    val f = new java.io.File(s"$d/$name.parquet")
+    val files = if (f.isDirectory) f.listFiles() else Array(f)
+    if (files == null) 0L else files.filter(_.isFile).map(_.length).sum
+  }
+
   private[graft] def tableRows(s: SparkSession, d: String, name: String): Long = {
     rowCounts.keySet.removeIf { case (ses, _, _) => ses.sparkContext.isStopped }
     val p = s"$d/$name.parquet"
@@ -126,9 +136,19 @@ object Tables {
   def dimBroadcast(s: SparkSession, d: String, name: String,
                    rowBytes: Long): DataFrame = {
     val t = table(s, d, name)
+    if (fitsBroadcast(s, d, name, rowBytes)) broadcast(t) else t
+  }
+
+  /** True while `name` fits the session broadcast budget — the exact
+    * condition [[dimBroadcast]] hints on, exposed so consumers can gate a
+    * LAYOUT on it too: the moment a dimension stops broadcasting is the
+    * moment its join family starts shuffling both sides per run, which is
+    * when the persisted bucket-co-located copies pay
+    * (Relational.liPart / sources.BucketedLayout). */
+  def fitsBroadcast(s: SparkSession, d: String, name: String,
+                    rowBytes: Long): Boolean = {
     val budget = s.sessionState.conf.autoBroadcastJoinThreshold
-    if (budget > 0 && tableRows(s, d, name) * rowBytes <= budget) broadcast(t)
-    else t
+    budget > 0 && tableRows(s, d, name) * rowBytes <= budget
   }
   /** ~in-memory row widths: all columns, UnsafeRow layout, strings at
     * observed average lengths (TESTDATA.md schemas). Deliberately high —

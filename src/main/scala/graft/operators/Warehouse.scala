@@ -44,8 +44,10 @@ object Warehouse {
     * revenue over months (ROWS frame, unique (year,month) per partition).
     * Partitioned by brand ⇒ the window parallelizes across the cluster. */
   val q27_product_performance: Q = (s, d) => {
-    val base = lineitem(s, d)
-      .join(partB(s, d), col("l_partkey") === col("p_partkey"))
+    // layout-gated (lineitem, part) pair — see Relational.liPart
+    val (li, pt) = Relational.liPart(s, d)
+    val base = li
+      .join(pt, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"),
                year(col("l_shipdate")).as("year_number"),
                month(col("l_shipdate")).as("month_number"))

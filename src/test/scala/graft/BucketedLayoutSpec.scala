@@ -47,6 +47,23 @@ class BucketedLayoutSpec extends AnyFunSuite {
     assert(ids.size == files.length)
   }
 
+  test("family layout gate: plain under the budget, bucketed past it") {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    // default session at test scale: part broadcasts → plain scans
+    val plainDf = SparkEntry.queries("q4_brand_revenue")(spark, sf)
+    assert(!plainDf.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+    // a session past the broadcast budget with the per-bucket minimum
+    // dropped: the SAME query flips to the co-located layout, same rows
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("graft.bucketed.minBucketBytes", "0")
+    val bucketedDf = SparkEntry.queries("q4_brand_revenue")(s2, sf)
+    assert(bucketedDf.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+    assert(rows(bucketedDf) == rows(plainDf))
+  }
+
   test("q73 (bucketed) result equals q4 (source tables)") {
     def rows(df: DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
