@@ -180,6 +180,28 @@ object BandIngest {
       .select("doc_id", "band_key"))
   }
 
+  /** Rebuild policy: the frozen banned set (and the base layout) age as
+    * deltas accumulate — a shingle whose TRUE df has crossed the cap
+    * since the freeze keeps fanning the band join out, and the delta
+    * union keeps growing. [[staleness]] is the trigger a deployment
+    * schedules on: committed delta band rows as a fraction of base band
+    * rows (both from parquet footer counts — metadata-only). The rebuild
+    * itself is the existing machinery: fold/retire the delta dirs
+    * (StateCompaction), re-run [[buildBase]] over the grown corpus under
+    * a NEW content-addressed dir, and point probes at it — exactly the
+    * IVF centroid-retrain cadence. DefaultStaleRatio 0.2 mirrors the
+    * usual "rebuild at 20% churn" secondary-index practice. */
+  val DefaultStaleRatio = 0.2
+
+  def staleness(s: SparkSession, indexDir: String, deltaDir: String): Double = {
+    val baseRows = baseBands(s, indexDir).count().toDouble // footer-only
+    deltaBands(s, deltaDir).map(_.count() / math.max(1.0, baseRows)).getOrElse(0.0)
+  }
+
+  def needsRebuild(s: SparkSession, indexDir: String, deltaDir: String,
+                   ratio: Double = DefaultStaleRatio): Boolean =
+    staleness(s, indexDir, deltaDir) >= ratio
+
   /** Base + committed deltas as one band table — what probes read.
     * Append-only by construction: band rows are derived state; a
     * re-crawled doc_id re-bands under a new bid, and the PROBE layer

@@ -90,6 +90,24 @@ class BandIngestSpec extends AnyFunSuite {
     assert(key(probe) == key(direct))
   }
 
+  test("rebuild trigger: staleness tracks the delta/base band ratio") {
+    val idx = BandIngest.ensure(spark, sf)
+    val deltaDir = tmp("band_stale")
+    assert(BandIngest.staleness(spark, idx, deltaDir) == 0.0)
+    assert(!BandIngest.needsRebuild(spark, idx, deltaDir))
+    // ingest the full 20% delta: ratio grows past the default 0.2
+    // trigger (the delta universe is a quarter of the base by doc count)
+    BandIngest.ingestBatch(deltaDocs, idx, deltaDir, batchId = 0L)
+    val r = BandIngest.staleness(spark, idx, deltaDir)
+    assert(r > 0.0)
+    assert(BandIngest.needsRebuild(spark, idx, deltaDir) == (r >= 0.2))
+    // monotone in deliveries: a second (disjoint-keyed) delivery raises it
+    BandIngest.ingestBatch(
+      deltaDocs.withColumn("doc_id", col("doc_id") + 900000L),
+      idx, deltaDir, batchId = 1L)
+    assert(BandIngest.staleness(spark, idx, deltaDir) > r)
+  }
+
   test("banned set is frozen at base build: base df over cap, not joint") {
     val idx = BandIngest.ensure(spark, sf)
     val bannedSet = BandIngest.banned(spark, idx).collect().map(_.getString(0)).toSet
