@@ -70,7 +70,15 @@ object BandIngest {
     * distinct shingle) — the efficient full-scan form; deltas never run
     * this. */
   def buildBase(s0: SparkSession, sfDir: String, dir: String,
-                cap: Int = DfCap, baseFilter: Column = q64BasePred): Unit = {
+                cap: Int = DfCap, baseFilter: Column = q64BasePred): Unit =
+    buildFrom(s0, s => graft.Tables.documents(s, sfDir).filter(baseFilter),
+      dir, cap, meta = s"""{"sfDir":"$sfDir","cap":$cap}""")
+
+  /** The build pipeline proper, over an arbitrary corpus. `docsOf` is a
+    * session-parameterized source so the whole pipeline (scan included)
+    * runs under the bounded-agg child session, not the caller's. */
+  private def buildFrom(s0: SparkSession, docsOf: SparkSession => DataFrame,
+                        dir: String, cap: Int, meta: String): Unit = {
     // bounded-agg child session: the df-capped group-by uses the raised
     // object-agg fallback threshold, scoped there (see Tuning)
     val s = graft.Tuning.boundedAggSession(s0)
@@ -79,8 +87,7 @@ object BandIngest {
     val width = s.sessionState.conf.numShufflePartitions
     // spread before the shingle expansion (docsWide rationale: the scan's
     // byte-based splits under-provision an explode-heavy pipeline)
-    val base = graft.Tables.documents(s, sfDir).filter(baseFilter)
-      .repartition(width, col("doc_id"))
+    val base = docsOf(s).repartition(width, col("doc_id"))
     val groups = base
       .select(col("doc_id"), explode(word_shingles(col("text"))).as("shingle"))
       .groupBy("shingle")
@@ -99,7 +106,7 @@ object BandIngest {
     // none
     val tmp = Paths.get(s"$dir/_meta.json.tmp")
     Files.createDirectories(Paths.get(dir))
-    Files.writeString(tmp, s"""{"sfDir":"$sfDir","cap":$cap}""")
+    Files.writeString(tmp, meta)
     Files.move(tmp, Paths.get(s"$dir/_meta.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -201,6 +208,50 @@ object BandIngest {
   def needsRebuild(s: SparkSession, indexDir: String, deltaDir: String,
                    ratio: Double = DefaultStaleRatio): Boolean =
     staleness(s, indexDir, deltaDir) >= ratio
+
+  /** Execute the rebuild [[needsRebuild]] schedules — the re-freeze step
+    * that completes the incremental lifecycle (IVF's centroid-retrain
+    * analog made concrete for the text index):
+    *
+    *   1. Re-run the FULL base pipeline over the grown corpus — the old
+    *      base universe plus every document delivered to `dropDir` — so
+    *      the banned set is re-frozen against CURRENT document
+    *      frequencies and the delta band rows are folded into the
+    *      group-derived base layout.
+    *   2. Persist under a NEW content-addressed dir (generation tag =
+    *      highest consumed batch id): probes never observe a
+    *      half-rebuilt index, and the old generation stays valid until
+    *      its readers drain.
+    *   3. Retire the consumed `bid=` dirs. A crash between (2) and (3)
+    *      is safe in the read direction: old index + intact deltas still
+    *      serve, the new dir is simply ready early.
+    *
+    * The result is BIT-IDENTICAL to a from-scratch [[buildBase]] over the
+    * same grown corpus (spec-pinned) — the incremental lifecycle can
+    * never drift from the batch form. Contract: deliveries carry fresh
+    * doc_ids (the same append-only/no-revision contract documented at
+    * [[bandsWithDelta]]); a re-crawled corpus is a new base build, not a
+    * delta. Returns the new index dir; after it,
+    * `staleness(newDir, deltaDir)` is 0 and `bandsWithDelta(newDir,
+    * deltaDir)` is the new base alone. */
+  def rebuild(s: SparkSession, sfDir: String, dropDir: String,
+              deltaDir: String, cap: Int = DfCap,
+              baseFilter: Column = q64BasePred,
+              split: String = "m10lt8"): String = {
+    val consumed = VecIngest.committedBidDirs(deltaDir)
+    val gen = consumed
+      .map(p => new java.io.File(p).getName.stripPrefix("bid=").toLong)
+      .foldLeft(-1L)(math.max)
+    val newDir = indexDir(sfDir, cap, split = s"$split+g$gen")
+    buildFrom(s,
+      sess => graft.Tables.documents(sess, sfDir).filter(baseFilter)
+        .unionByName(sess.read.schema(docSchema)
+          .option("pathGlobFilter", "documents*.parquet").parquet(dropDir)),
+      newDir, cap,
+      meta = s"""{"sfDir":"$sfDir","cap":$cap,"gen":$gen}""")
+    consumed.foreach(d => StateCompaction.deleteTree(Paths.get(d)))
+    newDir
+  }
 
   /** Base + committed deltas as one band table — what probes read.
     * Append-only by construction: band rows are derived state; a

@@ -55,7 +55,7 @@ object StateCompaction {
       .map(_.getPath).sorted
   }
 
-  private def deleteTree(p: Path): Unit = {
+  private[streaming] def deleteTree(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val listing = Files.list(p)
       try listing.forEach(deleteTree) finally listing.close()

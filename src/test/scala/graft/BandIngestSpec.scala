@@ -108,6 +108,38 @@ class BandIngestSpec extends AnyFunSuite {
     assert(BandIngest.staleness(spark, idx, deltaDir) > r)
   }
 
+  test("rebuild re-freezes over the grown corpus and retires the deltas") {
+    val idx = BandIngest.ensure(spark, sf)
+    val dropDir = tmp("band_rb_drop"); val deltaDir = tmp("band_rb_delta")
+    val ckpt = tmp("band_rb_ckpt")
+    // two streamed deliveries — the grown corpus is then ALL documents
+    deliver(deltaDocs.filter(col("doc_id") % 2 === 0), dropDir, "d1")
+    BandIngest.start(spark, dropDir, idx, deltaDir, ckpt).awaitTermination()
+    deliver(deltaDocs.filter(col("doc_id") % 2 =!= 0), dropDir, "d2")
+    BandIngest.start(spark, dropDir, idx, deltaDir, ckpt).awaitTermination()
+    assert(graft.streaming.VecIngest.committedBidDirs(deltaDir).size == 2)
+
+    val newIdx = BandIngest.rebuild(spark, sf, dropDir, deltaDir)
+
+    // bit-equal to a from-scratch buildBase over the same grown corpus
+    // (here: the whole documents table)
+    val scratch = tmp("band_rb_scratch")
+    BandIngest.buildBase(spark, sf, scratch, baseFilter = lit(true))
+    val shingles = (d: String) => BandIngest.banned(spark, d)
+      .collect().map(_.getString(0)).toSet
+    assert(shingles(newIdx) == shingles(scratch))
+    assert(rows(BandIngest.baseBands(spark, newIdx)) ==
+           rows(BandIngest.baseBands(spark, scratch)))
+
+    // deltas retired; the new generation starts clean
+    assert(graft.streaming.VecIngest.committedBidDirs(deltaDir).isEmpty)
+    assert(BandIngest.staleness(spark, newIdx, deltaDir) == 0.0)
+    assert(rows(BandIngest.bandsWithDelta(spark, newIdx, deltaDir)) ==
+           rows(BandIngest.baseBands(spark, newIdx)))
+    // the old generation is untouched (readers drain, then GC)
+    assert(rows(BandIngest.baseBands(spark, idx)).nonEmpty)
+  }
+
   test("banned set is frozen at base build: base df over cap, not joint") {
     val idx = BandIngest.ensure(spark, sf)
     val bannedSet = BandIngest.banned(spark, idx).collect().map(_.getString(0)).toSet
