@@ -79,7 +79,7 @@ object IvfIndex {
     * Lloyd recompute + centroid-space-pruned assignment (round 11 — the
     * means are the same reals, but a different float association order
     * must not share a directory with the old form). */
-  val BuildTag = "b3"
+  val BuildTag = "b4" // b4: scale-aware prune ε (margin covers expanded-dot float error)
 
   def indexDir(sfDir: String, k: Int, iters: Int = Iters): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -201,6 +201,7 @@ object IvfIndex {
     register(sp)
     graft.functions.SqDist.register(sp)
     val (supers, cidSid) = superCluster(cent)
+    val maxSuperNorm = supers.map(s => math.sqrt(s._3)).max
     val cent2 = broadcast(
       cent.map { case (cid, cv) => (cidSid(cid), cid, cv) }
         .toDF("sid", "cid", "cv"))
@@ -214,9 +215,18 @@ object IvfIndex {
         sup.getField("_1").as("sid"), sup.getField("_4").as("r"))))
       .withColumn("ub",
         array_min(transform(col("ds"), x => x.getField("d") + x.getField("r"))))
+      // ε must dominate the float error of the EXPANDED super distances,
+      // which is absolute, not relative: err(d²) ≤ ~dim·ulp·(|v|+|s|)²,
+      // and near d=0 the sqrt inflates that to err(d) ≤ √(dim·ulp)·
+      // (|v|+|s|) ≈ 1.2e-7·(|v|+|s|) at dim 64 — orders above the old
+      // 1e-9-relative margin when ub is small. Two noisy distances enter
+      // the comparison (the candidate's and ub's minimizer), so the
+      // margin is 5e-7·(|v| + max|s| + 1): ≥4× the worst-case combined
+      // error at any magnitude, still ~1e-6-loose (a handful of extra
+      // survivors, re-scored exactly — selection unchanged).
       .withColumn("cand", filter(col("ds"), x =>
-        x.getField("d") - x.getField("r") <=
-          col("ub") + lit(1e-9) * (col("ub") + lit(1.0))))
+        x.getField("d") - x.getField("r") <= col("ub") +
+          lit(5e-7) * (sqrt(col("nv")) + lit(maxSuperNorm + 1.0))))
       .select(col("vec_id"), col("v"), col("nv"),
         explode(transform(col("cand"), x => x.getField("sid"))).as("sid"))
       .join(cent2, "sid")

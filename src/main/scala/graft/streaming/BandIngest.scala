@@ -88,20 +88,27 @@ object BandIngest {
     // spread before the shingle expansion (docsWide rationale: the scan's
     // byte-based splits under-provision an explode-heavy pipeline)
     val base = docsOf(s).repartition(width, col("doc_id"))
+    // persisted: the banned write and the bands write are two actions —
+    // unpersisted, each would re-pay the corpus scan + shingle explode +
+    // bounded-agg shuffle (the same double-charge the IVF build's training
+    // sample persist removed)
     val groups = base
       .select(col("doc_id"), explode(word_shingles(col("text"))).as("shingle"))
       .groupBy("shingle")
       .agg(graft.functions.BoundedDocSetAgg.bounded_doc_set(cap)(col("doc_id")).as("g"))
-    // the frozen model: shingles whose BASE df exceeds the cap (g.n keeps
-    // counting past the cap; only doc storage is bounded)
-    groups.filter(col("g.n") > cap).select("shingle")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/banned.parquet")
-    // re-spread the skinny group table before the ×16-hash + member
-    // fan-out (preSpread rationale in TextOps.jaccardPairsFrom)
-    graft.operators.TextOps.bandRowsFromGroups(
-        groups.filter(col("g.n") <= cap)
-          .repartition(width, col("shingle")))
-      .write.mode("overwrite").parquet(s"$dir/bands")
+      .persist()
+    try {
+      // the frozen model: shingles whose BASE df exceeds the cap (g.n keeps
+      // counting past the cap; only doc storage is bounded)
+      groups.filter(col("g.n") > cap).select("shingle")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/banned.parquet")
+      // re-spread the skinny group table before the ×16-hash + member
+      // fan-out (preSpread rationale in TextOps.jaccardPairsFrom)
+      graft.operators.TextOps.bandRowsFromGroups(
+          groups.filter(col("g.n") <= cap)
+            .repartition(width, col("shingle")))
+        .write.mode("overwrite").parquet(s"$dir/bands")
+    } finally groups.unpersist()
     // _meta.json last, via atomic rename: readers see a complete index or
     // none
     val tmp = Paths.get(s"$dir/_meta.json.tmp")

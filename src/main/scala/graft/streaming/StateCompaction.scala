@@ -31,14 +31,17 @@ import org.apache.spark.sql.types.LongType
   * (Compacting a sink whose stream is mid-batch could fold a directory
   * the stream is about to overwrite — hence offline.)
   *
-  * The swap itself is crash-safe in the same direction as the sinks: the
-  * compacted output is fully written (with `_SUCCESS`) under a dot-prefix
-  * temp dir that readers never match, old dirs are then removed, and the
-  * temp dir is renamed last. A crash between remove and rename loses no
-  * information that re-running the compaction from the temp dir or the
-  * upstream rebuild cannot restore — and the window contains no state
-  * where a reader sees DOUBLED data, which is the failure that would
-  * corrupt downstream sums.
+  * The swap itself is crash-safe AND self-recovering: the compacted
+  * output is fully written (with `_SUCCESS`) under a dot-prefix temp dir
+  * that readers never match; a `.consumed` manifest (target name + the
+  * consumed dir paths, moved into place atomically) is then placed
+  * inside it BEFORE any old dir is deleted. Re-running the compaction
+  * first completes any interrupted swap from that manifest — temp
+  * without a manifest means no input was touched yet (discard and
+  * redo); temp with one may hold the only copy of folded batches
+  * (idempotently finish the deletes, rename into place). No crash point
+  * leaves a state a re-run cannot repair, and no window shows a reader
+  * DOUBLED data, the failure that would corrupt downstream sums.
   */
 object StateCompaction {
 
@@ -70,22 +73,51 @@ object StateCompaction {
     walk(new java.io.File(dir))
   }
 
+  /** Complete (or discard) an interrupted swap in `sinkDir`. A temp dir
+    * WITHOUT a `.consumed` manifest is an incomplete write — inputs are
+    * untouched, so it is discarded and the compaction redone. A temp dir
+    * WITH one may hold the only surviving copy of already-deleted
+    * batches, so the swap is finished: the listed dirs are (idempotently)
+    * deleted and the temp renamed to the manifest's target. Exposed
+    * private[streaming] so specs can exercise the crash states. */
+  private[streaming] def finishPendingSwap(sinkDir: String): Unit = {
+    val tmp = Paths.get(s"$sinkDir/.compact_tmp")
+    if (!Files.exists(tmp)) return
+    val man = tmp.resolve(".consumed")
+    if (Files.exists(man) && Files.exists(tmp.resolve("_SUCCESS"))) {
+      val lines = Files.readAllLines(man)
+      val target = lines.get(0)
+      (1 until lines.size).foreach(i => deleteTree(Paths.get(lines.get(i))))
+      Files.move(tmp, Paths.get(s"$sinkDir/$target"))
+      Files.deleteIfExists(Paths.get(s"$sinkDir/$target/.consumed"))
+    } else deleteTree(tmp)
+  }
+
   /** Fold all committed `<prefix>=` dirs of `sinkDir` into one keyed at
     * the HIGHEST compacted batch id, via the sink-specific `resolve` +
     * `write`. Returns (dirs before, dirs after). No-op below 2 dirs. */
   private def compactKeyed(s: SparkSession, sinkDir: String, prefix: String,
                            resolve: DataFrame => DataFrame,
                            write: (DataFrame, String) => Unit): (Int, Int) = {
+    finishPendingSwap(sinkDir)
     val dirs = committedKeyedDirs(sinkDir, prefix)
     if (dirs.size < 2) return (dirs.size, dirs.size)
     val maxId = dirs
       .map(p => new java.io.File(p).getName.stripPrefix(s"$prefix=").toLong).max
     val tmp = s"$sinkDir/.compact_tmp"
-    deleteTree(Paths.get(tmp))
     // materializes fully (with _SUCCESS) BEFORE any old dir is touched
     write(resolve(s.read.option("basePath", sinkDir).parquet(dirs: _*)), tmp)
+    // the point of no return, placed ATOMICALLY: from here a crash is
+    // completed forward by finishPendingSwap, never rolled back — the
+    // temp is the authoritative copy once deletes may have begun
+    val target = s"$prefix=$maxId"
+    val manTmp = Paths.get(s"$tmp/.consumed.writing")
+    Files.writeString(manTmp, (target +: dirs).mkString("\n"))
+    Files.move(manTmp, Paths.get(s"$tmp/.consumed"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     dirs.foreach(d => deleteTree(Paths.get(d)))
-    Files.move(Paths.get(tmp), Paths.get(s"$sinkDir/$prefix=$maxId"))
+    Files.move(Paths.get(tmp), Paths.get(s"$sinkDir/$target"))
+    Files.deleteIfExists(Paths.get(s"$sinkDir/$target/.consumed"))
     (dirs.size, 1)
   }
 
@@ -141,19 +173,58 @@ object StateCompaction {
     * readIncrementalHourly applies), rewrite the flat append-mode
     * directory in place. Winning rows keep their original batch_id, so
     * later appends with higher ids still supersede them. Returns (data
-    * files before, after). */
+    * files before, after).
+    *
+    * Swap discipline (the live dir must never be the only copy deleted):
+    * write tmp fully (with `_SUCCESS`) → rename live aside → rename tmp
+    * in → drop the aside copy. [[recoverHourlyPartials]] repairs every
+    * crash point, and is run first here — after a compaction crash, call
+    * this (or it) again BEFORE restarting the stream. */
   def compactHourlyPartials(s: SparkSession, outDir: String): (Int, Int) = {
     val dir = s"$outDir/hourly_partials"
+    recoverHourlyPartials(outDir)
     val before = dataFileCount(dir)
     val w = Window.partitionBy("hour", "event_type").orderBy(col("batch_id").desc)
     val latest = s.read.parquet(dir)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
     val tmp = s"$outDir/.hourly_partials_tmp"
-    deleteTree(Paths.get(tmp))
+    val old = s"$outDir/.hourly_partials_old"
     latest.coalesce(1).write.parquet(tmp)
-    deleteTree(Paths.get(dir))
+    Files.move(Paths.get(dir), Paths.get(old))
     Files.move(Paths.get(tmp), Paths.get(dir))
+    deleteTree(Paths.get(old))
     (before, dataFileCount(dir))
+  }
+
+  /** Repair an interrupted hourly-partials swap — LOSSLESS at every crash
+    * point. A missing live dir is restored from the fully-written tmp
+    * (preferred — it is the newer state) or rolled back from the aside
+    * copy. An aside copy coexisting with a live dir (crash before
+    * cleanup, or a stream restart that re-created the dir before
+    * recovery ran) has its data files FOLDED BACK IN rather than
+    * deleted: its rows are at worst exact duplicates of compacted
+    * winners, and the latest-wins reader picks one row per (hour,
+    * event_type) so duplicates are semantically invisible — merging is
+    * always safe, deleting is not. Exposed for specs. */
+  def recoverHourlyPartials(outDir: String): Unit = {
+    val dir = Paths.get(s"$outDir/hourly_partials")
+    val tmp = Paths.get(s"$outDir/.hourly_partials_tmp")
+    val old = Paths.get(s"$outDir/.hourly_partials_old")
+    if (!Files.exists(dir)) {
+      if (Files.exists(tmp.resolve("_SUCCESS"))) Files.move(tmp, dir)
+      else if (Files.exists(old)) Files.move(old, dir)
+    }
+    if (Files.exists(old) && Files.exists(dir)) {
+      // fold the aside copy's data files back in (part names are
+      // job-unique, so no collisions)
+      val listing = Files.list(old)
+      try listing.forEach { f =>
+        if (f.getFileName.toString.endsWith(".parquet"))
+          Files.move(f, dir.resolve(f.getFileName.toString))
+      } finally listing.close()
+      deleteTree(old)
+    }
+    deleteTree(tmp) // incomplete leftover; the live dir is authoritative
   }
 }

@@ -87,15 +87,8 @@ object VecIngest {
     * empty read) and a half-written batch from a crash mid-write (a bare
     * read would union its partial files; the replaying stream will
     * overwrite that bid, but a concurrent reader must not see it). */
-  private[graft] def committedBidDirs(deltaDir: String): Seq[String] = {
-    val d = new java.io.File(deltaDir)
-    val kids = if (d.isDirectory) d.listFiles() else null
-    if (kids == null) Seq.empty
-    else kids.toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("bid=") &&
-        new java.io.File(f, "_SUCCESS").isFile)
-      .map(_.getPath).sorted
-  }
+  private[graft] def committedBidDirs(deltaDir: String): Seq[String] =
+    StateCompaction.committedKeyedDirs(deltaDir, "bid")
 
   /** Collected-liveness budget: the latest-wins filter below collects one
     * (vec_id, max bid, n) row per DISTINCT delta vector to the driver —
@@ -137,15 +130,17 @@ object VecIngest {
         .withColumn("bid", col("bid").cast(LongType))
       val winsDf = delta.groupBy("vec_id")
         .agg(max(col("bid")).as("bid"), count(lit(1)).as("n"))
-      val nIds = winsDf.limit(maxCollectedIds + 1).count()
-      if (nIds > maxCollectedIds) {
+      // ONE job decides the branch AND supplies the rows: take() caps the
+      // collect at budget+1 (the former limit.count + collect pair ran the
+      // whole delta aggregation twice on every search-side call)
+      val wins = winsDf.take(maxCollectedIds + 1)
+      if (wins.length > maxCollectedIds) {
         // join fallback: same semantics, no driver set
         base.join(winsDf.select("vec_id"), Seq("vec_id"), "left_anti")
           .unionByName(delta
             .join(winsDf.select("vec_id", "bid"), Seq("vec_id", "bid"), "left_semi")
             .select("vec_id", "v", "norm", "cid"))
       } else {
-        val wins = winsDf.collect()
         val deltaIds = wins.map(_.getLong(0))
         // only vec_ids delivered in >1 batch need a bid check; with none
         // (the common append-only case) the delta branch reads unfiltered

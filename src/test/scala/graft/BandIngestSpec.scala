@@ -67,7 +67,10 @@ class BandIngestSpec extends AnyFunSuite {
     BandIngest.ingestBatch(docs, idx, deltaDir, batchId = 3L) // replay
     val twice = rows(BandIngest.deltaBands(spark, deltaDir).get)
     assert(once == twice)
-    assert(once.map(_._1).size == 5 || once.nonEmpty)
+    // coverage, not just idempotence: the sink's rows are exactly the
+    // pure bandsOf computation — every delivered doc's bands landed
+    assert(once == rows(BandIngest.bandsOf(docs, BandIngest.banned(spark, idx))))
+    assert(once.nonEmpty)
   }
 
   test("q64 probe over base + streamed delta equals the query's answer") {

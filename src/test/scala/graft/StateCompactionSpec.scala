@@ -94,6 +94,113 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(StateCompaction.committedKeyedDirs(s"$stateDir/p4", "batch_id").size == 1)
   }
 
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val l = java.nio.file.Files.list(p)
+      try l.forEach(deleteTree) finally l.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  test("keyed swap recovery: a manifested temp finishes forward, losslessly") {
+    import java.nio.file.{Files, Paths}
+    val idx = BandIngest.ensure(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val deltaDir = tmp("band_crash_fwd")
+    BandIngest.ingestBatch(docs.filter(col("doc_id") % 2 === 0), idx, deltaDir, 0L)
+    BandIngest.ingestBatch(docs.filter(col("doc_id") % 2 =!= 0), idx, deltaDir, 1L)
+    def bandSet: Set[(Long, String)] =
+      BandIngest.deltaBands(spark, deltaDir).get
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = bandSet
+
+    // manufacture the worst crash state: compacted temp fully written,
+    // manifest placed, bid=0 ALREADY DELETED (the temp is now the only
+    // copy of its rows), crash before bid=1's delete and the rename
+    val dirs = StateCompaction.committedKeyedDirs(deltaDir, "bid")
+    val tmpDir = s"$deltaDir/.compact_tmp"
+    spark.read.option("basePath", deltaDir).parquet(dirs: _*)
+      .select("doc_id", "band_key").distinct().write.parquet(tmpDir)
+    Files.writeString(Paths.get(s"$tmpDir/.consumed"),
+      ("bid=1" +: dirs).mkString("\n"))
+    deleteTree(Paths.get(dirs.head)) // bid=0 gone
+
+    // the naive recovery (discard temp, re-compact remainder) would lose
+    // bid=0's rows here; the manifested recovery must finish the swap
+    val (nB, nA) = StateCompaction.compactBandDelta(spark, deltaDir)
+    assert((nB, nA) == (1, 1)) // recovery ran first; one dir left to fold
+    assert(StateCompaction.committedKeyedDirs(deltaDir, "bid")
+      .map(p => new java.io.File(p).getName) == Seq("bid=1"))
+    assert(bandSet == before)
+    assert(!Files.exists(Paths.get(tmpDir)))
+    assert(!Files.exists(Paths.get(s"$deltaDir/bid=1/.consumed")))
+  }
+
+  test("keyed swap recovery: an unmanifested temp is discarded, inputs intact") {
+    import java.nio.file.{Files, Paths}
+    val idx = BandIngest.ensure(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val deltaDir = tmp("band_crash_back")
+    BandIngest.ingestBatch(docs.filter(col("doc_id") % 2 === 0), idx, deltaDir, 0L)
+    BandIngest.ingestBatch(docs.filter(col("doc_id") % 2 =!= 0), idx, deltaDir, 1L)
+    def bandSet: Set[(Long, String)] =
+      BandIngest.deltaBands(spark, deltaDir).get
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = bandSet
+    // crash mid-write: temp exists, incomplete (no manifest; inputs untouched)
+    Files.createDirectories(Paths.get(s"$deltaDir/.compact_tmp"))
+    Files.writeString(Paths.get(s"$deltaDir/.compact_tmp/part-garbage.parquet"), "x")
+    val (nB, nA) = StateCompaction.compactBandDelta(spark, deltaDir)
+    assert((nB, nA) == (2, 1)) // discarded the junk, compacted normally
+    assert(bandSet == before)
+  }
+
+  test("hourly swap recovery: every crash state restores the full view") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val outDir = tmp("hourly_crash")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def d(x: String) = new java.math.BigDecimal(x)
+    def part(rows: Seq[(java.sql.Timestamp, String, Long, java.math.BigDecimal, Long)],
+             to: String = s"$outDir/hourly_partials") =
+      rows.toDF("hour", "event_type", "n_events", "total_value_d", "batch_id")
+        .write.mode("append").parquet(to)
+    part(Seq((t0, "click", 3L, d("1.50"), 0L)))
+    part(Seq((t0, "click", 5L, d("2.75"), 2L)))
+    def merged = EventsStream.readIncrementalHourly(spark, outDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val before = merged
+
+    // crash state A: live dir renamed aside, replacement not yet in
+    // place (no temp survived) → roll the aside copy back
+    Files.move(Paths.get(s"$outDir/hourly_partials"),
+      Paths.get(s"$outDir/.hourly_partials_old"))
+    StateCompaction.recoverHourlyPartials(outDir)
+    assert(merged == before)
+
+    // crash state B: aside copy coexists with a live dir (cleanup crash /
+    // stream restarted first) → its files fold back in, nothing deleted;
+    // exact-duplicate rows are invisible to the latest-wins reader
+    part(Seq((t0, "click", 5L, d("2.75"), 2L)),
+      to = s"$outDir/.hourly_partials_old")
+    StateCompaction.recoverHourlyPartials(outDir)
+    assert(merged == before)
+    assert(!Files.exists(Paths.get(s"$outDir/.hourly_partials_old")))
+
+    // crash state C: live dir missing, replacement fully written → finish
+    val latest = spark.read.parquet(s"$outDir/hourly_partials")
+    latest.coalesce(1).write.parquet(s"$outDir/.hourly_partials_tmp")
+    deleteTree(Paths.get(s"$outDir/hourly_partials"))
+    StateCompaction.recoverHourlyPartials(outDir)
+    assert(merged == before)
+    // and the real compaction still works end-to-end after all that
+    val (fB, fA) = StateCompaction.compactHourlyPartials(spark, outDir)
+    assert(fA == 1 && fB >= 1)
+    assert(merged == before)
+  }
+
   test("hourly partials: merged view unchanged, files bounded") {
     import spark.implicits._
     val outDir = tmp("hourly_compact")
