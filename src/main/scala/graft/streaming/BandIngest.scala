@@ -175,7 +175,8 @@ object BandIngest {
   /** Start the maintenance stream: every delivery in `dropDir` gets its
     * band rows appended to `deltaDir` against `indexDir`'s banned set. */
   def start(spark: SparkSession, dropDir: String, indexDir: String,
-            deltaDir: String, checkpoint: String): StreamingQuery =
+            deltaDir: String, checkpoint: String): StreamingQuery = {
+    StateCompaction.healIfCrashed(deltaDir)
     source(spark, dropDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -184,10 +185,12 @@ object BandIngest {
         ingestBatch(b, indexDir, deltaDir, id)
       }
       .start()
+  }
 
   /** Committed delta band rows (bid= dirs carrying _SUCCESS — same crash
     * guard as VecIngest.committedBidDirs). */
   def deltaBands(s: SparkSession, deltaDir: String): Option[DataFrame] = {
+    StateCompaction.healIfCrashed(deltaDir)
     val dirs = VecIngest.committedBidDirs(deltaDir)
     if (dirs.isEmpty) None
     else Some(s.read.option("basePath", deltaDir).parquet(dirs: _*)
@@ -245,6 +248,7 @@ object BandIngest {
               deltaDir: String, cap: Int = DfCap,
               baseFilter: Column = q64BasePred,
               split: String = "m10lt8"): String = {
+    StateCompaction.healIfCrashed(deltaDir)
     val consumed = VecIngest.committedBidDirs(deltaDir)
     val gen = consumed
       .map(p => new java.io.File(p).getName.stripPrefix("bid=").toLong)

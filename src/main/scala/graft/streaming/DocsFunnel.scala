@@ -117,7 +117,9 @@ object DocsFunnel {
   /** Start the incremental funnel over `deliveryDir`. `testShingles` is
     * the fixed decontamination list (see scaladoc). */
   def start(s: SparkSession, deliveryDir: String, testShingles: DataFrame,
-            stateDir: String): StreamingQuery =
+            stateDir: String): StreamingQuery = {
+    StateCompaction.healIfCrashed(s"$stateDir/parts")
+    StateCompaction.healIfCrashed(s"$stateDir/p4")
     DocsIngest.source(s, deliveryDir)
       .writeStream
       .option("checkpointLocation", s"$stateDir/_ckpt")
@@ -125,11 +127,14 @@ object DocsFunnel {
         processBatch(b, testShingles, stateDir, id)
       }
       .start()
+  }
 
   /** Assemble the q69-shaped ledger `(stage, stage_name, n_docs,
     * n_tokens)` from the two sinks: additive sums for stages 0–4, the
     * min-id fold over the p4 partials for stage 5. */
   def ledger(s: SparkSession, stateDir: String): DataFrame = {
+    StateCompaction.healIfCrashed(s"$stateDir/parts")
+    StateCompaction.healIfCrashed(s"$stateDir/p4")
     // Before the first micro-batch commits, neither sink directory exists;
     // the ledger of an empty stream is the all-zero six-row frame, not an
     // AnalysisException (ADVICE r9). Explicit schemas make the empty

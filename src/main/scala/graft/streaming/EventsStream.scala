@@ -226,6 +226,10 @@ object EventsStream {
     * (one row per updated window×type per batch) and periodic compaction
     * keeps only each window's latest row. */
   def runIncrementalHourly(spark: SparkSession, dir: String, outDir: String): Unit = {
+    // a restart after a compaction crash must repair the partials dir
+    // BEFORE appending (an append would re-create a missing live dir and
+    // hide the aside copy from the missing-dir recovery arm)
+    StateCompaction.recoverHourlyPartials(outDir)
     val q = source(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -249,6 +253,11 @@ object EventsStream {
   /** Merged view over the incremental partials (latest state per window):
     * update-mode re-emissions are superseded by the highest batch id. */
   def readIncrementalHourly(spark: SparkSession, outDir: String): DataFrame = {
+    // self-healing read: only in the two states a crashed swap leaves
+    // (live dir missing / aside copy present) — a bare temp alongside an
+    // intact live dir may belong to a running compaction and is not ours
+    if (StateCompaction.hourlyCrashed(outDir))
+      StateCompaction.recoverHourlyPartials(outDir)
     val partials = spark.read.parquet(s"$outDir/hourly_partials")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("hour", "event_type").orderBy(col("batch_id").desc)

@@ -42,8 +42,20 @@ import org.apache.spark.sql.types.LongType
   * (idempotently finish the deletes, rename into place). No crash point
   * leaves a state a re-run cannot repair, and no window shows a reader
   * DOUBLED data, the failure that would corrupt downstream sums.
+  *
+  * Recovery is AUTOMATIC, not operator discipline: every sink's stream
+  * start and assembled-read path calls [[healIfCrashed]] (keyed sinks) /
+  * [[recoverHourlyPartials]] (hourly), so the first touch after a
+  * compaction crash repairs the sink before serving. Heal-vs-swap races
+  * are serialized by a JVM-wide lock — compaction is an in-engine
+  * maintenance call, not a separate process, and the offline contract
+  * above already excludes cross-process concurrent compaction.
   */
 object StateCompaction {
+
+  /** Serializes swap critical sections against heal calls from read /
+    * stream-start paths (single JVM — see scaladoc above). */
+  private val swapLock = new Object
 
   /** Committed `<prefix>=<n>` batch dirs (carrying `_SUCCESS`) under
     * `dir` — the generalization of VecIngest.committedBidDirs to the
@@ -80,17 +92,35 @@ object StateCompaction {
     * batches, so the swap is finished: the listed dirs are (idempotently)
     * deleted and the temp renamed to the manifest's target. Exposed
     * private[streaming] so specs can exercise the crash states. */
-  private[streaming] def finishPendingSwap(sinkDir: String): Unit = {
+  private[streaming] def finishPendingSwap(sinkDir: String): Unit =
+    swapLock.synchronized {
+      val tmp = Paths.get(s"$sinkDir/.compact_tmp")
+      if (!Files.exists(tmp)) return
+      val man = tmp.resolve(".consumed")
+      if (Files.exists(man) && Files.exists(tmp.resolve("_SUCCESS"))) {
+        val lines = Files.readAllLines(man)
+        val target = lines.get(0)
+        (1 until lines.size).foreach(i => deleteTree(Paths.get(lines.get(i))))
+        Files.move(tmp, Paths.get(s"$sinkDir/$target"))
+        Files.deleteIfExists(Paths.get(s"$sinkDir/$target/.consumed"))
+      } else deleteTree(tmp)
+    }
+
+  /** Heal a keyed sink on first touch after a compaction crash: complete
+    * a MANIFESTED interrupted swap forward (the state where deleted
+    * batch dirs' only copy lives in the temp — without this, readers see
+    * the fold's inputs missing until the next compaction runs). An
+    * UNMANIFESTED temp is deliberately left alone here, unlike in
+    * [[finishPendingSwap]]: inputs are untouched so the current read is
+    * already complete, and the temp may be a live compactor's
+    * work-in-progress that only the compactor itself may discard. Called
+    * from every sink's stream start and assembled-read path; no-cost
+    * (one existence probe) when the sink is clean. */
+  def healIfCrashed(sinkDir: String): Unit = swapLock.synchronized {
     val tmp = Paths.get(s"$sinkDir/.compact_tmp")
-    if (!Files.exists(tmp)) return
-    val man = tmp.resolve(".consumed")
-    if (Files.exists(man) && Files.exists(tmp.resolve("_SUCCESS"))) {
-      val lines = Files.readAllLines(man)
-      val target = lines.get(0)
-      (1 until lines.size).foreach(i => deleteTree(Paths.get(lines.get(i))))
-      Files.move(tmp, Paths.get(s"$sinkDir/$target"))
-      Files.deleteIfExists(Paths.get(s"$sinkDir/$target/.consumed"))
-    } else deleteTree(tmp)
+    if (Files.exists(tmp.resolve(".consumed")) &&
+        Files.exists(tmp.resolve("_SUCCESS")))
+      finishPendingSwap(sinkDir)
   }
 
   /** Fold all committed `<prefix>=` dirs of `sinkDir` into one keyed at
@@ -109,15 +139,19 @@ object StateCompaction {
     write(resolve(s.read.option("basePath", sinkDir).parquet(dirs: _*)), tmp)
     // the point of no return, placed ATOMICALLY: from here a crash is
     // completed forward by finishPendingSwap, never rolled back — the
-    // temp is the authoritative copy once deletes may have begun
+    // temp is the authoritative copy once deletes may have begun. The
+    // lock keeps a concurrent healIfCrashed (a read path touching the
+    // sink mid-swap) from racing the deletes/rename.
     val target = s"$prefix=$maxId"
-    val manTmp = Paths.get(s"$tmp/.consumed.writing")
-    Files.writeString(manTmp, (target +: dirs).mkString("\n"))
-    Files.move(manTmp, Paths.get(s"$tmp/.consumed"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    dirs.foreach(d => deleteTree(Paths.get(d)))
-    Files.move(Paths.get(tmp), Paths.get(s"$sinkDir/$target"))
-    Files.deleteIfExists(Paths.get(s"$sinkDir/$target/.consumed"))
+    swapLock.synchronized {
+      val manTmp = Paths.get(s"$tmp/.consumed.writing")
+      Files.writeString(manTmp, (target +: dirs).mkString("\n"))
+      Files.move(manTmp, Paths.get(s"$tmp/.consumed"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      dirs.foreach(d => deleteTree(Paths.get(d)))
+      Files.move(Paths.get(tmp), Paths.get(s"$sinkDir/$target"))
+      Files.deleteIfExists(Paths.get(s"$sinkDir/$target/.consumed"))
+    }
     (dirs.size, 1)
   }
 
@@ -191,9 +225,11 @@ object StateCompaction {
     val tmp = s"$outDir/.hourly_partials_tmp"
     val old = s"$outDir/.hourly_partials_old"
     latest.coalesce(1).write.parquet(tmp)
-    Files.move(Paths.get(dir), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(dir))
-    deleteTree(Paths.get(old))
+    swapLock.synchronized {
+      Files.move(Paths.get(dir), Paths.get(old))
+      Files.move(Paths.get(tmp), Paths.get(dir))
+      deleteTree(Paths.get(old))
+    }
     (before, dataFileCount(dir))
   }
 
@@ -206,8 +242,10 @@ object StateCompaction {
     * deleted: its rows are at worst exact duplicates of compacted
     * winners, and the latest-wins reader picks one row per (hour,
     * event_type) so duplicates are semantically invisible — merging is
-    * always safe, deleting is not. Exposed for specs. */
-  def recoverHourlyPartials(outDir: String): Unit = {
+    * always safe, deleting is not. Called automatically by the stream
+    * start ([[graft.streaming.EventsStream.runIncrementalHourly]]) and,
+    * in the crashed states only, by the merged-view reader. */
+  def recoverHourlyPartials(outDir: String): Unit = swapLock.synchronized {
     val dir = Paths.get(s"$outDir/hourly_partials")
     val tmp = Paths.get(s"$outDir/.hourly_partials_tmp")
     val old = Paths.get(s"$outDir/.hourly_partials_old")
@@ -226,5 +264,14 @@ object StateCompaction {
       deleteTree(old)
     }
     deleteTree(tmp) // incomplete leftover; the live dir is authoritative
+  }
+
+  /** The two on-disk states only a crashed hourly swap produces — the
+    * reader's gate for invoking recovery (a bare temp with the live dir
+    * intact is invisible to readers and is left to the next compaction,
+    * which may own it live). */
+  def hourlyCrashed(outDir: String): Boolean = swapLock.synchronized {
+    !Files.exists(Paths.get(s"$outDir/hourly_partials")) ||
+      Files.exists(Paths.get(s"$outDir/.hourly_partials_old"))
   }
 }

@@ -70,7 +70,8 @@ object VecIngest {
   /** Start the maintenance stream: every delivery in `dropDir` is
     * assigned against `indexDir`'s centroids into `deltaDir`. */
   def start(spark: SparkSession, dropDir: String, indexDir: String,
-            deltaDir: String, checkpoint: String): StreamingQuery =
+            deltaDir: String, checkpoint: String): StreamingQuery = {
+    StateCompaction.healIfCrashed(deltaDir)
     source(spark, dropDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -79,6 +80,7 @@ object VecIngest {
         assignBatch(b, indexDir, deltaDir, id)
       }
       .start()
+  }
 
   /** COMMITTED delta batch directories: `bid=<n>` subdirs carrying the
     * `_SUCCESS` marker their partitioned write commits last. Guarding on
@@ -119,6 +121,7 @@ object VecIngest {
   def assignmentsWithDelta(s: SparkSession, indexDir: String,
                            deltaDir: String,
                            maxCollectedIds: Int = MaxCollectedIds): DataFrame = {
+    StateCompaction.healIfCrashed(deltaDir)
     val base = IvfIndex.assignments(s, indexDir)
       .select("vec_id", "v", "norm", "cid")
     val bidDirs = committedBidDirs(deltaDir)

@@ -137,6 +137,50 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$deltaDir/bid=1/.consumed")))
   }
 
+  test("keyed sink reads self-heal a manifested crashed swap") {
+    import java.nio.file.{Files, Paths}
+    val idx = BandIngest.ensure(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val deltaDir = tmp("band_crash_read")
+    BandIngest.ingestBatch(docs.filter(col("doc_id") % 2 === 0), idx, deltaDir, 0L)
+    BandIngest.ingestBatch(docs.filter(col("doc_id") % 2 =!= 0), idx, deltaDir, 1L)
+    def bandSet: Set[(Long, String)] =
+      BandIngest.deltaBands(spark, deltaDir).get
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = bandSet
+
+    // same worst crash state as above: fold's only copy in the temp
+    val dirs = StateCompaction.committedKeyedDirs(deltaDir, "bid")
+    val tmpDir = s"$deltaDir/.compact_tmp"
+    spark.read.option("basePath", deltaDir).parquet(dirs: _*)
+      .select("doc_id", "band_key").distinct().write.parquet(tmpDir)
+    Files.writeString(Paths.get(s"$tmpDir/.consumed"),
+      ("bid=1" +: dirs).mkString("\n"))
+    deleteTree(Paths.get(dirs.head))
+
+    // NO compaction call: the plain read path must heal and serve the
+    // complete set (a compaction crash needs no operator intervention)
+    assert(bandSet == before)
+    assert(!Files.exists(Paths.get(tmpDir)))
+    assert(StateCompaction.committedKeyedDirs(deltaDir, "bid")
+      .map(p => new java.io.File(p).getName) == Seq("bid=1"))
+  }
+
+  test("keyed sink reads leave an unmanifested temp alone (live compactor's)") {
+    import java.nio.file.{Files, Paths}
+    val idx = BandIngest.ensure(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val deltaDir = tmp("band_live_tmp")
+    BandIngest.ingestBatch(docs, idx, deltaDir, 0L)
+    Files.createDirectories(Paths.get(s"$deltaDir/.compact_tmp"))
+    Files.writeString(Paths.get(s"$deltaDir/.compact_tmp/part-wip.parquet"), "x")
+    assert(BandIngest.deltaBands(spark, deltaDir).get.count() > 0)
+    // the read neither consumed nor deleted the work-in-progress temp
+    assert(Files.exists(Paths.get(s"$deltaDir/.compact_tmp/part-wip.parquet")))
+  }
+
   test("keyed swap recovery: an unmanifested temp is discarded, inputs intact") {
     import java.nio.file.{Files, Paths}
     val idx = BandIngest.ensure(spark, sf)
@@ -199,6 +243,30 @@ class StateCompactionSpec extends AnyFunSuite {
     val (fB, fA) = StateCompaction.compactHourlyPartials(spark, outDir)
     assert(fA == 1 && fB >= 1)
     assert(merged == before)
+  }
+
+  test("hourly merged view self-heals the crashed states, ignores a bare temp") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val outDir = tmp("hourly_selfheal")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    Seq((t0, "view", 4L, new java.math.BigDecimal("3.25"), 0L))
+      .toDF("hour", "event_type", "n_events", "total_value_d", "batch_id")
+      .write.mode("append").parquet(s"$outDir/hourly_partials")
+    def merged = EventsStream.readIncrementalHourly(spark, outDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val before = merged
+    // crashed state (live dir moved aside): the plain reader restores it
+    Files.move(Paths.get(s"$outDir/hourly_partials"),
+      Paths.get(s"$outDir/.hourly_partials_old"))
+    assert(merged == before)
+    assert(!Files.exists(Paths.get(s"$outDir/.hourly_partials_old")))
+    // a bare temp with the live dir intact is NOT a crashed state — the
+    // reader must not delete what may be a running compaction's write
+    Files.createDirectories(Paths.get(s"$outDir/.hourly_partials_tmp"))
+    Files.writeString(Paths.get(s"$outDir/.hourly_partials_tmp/part-wip.parquet"), "x")
+    assert(merged == before)
+    assert(Files.exists(Paths.get(s"$outDir/.hourly_partials_tmp/part-wip.parquet")))
   }
 
   test("hourly partials: merged view unchanged, files bounded") {
