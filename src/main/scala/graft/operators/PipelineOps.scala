@@ -256,6 +256,24 @@ object PipelineOps {
       .boundedOrderBy("status")
   }
 
+  // ---------------------------------------------------- incremental merge
+  /** Partition-pruned incremental merge (sources/SnapshotMerge): q72
+    * computes WHAT changed between snapshots; this APPLIES a CDC delta
+    * (today's crawl + churn-band revisions/takedowns) to the persisted
+    * previous snapshot, rewriting only the partitions the delta touches —
+    * the copy-on-write `MERGE INTO` a 100 TB store runs per delivery
+    * instead of the reference's full rebuild. The emitted ledger
+    * aggregates the MERGED LAYOUT on disk (per-partition counts, id sum,
+    * min/max content fingerprints); the oracle derives the same end state
+    * from the documents table from first principles, so the hash-match
+    * proves the incremental apply landed exactly what a full recompute
+    * would have — the whole contract of MERGE. File-level audit (only
+    * touched partitions rewritten, crash-forward swap) is pinned in
+    * SnapshotMergeSpec. */
+  val q75_merge_apply: Q = (s, d) =>
+    graft.sources.SnapshotMerge.mergedLedger(
+      s, graft.sources.SnapshotMerge.ensureMerged(s, d))
+
   // --------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "q60_pii_scrub"       -> q60_pii_scrub,
@@ -263,10 +281,33 @@ object PipelineOps {
     "q62_sequence_pack"   -> q62_sequence_pack,
     "q70_shards"          -> q70_shards,
     "q71_temperature_mix" -> q71_temperature_mix,
-    "q72_snapshot_diff"   -> q72_snapshot_diff
+    "q72_snapshot_diff"   -> q72_snapshot_diff,
+    "q75_merge_apply"     -> q75_merge_apply
   )
 
   val oracles: Map[String, String] = Map(
+    // q75's Spark side reads the MERGED LAYOUT the incremental apply
+    // produced; the oracle derives the same end state directly from the
+    // documents table (base ∪ new crawl, churn-band revisions applied,
+    // takedowns removed — SnapshotMerge's rules verbatim: B = (mx·4)//5,
+    // R = (mx·7)//10, revise %11, delete %13∧¬%11, part = (id·16)//(mx+1)).
+    // Exact ints + md5 strings → bit-exact across engines.
+    "q75_merge_apply" ->
+      """WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+         f AS (SELECT doc_id,
+                 CASE WHEN doc_id > (mx*7)//10 AND doc_id <= (mx*4)//5
+                           AND doc_id % 11 = 0
+                      THEN upper(text) ELSE text END AS text,
+                 (doc_id * 16) // (mx + 1) AS part
+               FROM documents, m
+               WHERE NOT (doc_id > (mx*7)//10 AND doc_id <= (mx*4)//5
+                          AND doc_id % 13 = 0 AND doc_id % 11 != 0))
+         SELECT part, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           MIN(md5(text)) AS first_fp, MAX(md5(text)) AS last_fp
+         FROM f GROUP BY part ORDER BY part""",
+
     // same snapshot construction, same md5-of-UTF8 fingerprints (case
     // revision via upper() — ASCII corpus, parity proven by q33's
     // lower()), same full-outer join; sums are exact ints

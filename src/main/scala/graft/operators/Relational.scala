@@ -164,6 +164,31 @@ object Relational {
       .boundedOrderBy("p_brand")
   }
 
+  // ----------------------------------------------- q74: z-ordered slice
+  /** Rectangle-slice aggregation over the Z-ORDERED lineitem copy
+    * (sources/ZOrderLayout): independent range predicates on BOTH layout
+    * dimensions — a partkey prefix and a ship-date year — the query shape
+    * whose scan cost the Morton clustering bounds at O(√files) via footer
+    * min/max skipping on either column (a single-column sort can only
+    * serve one of the two; ZOrderLayoutSpec audits the footers of both
+    * layouts directly). Values are layout-independent: the oracle runs
+    * the identical slice against the PLAIN table, so the hash-match pins
+    * the copy's value-faithfulness, q73's pattern. */
+  val q74_zorder_slice: Q = (s, d) => {
+    val loc = graft.sources.ZOrderLayout.ensureLineitem(s, d)
+    // same bound the oracle derives with MAX()//8 — exact integer division
+    val maxPk = lineitem(s, d).agg(max(col("l_partkey"))).head().getLong(0)
+    s.read.parquet(loc)
+      .filter(col("l_partkey") <= lit(maxPk / 8) &&
+              col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .groupBy("l_returnflag")
+      .agg(dsum(revenue).as("revenue"),
+           dsum(money(col("l_quantity"))).as("total_qty"),
+           count(lit(1)).as("n_items"))
+      .boundedOrderBy("l_returnflag")
+  }
+
   // --------------------------------------------------- q5: multi-hop chain
   /** J6 — Orders⋈Location⋈State⋈Region chain (DA:cell 4) → here
     * orders⋈customer⋈nation⋈region; all dims broadcast. */
@@ -723,6 +748,7 @@ object Relational {
     "q3_distinct"           -> q3_distinct,
     "q4_brand_revenue"      -> q4_brand_revenue,
     "q73_bucketed_brand_revenue" -> q73_bucketed_brand_revenue,
+    "q74_zorder_slice"      -> q74_zorder_slice,
     "q5_region_revenue"     -> q5_region_revenue,
     "q6_ship_delay"         -> q6_ship_delay,
     "q7_monthly_sales"      -> q7_monthly_sales,
@@ -848,6 +874,21 @@ object Relational {
            COUNT(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+
+    // q74 runs against the z-ordered COPY; the oracle runs the identical
+    // slice against the plain table — the hash-match pins the layout's
+    // value-faithfulness (q73's pattern). Bound: exact integer division
+    // on both sides (Scala / on longs ≡ DuckDB // for non-negatives).
+    "q74_zorder_slice" ->
+      s"""SELECT l_returnflag,
+           CAST(SUM($REV_SQL) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n_items
+         FROM lineitem
+         WHERE l_partkey <= (SELECT MAX(l_partkey) // 8 FROM lineitem)
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q5_region_revenue" ->
       s"""SELECT r_name, n_name, $MONEY_O AS total_sales, COUNT(*) AS n_orders

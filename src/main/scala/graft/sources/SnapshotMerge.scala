@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Partition-pruned incremental merge — the `MERGE INTO` / copy-on-write
+  * apply step a 100 TB corpus store needs between crawls: given the
+  * persisted previous snapshot and a CDC-shaped delta (upserts +
+  * deletes), rewrite ONLY the partitions the delta touches and leave
+  * every other partition's files physically untouched. q72 computes WHAT
+  * changed (the snapshot diff); this applies it. A full-rebuild ETL like
+  * the reference's rewrites the world per run; at scale the rewrite cost
+  * must be O(changed partitions), not O(corpus) — deliveries are
+  * recency-concentrated, so an id-range (= ingestion-time) partitioning
+  * confines them to the newest few partitions.
+  *
+  * Crash posture mirrors streaming.StateCompaction's keyed swap: the new
+  * content of every affected partition is written to a SIBLING temp dir
+  * first; an atomically-placed manifest (listing each affected partition
+  * as keep — replace with temp content — or drop — all rows deleted) is
+  * the point of no return, after which a crash at any interleaving is
+  * completed FORWARD by the next writer or reader touch
+  * ([[healIfCrashed]]); a temp without a manifest is an uncommitted
+  * write — discarded by the next apply, left alone by readers. No state
+  * ever shows a reader doubled or partially-swapped data beyond plain
+  * parquet dir atomicity (one partition dir at a time, each replaced by
+  * a rename).
+  *
+  * The delta here is DERIVED deterministically from the documents table
+  * (new crawl past the base cutoff, sparse revisions/takedowns confined
+  * to the churn band) so the DuckDB oracle can replay the merged END
+  * STATE from first principles — the hash-match proves the incremental
+  * apply landed exactly the state a full recompute would produce, which
+  * is the whole contract of MERGE.
+  */
+object SnapshotMerge {
+
+  /** Id-range partition count. A deployment sizes this so a partition is
+    * a few GB (thousands of parts at 100 TB); the apply cost scales with
+    * TOUCHED partitions either way. */
+  val NParts = 16
+
+  /** Rules tag, part of the content address (the BuildTag lesson). */
+  val Tag = "m1"
+
+  /** Range partition of a doc_id given the corpus max id: floor(id·N/(mx+1))
+    * ∈ [0, N) — integer math, identical in Spark (`DIV`) and DuckDB (`//`). */
+  def partOf(maxId: Long): Column =
+    expr(s"CAST((doc_id * $NParts) DIV ${maxId + 1L} AS BIGINT)")
+
+  /** Base-snapshot cutoff: ids ≤ 80% of the corpus were in the previous
+    * snapshot; ids past it are "today's crawl". */
+  def baseCut(maxId: Long): Long = maxId * 4 / 5
+
+  /** Churn floor: revisions/takedowns only hit ids in (churnFloor,
+    * baseCut] — late fixes land near the ingestion frontier. */
+  def churnFloor(maxId: Long): Long = maxId * 7 / 10
+
+  /** The previous snapshot: every document at or below the base cutoff,
+    * id-range partitioned, one file per partition (rows pre-clustered on
+    * the partition value — the writeShards lesson), sorted by doc_id. */
+  def writeBase(s: SparkSession, sfDir: String, dir: String): Unit = {
+    val mx = graft.Tables.documentsMaxId(s, sfDir)
+    graft.Tables.documents(s, sfDir)
+      .filter(col("doc_id") <= baseCut(mx))
+      .select(col("doc_id"), col("text"), partOf(mx).as("part"))
+      .repartition(NParts, col("part"))
+      .sortWithinPartitions("part", "doc_id")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+  }
+
+  /** Today's delivery, CDC-shaped `(doc_id, text, op, part)`:
+    * upserts = the new crawl (ids past the cutoff, original text) plus
+    * sparse revisions in the churn band (every 11th id, text upcased);
+    * deletes = takedowns in the churn band (every 13th id not also
+    * revised). Disjoint by construction. */
+  def delta(s: SparkSession, sfDir: String): DataFrame = {
+    val mx = graft.Tables.documentsMaxId(s, sfDir)
+    val (b, r) = (baseCut(mx), churnFloor(mx))
+    val docs = graft.Tables.documents(s, sfDir).select(col("doc_id"), col("text"))
+    val newCrawl = docs.filter(col("doc_id") > b)
+      .select(col("doc_id"), col("text"), lit("upsert").as("op"))
+    val revised = docs
+      .filter(col("doc_id") > r && col("doc_id") <= b && col("doc_id") % 11 === 0)
+      .select(col("doc_id"), upper(col("text")).as("text"), lit("upsert").as("op"))
+    val takedown = docs
+      .filter(col("doc_id") > r && col("doc_id") <= b &&
+              col("doc_id") % 13 === 0 && col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), lit(null).cast(StringType).as("text"),
+              lit("delete").as("op"))
+    newCrawl.unionByName(revised).unionByName(takedown)
+      .withColumn("part", partOf(mx))
+  }
+
+  /** Serializes swaps against heal calls from read paths (single JVM —
+    * the StateCompaction contract: cross-process compaction is excluded
+    * by the offline/ownership convention). */
+  private val swapLock = new Object
+
+  private def tmpDir(snapDir: String): String = s"$snapDir.merge_tmp"
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val l = Files.list(p)
+        try l.forEach(deleteTree) finally l.close()
+      }
+      Files.deleteIfExists(p)
+    }
+
+  /** Apply a CDC delta to the snapshot at `snapDir`; returns
+    * (partitions touched, NParts). Reads ONLY the affected partitions
+    * (partition pruning on the `part` filter), writes only the sibling
+    * temp, swaps only the manifested dirs — untouched partitions' files
+    * are never listed, read, or replaced. Idempotent: re-applying the
+    * same delta reproduces the same state. */
+  def applyDiff(s: SparkSession, snapDir: String, delta: DataFrame): (Int, Int) = {
+    // we are the writer: finish a manifested crashed swap forward,
+    // discard an unmanifested (uncommitted) temp
+    swapLock.synchronized {
+      val t = Paths.get(tmpDir(snapDir))
+      if (Files.exists(t.resolve(".merge_manifest"))) finishSwap(snapDir)
+      else deleteTree(t)
+    }
+    // bounded: ≤ NParts rows
+    val affected = delta.select("part").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val oldKeep = s.read.parquet(snapDir)
+      .filter(col("part").isin(affected.map(Long.box): _*))
+      .select(col("doc_id"), col("text"), col("part").cast(LongType).as("part"))
+      .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+    val upserts = delta.filter(col("op") === "upsert")
+      .select(col("doc_id"), col("text"), col("part"))
+    val tmp = tmpDir(snapDir)
+    oldKeep.unionByName(upserts)
+      .repartition(NParts, col("part"))
+      .sortWithinPartitions("part", "doc_id")
+      .write.partitionBy("part").parquet(tmp)
+    // an affected partition whose every row was deleted has no temp dir:
+    // record keep-vs-drop per partition so forward recovery can tell
+    // "already swapped" from "must be removed" (bounded ≤ NParts listing)
+    val kept = Option(new java.io.File(tmp).listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("part="))
+      .map(_.getName.stripPrefix("part=").toLong).toSet
+    swapLock.synchronized {
+      // point of no return, placed atomically (the StateCompaction idiom):
+      // from here a crash at any interleaving completes FORWARD
+      val lines = affected.map(k => s"$k:${if (kept(k)) "keep" else "drop"}")
+      val manTmp = Paths.get(s"$tmp/.merge_manifest.writing")
+      Files.writeString(manTmp, lines.mkString("\n"))
+      Files.move(manTmp, Paths.get(s"$tmp/.merge_manifest"),
+        StandardCopyOption.ATOMIC_MOVE)
+      finishSwap(snapDir)
+    }
+    (affected.length, NParts)
+  }
+
+  /** Complete a manifested swap forward. Idempotent at every
+    * interleaving: a keep-partition with its temp dir still present is
+    * (re-)swapped — delete target, rename temp in; one whose temp dir is
+    * gone was already swapped and is skipped; a drop-partition's target
+    * delete is idempotent. The temp (with the manifest inside) is
+    * removed last, which is what marks the swap complete. */
+  private def finishSwap(snapDir: String): Unit = {
+    val tmp = tmpDir(snapDir)
+    val man = Paths.get(s"$tmp/.merge_manifest")
+    if (!Files.exists(man)) return
+    Files.readAllLines(man).forEach { line =>
+      val Array(k, mode) = line.split(":", 2)
+      val target = Paths.get(s"$snapDir/part=$k")
+      mode match {
+        case "keep" =>
+          val src = Paths.get(s"$tmp/part=$k")
+          if (Files.exists(src)) {
+            deleteTree(target)
+            Files.move(src, target)
+          }
+        case "drop" => deleteTree(target)
+      }
+    }
+    deleteTree(Paths.get(tmp))
+  }
+
+  /** Reader-side heal (the StateCompaction policy): complete a MANIFESTED
+    * crashed swap — the state where some partitions' only copy lives in
+    * the temp; leave an unmanifested temp alone (it may be a live
+    * writer's work-in-progress, and the snapshot itself is still
+    * complete). One existence probe when clean. */
+  def healIfCrashed(snapDir: String): Unit = swapLock.synchronized {
+    if (Files.exists(Paths.get(s"${tmpDir(snapDir)}/.merge_manifest")))
+      finishSwap(snapDir)
+  }
+
+  /** The q75 ledger over a merged snapshot: per-partition doc/token
+    * counts, id sum, and min/max content fingerprints — exact ints and
+    * md5 strings, so the DuckDB oracle (which derives the same end state
+    * from the documents table directly) hash-matches bit-for-bit. */
+  def mergedLedger(s: SparkSession, dir: String): DataFrame = {
+    healIfCrashed(dir)
+    s.read.parquet(dir)
+      .groupBy(col("part").cast(LongType).as("part"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("n_tokens"),
+           sum(col("doc_id")).as("id_sum"),
+           min(md5(col("text"))).as("first_fp"),
+           max(md5(col("text"))).as("last_fp"))
+      .orderBy("part")
+  }
+
+  private def hash(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|$NParts|$Tag".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
+  /** Ensure the merged snapshot for `sfDir` exists: base build + one
+    * delta apply, content-addressed + marker-cached (built once per
+    * config, like BucketedLayout/ZOrderLayout; the marker is written
+    * only after the apply completes, so a crash mid-build restarts the
+    * whole lifecycle from a clean slate). */
+  def ensureMerged(s: SparkSession, sfDir: String): String = synchronized {
+    val h = hash(sfDir)
+    val dir = s"/root/repo/target/snapmerge/$h/snap"
+    val marker = Paths.get(s"/root/repo/target/snapmerge/$h/_merged_ok")
+    if (!Files.exists(marker)) {
+      // restart-from-scratch: a stale temp from a crashed prior build
+      // must not be completed against the FRESH base we are about to
+      // write (its manifest predates it) — discard, then rebuild
+      swapLock.synchronized(deleteTree(Paths.get(tmpDir(dir))))
+      writeBase(s, sfDir, dir)
+      applyDiff(s, dir, delta(s, sfDir))
+      Files.writeString(marker, "ok")
+    }
+    dir
+  }
+}

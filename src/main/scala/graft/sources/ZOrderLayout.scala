@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
+
+/** Z-order (Morton-curve) clustered layout — MULTI-column data skipping,
+  * the second physical-layout lever next to bucketing (BucketedLayout) and
+  * single-key clustering (Exporter.persistItemPartitioned).
+  *
+  * A single-column sort gives tight parquet footer min/max stats on that
+  * column only: a predicate on any OTHER column sees full-range stats in
+  * every file and can never skip. Interleaving the bit-ranks of TWO
+  * columns into one sort key (the Morton/Z curve) makes each contiguous
+  * key range — hence each output file — cover a small axis-aligned
+  * rectangle of the (A, B) plane, so footer stats are selective on BOTH
+  * columns at once: a predicate on either dimension alone intersects
+  * O(√files) files instead of all of them. This is the standard
+  * lakehouse `OPTIMIZE ZORDER BY` lever, applied at plain-parquet level:
+  * no table format needed, the reader's ordinary footer-stats row-group
+  * skipping (and a cluster catalog's file-level stats pruning) consumes
+  * it as-is. At 100 TB the win is proportional: the same rewrite, file
+  * sizes held at the row-group-friendly target, and every
+  * rectangle-shaped slice query reads the O(√files) intersection instead
+  * of the corpus.
+  *
+  * The z-value is LAYOUT-ONLY: it orders rows and is dropped before the
+  * write, so no query result depends on its arithmetic (the 16-bit rank
+  * uses one double multiply; fine for placement, never for answers).
+  * Value-faithfulness of the layout is hash-pinned by q74's oracle, which
+  * runs the same slice aggregation against the PLAIN table in DuckDB.
+  */
+object ZOrderLayout {
+
+  /** Algorithm tag, part of the content address: any change to the curve
+    * or the write shape must retire previously persisted dirs (the
+    * BuildTag lesson from the IVF index — NOTES_r11 §5). */
+  val Tag = "z1"
+
+  /** Spread the low 16 bits of a long column to the even bit positions
+    * 0,2,…,30 — the classic Morton mask ladder, all codegen'd long ops. */
+  private def spread16(c: Column): Column =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+      .foldLeft(c.bitwiseAND(lit(0xFFFFL))) { case (x, (sh, mask)) =>
+        x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
+      }
+
+  /** 16-bit rank of `c` within [lo, hi] (linear scale; the double
+    * intermediate is overflow-free for any long domain and affects row
+    * PLACEMENT only). Degenerate domains collapse to rank 0. */
+  private def rank16(c: Column, lo: Long, hi: Long): Column =
+    if (hi <= lo) lit(0L)
+    else ((c - lit(lo)).cast(DoubleType) * (65535.0 / (hi - lo).toDouble))
+      .cast(LongType)
+
+  /** Interleaved z-value of two long dimensions ranked over their
+    * [lo, hi] domains: even bits carry A's rank, odd bits B's. */
+  def zval(a: Column, aLo: Long, aHi: Long,
+           b: Column, bLo: Long, bHi: Long): Column =
+    spread16(rank16(a, aLo, aHi))
+      .bitwiseOR(shiftleft(spread16(rank16(b, bLo, bHi)), 1))
+
+  /** Write `df` z-clustered on the two (long-valued) dimension columns:
+    * one tiny bounds agg, range-partition by the z-value so each output
+    * file covers one contiguous z-range = one small rectangle of the
+    * (A, B) plane, sort within for tight row-group stats, drop the key.
+    * Timestamps are forced to stats-bearing standard TIMESTAMP_MICROS for
+    * this write (INT96 carries no footer min/max — the whole point of the
+    * layout is those stats). */
+  def writeZOrdered(df: DataFrame, dimA: Column, dimB: Column,
+                    out: String, files: Int): Unit = {
+    val bounds = df.agg(
+      min(dimA.cast(LongType)), max(dimA.cast(LongType)),
+      min(dimB.cast(LongType)), max(dimB.cast(LongType))).head()
+    val z = zval(dimA.cast(LongType), bounds.getLong(0), bounds.getLong(1),
+                 dimB.cast(LongType), bounds.getLong(2), bounds.getLong(3))
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = conf.get(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(out)
+    finally conf.set(key, prev)
+  }
+
+  /** Epoch-day rank dimension for a timestamp column (build-time only). */
+  def dayOf(c: Column): Column =
+    datediff(c.cast(DateType), lit("1970-01-01").cast(DateType)).cast(LongType)
+
+  private def hash(sfDir: String, files: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|$files|$Tag".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
+  /** Ensure the z-ordered lineitem copy for `sfDir` exists, clustered on
+    * (l_partkey, day(l_shipdate)) — the two independent slice dimensions
+    * of the part/time query family. File count is size-driven
+    * (`graft.zorder.targetBytes`, default 128 MB — row-group-friendly at
+    * deployment scale; the 16-file floor keeps the curve's rectangles
+    * real at test scale). Content-addressed + marker-cached: built once
+    * per config, like BucketedLayout. */
+  def ensureLineitem(s: SparkSession, sfDir: String): String = synchronized {
+    val targetBytes =
+      s.conf.get("graft.zorder.targetBytes", (128L << 20).toString).toLong
+    val files = math.max(16, math.ceil(
+      graft.Tables.tableBytes(sfDir, "lineitem").toDouble / targetBytes).toInt)
+    val loc = s"/root/repo/target/zorder/${hash(sfDir, files)}/lineitem"
+    val marker = Paths.get(s"$loc/_z_ok")
+    if (!Files.exists(marker)) {
+      writeZOrdered(graft.Tables.lineitem(s, sfDir),
+        col("l_partkey"), dayOf(col("l_shipdate")), loc, files)
+      Files.writeString(marker, "ok")
+    }
+    loc
+  }
+}
