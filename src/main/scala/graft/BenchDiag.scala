@@ -138,6 +138,90 @@ object BenchDiag {
           }
           println(f"$name%-28s ${cells.mkString(" ")}")
         }
+      case "zab" =>
+        // q74's rectangle slice over the z-ordered layout vs the
+        // identical slice over the plain table — WALL only (min of 3,
+        // page-cache-hot: on a single box the skipped bytes cost ~nothing,
+        // which is itself the disclosure). The layout's scale claim is
+        // the MUST-READ BYTES reduction, measured deterministically from
+        // the parquet footers (tools/zorder_bytes.py) — the term that is
+        // network/disk on a cluster.
+        import org.apache.spark.sql.functions._
+        val loc = graft.sources.ZOrderLayout.ensureLineitem(spark, sfDir)
+        val maxPk = Tables.lineitem(spark, sfDir)
+          .agg(max(col("l_partkey"))).head().getLong(0)
+        def slice(df: org.apache.spark.sql.DataFrame) = df
+          .filter(col("l_partkey") <= lit(maxPk / 8) &&
+                  col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                  col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+          .groupBy("l_returnflag").agg(count(lit(1)))
+        def measure(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          df.count() // warm (page cache + codegen)
+          val w = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); df.count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          println(f"ZAB $tag wall_min=$w%.3f  (layout at $loc)")
+        }
+        measure("zorder", slice(spark.read.parquet(loc)))
+        measure("plain ", slice(Tables.lineitem(spark, sfDir)))
+      case "mergeab" =>
+        // Incremental merge apply vs the full-rebuild twin (rewrite the
+        // complete new snapshot from source — the reference ETL's
+        // posture) at this SF, for TWO delta shapes: q75's crawl delta
+        // (new ids + churn band — deliberately large so correctness
+        // covers every part-status case) and the churn-only delta (the
+        // daily takedown/revision maintenance pass). Wall at box scale
+        // is Spark job-count-bound; the structural claim is the BYTES
+        // REWRITTEN column — the term that is IO on a cluster.
+        import org.apache.spark.sql.functions._
+        import graft.sources.SnapshotMerge
+        val mx = Tables.documentsMaxId(spark, sfDir)
+        val (bCut, rFl) = (SnapshotMerge.baseCut(mx), SnapshotMerge.churnFloor(mx))
+        def dirBytes(d: String, pred: String => Boolean = _ => true): Long =
+          Option(new java.io.File(d).listFiles).toSeq.flatten
+            .filter(f => f.isDirectory && pred(f.getName))
+            .flatMap(p => Option(p.listFiles).toSeq.flatten)
+            .map(_.length).sum
+        def run(tag: String, delta0: org.apache.spark.sql.DataFrame): Unit = {
+          val base = java.nio.file.Files
+            .createTempDirectory(s"graft_mergeab_$tag").toString
+          SnapshotMerge.writeBase(spark, sfDir, s"$base/snap")
+          // a production delta ARRIVES (a CDC manifest/delivery file);
+          // deriving it from the corpus is this fixture's job, so it is
+          // materialized OUTSIDE the timed apply (the full-rewrite twin
+          // keeps its source scan — a full rebuild re-reads the source
+          // by definition)
+          delta0.write.mode("overwrite").parquet(s"$base/delta")
+          val delta = spark.read.parquet(s"$base/delta")
+          val touchedParts = delta.select("part").distinct()
+            .collect().map(r => s"part=${r.getLong(0)}").toSet
+          val t0 = System.nanoTime()
+          val (touched, total) = SnapshotMerge.applyDiff(spark, s"$base/snap", delta)
+          val tApply = (System.nanoTime() - t0) / 1e9
+          val rewrit = dirBytes(s"$base/snap", touchedParts)
+          val corpus = dirBytes(s"$base/snap")
+          val t1 = System.nanoTime()
+          Tables.documents(spark, sfDir)
+            .filter(!(col("doc_id") > rFl && col("doc_id") <= bCut &&
+                      col("doc_id") % 13 === 0 && col("doc_id") % 11 =!= 0))
+            .select(col("doc_id"),
+              when(col("doc_id") > rFl && col("doc_id") <= bCut &&
+                   col("doc_id") % 11 === 0, upper(col("text")))
+                .otherwise(col("text")).as("text"),
+              SnapshotMerge.partOf(mx).as("part"))
+            .repartition(SnapshotMerge.NParts, col("part"))
+            .sortWithinPartitions("part", "doc_id")
+            .write.mode("overwrite").partitionBy("part").parquet(s"$base/full")
+          val tFull = (System.nanoTime() - t1) / 1e9
+          println(f"MERGEAB $tag touched=$touched/$total " +
+            f"bytes_rewritten=${rewrit / (1L << 20)}/${corpus / (1L << 20)}MiB " +
+            f"(${100.0 * rewrit / corpus}%.0f%%) apply=$tApply%.2f " +
+            f"full_rewrite=$tFull%.2f")
+        }
+        val full = SnapshotMerge.delta(spark, sfDir)
+        run("crawl", full)
+        run("churn", full.filter(col("doc_id") <= bCut))
     }
     spark.stop()
   }
