@@ -44,12 +44,61 @@ object Bench {
   def shmLocalDir: Option[String] = {
     val shm = new java.io.File("/dev/shm")
     val shmUsable = shm.isDirectory && shm.canWrite
+    // DATA-PROPORTIONAL headroom (hardened after an sf30 full suite was
+    // OOM-KILLED mid-run): tmpfs pages count as RAM, and with
+    // compression OFF a full suite's shuffle files accumulated to ~22×
+    // the sf directory's bytes before the ContextCleaner could retire
+    // them (113 GB observed for the 5.1 GB sf30 star — the kernel then
+    // killed the 12 GB JVM). The launch-time 16 GiB floor said nothing
+    // about mid-run growth; the gate now sizes the scratch decision to
+    // the input up front, and [[shmCompressOff]] couples the
+    // compression choice to the same budget — big SFs keep the RAM
+    // scratch but keep lz4 ON, because a suite whose uncompressed
+    // shuffle exceeds RAM must not measure on a RAM scratch (finishing
+    // slower beats being killed faster).
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
+        else f.length
+      val f = new java.io.File(p)
+      if (f.exists) walk(f) else 0L
+    }
+    val sfBytes = dirBytes(sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1"))
+    // compressed tier: lz4 cuts the retained footprint ~3× (ask for 8×
+    // input + slack — 49 GiB at sf30, comfortable on a 126 GiB tmpfs)
+    val needCompressed = math.max(16L << 30, 8L * sfBytes + (8L << 30))
+    val leftover = dirBytes("/dev/shm/spark-graft-local")
+    if (leftover > (1L << 30))
+      System.err.println(s"[bench] WARNING: ${leftover >> 30} GiB of stale " +
+        "scratch under /dev/shm/spark-graft-local (a killed run's leftover " +
+        "— tmpfs pages count as RAM; remove it before measuring)")
     val shmOk = sys.env.getOrElse("SPARK_GRAFT_SHM", "auto") match {
       case "0" | "off" => false
       case "1" | "on"  => shmUsable
-      case _           => shmUsable && shm.getUsableSpace >= (16L << 30)
+      case _           => shmUsable && shm.getUsableSpace >= needCompressed
     }
     if (shmOk) Some("/dev/shm/spark-graft-local") else None
+  }
+
+  /** Whether the shm scratch may also drop shuffle/broadcast COMPRESSION
+    * (the −3.4% measured at sf0.1–sf3): only while the UNCOMPRESSED
+    * retained footprint (~24× input bytes measured) fits with slack.
+    * Past that — sf10+ on this box — the scratch stays RAM-backed (the
+    * disk path's 77 MB/s throttle bills 10× into shuffle-heavy queries)
+    * but lz4 stays ON so the suite cannot OOM the box it measures on. */
+  def shmCompressOff: Boolean = {
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
+        else f.length
+      val f = new java.io.File(p)
+      if (f.exists) walk(f) else 0L
+    }
+    val sfBytes = dirBytes(sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1"))
+    val needRaw = math.max(16L << 30, 24L * sfBytes + (8L << 30))
+    new java.io.File("/dev/shm").getUsableSpace >= needRaw
   }
 
   /** Fixed single-thread CPU work, timed: the phase ruler. This box is a
@@ -120,10 +169,11 @@ object Bench {
     // q6 −0.07). Cluster deployments keep compression — network and disk
     // are real there — so this rides the SAME gate as the shm scratch
     // itself and never changes the cluster-default story.
+    val compressOff = Bench.shmCompressOff
     val b1 = localDir.fold(b0)(d => b0.config("spark.local.dir", d)
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .config("spark.broadcast.compress", "false"))
+      .config("spark.shuffle.compress", (!compressOff).toString)
+      .config("spark.shuffle.spill.compress", (!compressOff).toString)
+      .config("spark.broadcast.compress", (!compressOff).toString))
     // SPARK_GRAFT_CONF="k=v;k=v" — builder-side conf overrides for
     // alternated A/B experiments (same spirit as SPARK_GRAFT_ONLY; the
     // driver's invocation leaves it unset = the committed defaults).

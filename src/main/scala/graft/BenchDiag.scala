@@ -21,11 +21,12 @@ object BenchDiag {
     // Same scratch + compression config as Bench (see Bench.shmLocalDir):
     // a diagnostic that measures on a different shuffle medium than the
     // bench diagnoses the medium, not the query.
+    val compressOff = Bench.shmCompressOff
     val spark = Bench.shmLocalDir.fold(b0)(d => b0
       .config("spark.local.dir", d)
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .config("spark.broadcast.compress", "false"))
+      .config("spark.shuffle.compress", (!compressOff).toString)
+      .config("spark.shuffle.spill.compress", (!compressOff).toString)
+      .config("spark.broadcast.compress", (!compressOff).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val mode = args.head
