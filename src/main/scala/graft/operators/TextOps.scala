@@ -67,6 +67,38 @@ object TextOps {
            (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
       .boundedOrderBy("lang")
 
+  /** BPE-ish pre-tokenizer pattern, shared VERBATIM with the oracle (the
+    * q60 regex discipline): GPT-2-shaped — contractions, space-glued
+    * letter runs, digit runs, punctuation runs, residual whitespace —
+    * restricted to the RE2 ∩ java.util.regex common dialect. RE2 has no
+    * lookahead, so GPT-2's `\s+(?!\S)` tail is simplified to `\s+`
+    * (multi-space runs count as one token instead of donating their last
+    * space to the next word): a documented BPE-ISH approximation, chosen
+    * because engine-identical counting beats tokenizer-exact counting
+    * that only one engine can replay. Alternation order is significant
+    * and identical in both engines (leftmost-first). */
+  private[graft] val BpeRe =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Token accounting under BOTH counters — whitespace (what a naive
+    * pipeline reports) and the BPE-ish pre-tokenizer (what a trainer's
+    * tokenizer will actually see; contractions and punctuation split
+    * out). The per-source ratio is the budget correction every
+    * token-budgeted corpus plan applies. Row-local codegen'd regex, one
+    * aggregation — zero extra shuffle at any corpus size. */
+  val q76_bpe_token_stats: Q = (s, d) =>
+    documents(s, d)
+      .select(col("source"),
+              expr(s"size($TOKENS)").cast(LongType).as("ws"),
+              regexp_count(col("text"), lit(BpeRe)).cast(LongType).as("bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+           sum(col("ws")).as("ws_tokens"),
+           sum(col("bpe")).as("bpe_tokens"))
+      .withColumn("bpe_per_ws",
+        col("bpe_tokens").cast(DoubleType) / col("ws_tokens").cast(DoubleType))
+      .boundedOrderBy("source")
+
   // ------------------------------------------------------- quality scoring
   /** Per-document quality signals: token count, type-token (distinct)
     * ratio, stopword ratio, mean token length — the standard cheap filters
@@ -1368,6 +1400,7 @@ object TextOps {
     "q57_dataset_split"     -> q57_dataset_split,
     "q58_balanced_sample"   -> q58_balanced_sample,
     "q30_token_stats"       -> q30_token_stats,
+    "q76_bpe_token_stats"   -> q76_bpe_token_stats,
     "q31_doc_quality"       -> q31_doc_quality,
     "q32_lang_id"           -> q32_lang_id,
     "q33_fingerprint_dedup" -> q33_fingerprint_dedup,
@@ -1550,6 +1583,17 @@ object TextOps {
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // same pattern string (BpeRe, SQL-quote-escaped), same count rule
+    // (regexp_count ≡ len(regexp_extract_all)), ratio = one double
+    // division of exact aggregate ints in the same order
+    "q76_bpe_token_stats" ->
+      s"""SELECT source, COUNT(*) AS docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '${BpeRe.replace("'", "''")}'))) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '${BpeRe.replace("'", "''")}'))) AS DOUBLE)
+             / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS bpe_per_ws
+         FROM documents GROUP BY source ORDER BY source""",
 
     "q31_doc_quality" ->
       """SELECT doc_id, lang,

@@ -21,6 +21,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
   }
 
+  test("q76 BPE-ish counter tokenizes a constructed string exactly") {
+    import spark.implicits._
+    // hand-derived against the documented leftmost-first alternation:
+    // I · 'll · ␣pay · ␣100 · ␣dollars · , · ␣isn · 't · ␣it · ? · ␣␣ · done
+    val text = "I'll pay 100 dollars, isn't it?  done"
+    val got = Seq(text).toDF("text")
+      .select(regexp_count(col("text"), lit(TextOps.BpeRe)).as("n"))
+      .head().getInt(0)
+    assert(got == 12, s"expected 12 BPE-ish tokens, got $got")
+    // the whitespace counter sees 8 (the double space contributes an
+    // empty split element — the q30 convention, identical in DuckDB)
+    val ws = Seq(text).toDF("text")
+      .select(size(split(col("text"), " ")).as("n")).head().getInt(0)
+    assert(ws == 8)
+  }
+
+  test("q76 per-source accounting: bpe >= ws and the ratio is their quotient") {
+    val rows = TextOps.q76_bpe_token_stats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wsT, bpeT, ratio) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      // splitting out punctuation/contractions only ever adds tokens
+      assert(bpeT >= wsT, s"source ${r.getString(0)}: bpe $bpeT < ws $wsT")
+      assert(math.abs(ratio - bpeT.toDouble / wsT.toDouble) == 0.0)
+    }
+  }
+
   test("q33 unique fingerprints never exceed doc counts") {
     assert(TextOps.q33_fingerprint_dedup(spark, sf)
       .filter(col("n_unique") > col("n_docs")).count() == 0)
