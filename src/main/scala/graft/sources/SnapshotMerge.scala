@@ -70,6 +70,21 @@ object SnapshotMerge {
       .repartition(NParts, col("part"))
       .sortWithinPartitions("part", "doc_id")
       .write.mode("overwrite").partitionBy("part").parquet(dir)
+    // the partitioner's divisor is PART OF THE LAYOUT: persist it
+    // (underscore-prefixed file — invisible to readers) so deliveries
+    // that never saw the build-time corpus (the streaming twin) route
+    // rows to the same partitions the base used
+    Files.writeString(Paths.get(s"$dir/_merge_meta"),
+      s"maxId=$mx\nnparts=$NParts\n")
+  }
+
+  /** The layout's partition expression, recovered from `_merge_meta`. */
+  def partColFromMeta(snapDir: String): Column = {
+    val kv = new java.util.HashMap[String, String]
+    Files.readAllLines(Paths.get(s"$snapDir/_merge_meta")).forEach { l =>
+      if (l.contains("=")) { val Array(k, v) = l.split("=", 2); kv.put(k, v) }
+    }
+    partOf(kv.get("maxId").toLong)
   }
 
   /** Today's delivery, CDC-shaped `(doc_id, text, op, part)`:
@@ -116,7 +131,13 @@ object SnapshotMerge {
     * (partition pruning on the `part` filter), writes only the sibling
     * temp, swaps only the manifested dirs — untouched partitions' files
     * are never listed, read, or replaced. Idempotent: re-applying the
-    * same delta reproduces the same state. */
+    * same delta reproduces the same state.
+    *
+    * PRECONDITION: at most one row per doc_id (a CDC delta's natural
+    * shape; a caller holding several versions must collapse latest-wins
+    * first — the streaming twin does, [[graft.streaming.SnapshotIngest]]
+    * `applyBatch`). Two rows for one doc would both survive the
+    * anti-join and land as duplicates. */
   def applyDiff(s: SparkSession, snapDir: String, delta: DataFrame): (Int, Int) = {
     // we are the writer: finish a manifested crashed swap forward,
     // discard an unmanifested (uncommitted) temp

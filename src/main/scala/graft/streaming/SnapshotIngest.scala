@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.sources.SnapshotMerge
+
+/** Streaming snapshot MAINTENANCE — the corpus-store twin of
+  * [[VecIngest]]/[[BandIngest]], completing the incremental trilogy:
+  * vectors (ANN assignments), text indexes (LSH bands), and now the
+  * snapshot itself. CDC manifests arrive as parquet drops — `(doc_id,
+  * text, op, seq)`, the shape a change feed actually delivers — and each
+  * micro-batch is applied to the partitioned snapshot through
+  * [[SnapshotMerge.applyDiff]]: only the partitions the delivery touches
+  * are rewritten, under the crash-forward manifest swap.
+  *
+  * Two semantics the batch twin doesn't need:
+  *
+  *  - WITHIN-batch latest-wins: `Trigger.AvailableNow` may coalesce
+  *    several pending drop files into ONE micro-batch, so a doc can
+  *    appear twice (upserted by one delivery, revised or deleted by the
+  *    next). applyDiff's contract is one row per doc_id; [[applyBatch]]
+  *    keeps the row with the highest `seq` (the delivery sequence the
+  *    CDC producer stamps — file order inside a batch is not a version).
+  *  - REPLAY idempotence: foreachBatch re-delivers an uncommitted batch
+  *    after a crash. applyDiff is idempotent for the same delta by
+  *    construction (deletes of absent rows no-op, upserts overwrite with
+  *    identical rows — spec-pinned in SnapshotMergeSpec), so a replayed
+  *    apply reproduces the state instead of corrupting it; a crash
+  *    MID-apply is completed forward or discarded by applyDiff's own
+  *    heal-on-entry.
+  *
+  * The partition routing comes from the snapshot's persisted
+  * `_merge_meta` ([[SnapshotMerge.partColFromMeta]]) — a delivery never
+  * sees the build-time corpus, so the divisor must be part of the
+  * layout, not recomputed.
+  */
+object SnapshotIngest {
+
+  /** Pinned CDC manifest schema (streaming sources never infer). */
+  private val cdcSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("op", StringType),
+    StructField("seq", LongType)))
+
+  /** Streaming source over CDC parquet drops in `dir`. */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(cdcSchema)
+      .option("pathGlobFilter", "cdc*.parquet")
+      .parquet(dir)
+
+  /** Collapse a micro-batch to one row per doc_id (highest seq wins) and
+    * apply it. Deterministic: ties cannot arise — a delivery carries one
+    * row per doc and distinct deliveries carry distinct seqs. */
+  private[graft] def applyBatch(batch: DataFrame, snapDir: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("seq").desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "seq")
+      .withColumn("part", SnapshotMerge.partColFromMeta(snapDir))
+    SnapshotMerge.applyDiff(batch.sparkSession, snapDir, latest)
+  }
+
+  /** Start the maintenance stream: every CDC delivery in `dropDir` is
+    * merged into the snapshot at `snapDir`. */
+  def start(spark: SparkSession, dropDir: String, snapDir: String,
+            checkpoint: String): StreamingQuery =
+    source(spark, dropDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        applyBatch(b, snapDir)
+      }
+      .start()
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotMerge
+import graft.streaming.SnapshotIngest
+
+/** The streaming merge twin: CDC deliveries applied per micro-batch must
+  * land exactly the batch end state, a later delivery's version of a doc
+  * must supersede an earlier one whether the deliveries arrive as two
+  * micro-batches or coalesced into one, and a replayed batch must
+  * reproduce rather than corrupt. */
+class SnapshotIngestSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Land `df` as a single `cdc_<name>.parquet` leaf file (the streaming
+    * source matches leaf names; the VecIngestSpec pattern). */
+  private def deliver(df: DataFrame, dir: String, name: String): Unit = {
+    val staging = java.nio.file.Files.createTempDirectory("cdc_staging")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = java.nio.file.Files.list(staging).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(part),
+      java.nio.file.Paths.get(dir, s"cdc_$name.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Canonical CDC rows (SnapshotMerge.delta without the part column —
+    * a real change feed carries no layout knowledge) stamped with the
+    * delivery sequence. */
+  private def cdc(seq: Long, pred: Column): DataFrame =
+    SnapshotMerge.delta(spark, sf).filter(pred)
+      .select(col("doc_id"), col("text"), col("op"), lit(seq).as("seq"))
+
+  /** The merged end state derived from first principles (the
+    * SnapshotMergeSpec construction). */
+  private def expected: DataFrame = {
+    val mx = Tables.documentsMaxId(spark, sf)
+    val (b, r) = (SnapshotMerge.baseCut(mx), SnapshotMerge.churnFloor(mx))
+    Tables.documents(spark, sf)
+      .filter(!(col("doc_id") > r && col("doc_id") <= b &&
+                col("doc_id") % 13 === 0 && col("doc_id") % 11 =!= 0))
+      .select(col("doc_id"),
+        when(col("doc_id") > r && col("doc_id") <= b && col("doc_id") % 11 === 0,
+          upper(col("text"))).otherwise(col("text")).as("text"))
+  }
+
+  private def snapDocs(dir: String): DataFrame =
+    spark.read.parquet(dir).select("doc_id", "text")
+
+  /** An odd new-crawl doc id: its canonical upsert rides delivery 2, so
+    * delivery 1 can carry a DRAFT version that must be superseded. */
+  private def probeId: Long = {
+    val mx = Tables.documentsMaxId(spark, sf)
+    if (mx % 2 == 1) mx else mx - 1
+  }
+
+  test("two CDC deliveries land the batch end state; later versions supersede") {
+    val dir = tmp("snap_ingest") + "/snap"
+    SnapshotMerge.writeBase(spark, sf, dir)
+    val dropDir = tmp("snap_drop"); val ckpt = tmp("snap_ckpt")
+    import spark.implicits._
+    val draft = Seq((probeId, "DRAFT pending recrawl", "upsert", 1L))
+      .toDF("doc_id", "text", "op", "seq")
+    // d1: even-id delta rows + a draft of an odd new-crawl doc;
+    // d2: odd-id delta rows, including that doc's canonical version
+    deliver(cdc(1, col("doc_id") % 2 === 0).unionByName(draft), dropDir, "d1")
+    SnapshotIngest.start(spark, dropDir, dir, ckpt).awaitTermination()
+    // mid-stream sanity: the draft is live after delivery 1
+    assert(snapDocs(dir).filter(col("doc_id") === probeId)
+      .head().getString(1).startsWith("DRAFT"))
+    deliver(cdc(2, col("doc_id") % 2 =!= 0), dropDir, "d2")
+    SnapshotIngest.start(spark, dropDir, dir, ckpt).awaitTermination()
+
+    val (m, e) = (snapDocs(dir), expected)
+    assert(m.count() == e.count())
+    assert(m.exceptAll(e).isEmpty && e.exceptAll(m).isEmpty)
+  }
+
+  test("deliveries coalesced into ONE micro-batch collapse latest-wins by seq") {
+    val dir = tmp("snap_ingest1b") + "/snap"
+    SnapshotMerge.writeBase(spark, sf, dir)
+    val dropDir = tmp("snap_drop1b"); val ckpt = tmp("snap_ckpt1b")
+    import spark.implicits._
+    val draft = Seq((probeId, "DRAFT pending recrawl", "upsert", 1L))
+      .toDF("doc_id", "text", "op", "seq")
+    // both files pending before the single AvailableNow drain: the doc
+    // appears twice in one batch and seq must decide
+    deliver(cdc(1, col("doc_id") % 2 === 0).unionByName(draft), dropDir, "d1")
+    deliver(cdc(2, col("doc_id") % 2 =!= 0), dropDir, "d2")
+    SnapshotIngest.start(spark, dropDir, dir, ckpt).awaitTermination()
+
+    val (m, e) = (snapDocs(dir), expected)
+    assert(m.exceptAll(e).isEmpty && e.exceptAll(m).isEmpty)
+    assert(!snapDocs(dir).filter(col("doc_id") === probeId)
+      .head().getString(1).startsWith("DRAFT"))
+  }
+
+  test("a replayed batch reproduces the state (foreachBatch redelivery)") {
+    val dir = tmp("snap_ingest_rp") + "/snap"
+    SnapshotMerge.writeBase(spark, sf, dir)
+    val d = cdc(1, lit(true))
+    SnapshotIngest.applyBatch(d, dir)
+    // materialize BEFORE the re-apply: the rewrite retires the files a
+    // lazily-held frame would still point at (in-place layout updates
+    // carry no table-format snapshot isolation — the documented
+    // offline/ownership contract)
+    val onceCount = snapDocs(dir).count()
+    SnapshotIngest.applyBatch(d, dir) // the crash-before-commit replay
+    val twice = snapDocs(dir)
+    assert(twice.count() == onceCount)
+    assert(twice.exceptAll(expected).isEmpty && expected.exceptAll(twice).isEmpty)
+  }
+}
