@@ -56,19 +56,10 @@ object Bench {
     // scratch but keep lz4 ON, because a suite whose uncompressed
     // shuffle exceeds RAM must not measure on a RAM scratch (finishing
     // slower beats being killed faster).
-    def dirBytes(p: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
-        else f.length
-      val f = new java.io.File(p)
-      if (f.exists) walk(f) else 0L
-    }
-    val sfBytes = dirBytes(sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-      "/root/testdata/sf0.1"))
     // compressed tier: lz4 cuts the retained footprint ~3× (ask for 8×
     // input + slack — 49 GiB at sf30, comfortable on a 126 GiB tmpfs)
     val needCompressed = math.max(16L << 30, 8L * sfBytes + (8L << 30))
-    val leftover = dirBytes("/dev/shm/spark-graft-local")
+    val leftover = graft.Fs.dirBytes("/dev/shm/spark-graft-local")
     if (leftover > (1L << 30))
       System.err.println(s"[bench] WARNING: ${leftover >> 30} GiB of stale " +
         "scratch under /dev/shm/spark-graft-local (a killed run's leftover " +
@@ -88,18 +79,15 @@ object Bench {
     * disk path's 77 MB/s throttle bills 10× into shuffle-heavy queries)
     * but lz4 stays ON so the suite cannot OOM the box it measures on. */
   def shmCompressOff: Boolean = {
-    def dirBytes(p: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
-        else f.length
-      val f = new java.io.File(p)
-      if (f.exists) walk(f) else 0L
-    }
-    val sfBytes = dirBytes(sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-      "/root/testdata/sf0.1"))
     val needRaw = math.max(16L << 30, 24L * sfBytes + (8L << 30))
     new java.io.File("/dev/shm").getUsableSpace >= needRaw
   }
+
+  /** Input bytes of the SF dir both gates budget against — memoized, one
+    * walk per JVM (the two gates must never desync: both derive their
+    * thresholds from this value). */
+  private lazy val sfBytes: Long = graft.Fs.dirBytes(
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
 
   /** Fixed single-thread CPU work, timed: the phase ruler. This box is a
     * shared VM whose effective CPU speed drifts (9.4% steal measured under

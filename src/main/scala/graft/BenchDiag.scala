@@ -184,7 +184,12 @@ object BenchDiag {
             .filter(f => f.isDirectory && pred(f.getName))
             .flatMap(p => Option(p.listFiles).toSeq.flatten)
             .map(_.length).sum
-        def run(tag: String, delta0: org.apache.spark.sql.DataFrame): Unit = {
+        // endPred restricts the full-rebuild twin to the SAME end state
+        // the delta produces (the churn delta has no new crawl, so its
+        // rebuild twin must not write one — a review caught the earlier
+        // version inflating full_rewrite for the churn row by ~25%)
+        def run(tag: String, delta0: org.apache.spark.sql.DataFrame,
+                endPred: org.apache.spark.sql.Column): Unit = {
           val base = java.nio.file.Files
             .createTempDirectory(s"graft_mergeab_$tag").toString
           SnapshotMerge.writeBase(spark, sfDir, s"$base/snap")
@@ -204,6 +209,7 @@ object BenchDiag {
           val corpus = dirBytes(s"$base/snap")
           val t1 = System.nanoTime()
           Tables.documents(spark, sfDir)
+            .filter(endPred)
             .filter(!(col("doc_id") > rFl && col("doc_id") <= bCut &&
                       col("doc_id") % 13 === 0 && col("doc_id") % 11 =!= 0))
             .select(col("doc_id"),
@@ -221,8 +227,9 @@ object BenchDiag {
             f"full_rewrite=$tFull%.2f")
         }
         val full = SnapshotMerge.delta(spark, sfDir)
-        run("crawl", full)
-        run("churn", full.filter(col("doc_id") <= bCut))
+        run("crawl", full, lit(true))
+        run("churn", full.filter(col("doc_id") <= bCut),
+            col("doc_id") <= bCut)
     }
     spark.stop()
   }

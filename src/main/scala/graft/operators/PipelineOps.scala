@@ -293,12 +293,12 @@ object PipelineOps {
     // R = (mx·7)//10, revise %11, delete %13∧¬%11, part = (id·16)//(mx+1)).
     // Exact ints + md5 strings → bit-exact across engines.
     "q75_merge_apply" ->
-      """WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+      s"""WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
          f AS (SELECT doc_id,
                  CASE WHEN doc_id > (mx*7)//10 AND doc_id <= (mx*4)//5
                            AND doc_id % 11 = 0
                       THEN upper(text) ELSE text END AS text,
-                 (doc_id * 16) // (mx + 1) AS part
+                 (doc_id * ${graft.sources.SnapshotMerge.NParts}) // (mx + 1) AS part
                FROM documents, m
                WHERE NOT (doc_id > (mx*7)//10 AND doc_id <= (mx*4)//5
                           AND doc_id % 13 = 0 AND doc_id % 11 != 0))

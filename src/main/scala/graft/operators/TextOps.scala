@@ -71,14 +71,18 @@ object TextOps {
     * q60 regex discipline): GPT-2-shaped — contractions, space-glued
     * letter runs, digit runs, punctuation runs, residual whitespace —
     * restricted to the RE2 ∩ java.util.regex common dialect. RE2 has no
-    * lookahead, so GPT-2's `\s+(?!\S)` tail is simplified to `\s+`
-    * (multi-space runs count as one token instead of donating their last
-    * space to the next word): a documented BPE-ISH approximation, chosen
-    * because engine-identical counting beats tokenizer-exact counting
-    * that only one engine can replay. Alternation order is significant
-    * and identical in both engines (leftmost-first). */
+    * lookahead, so GPT-2's `\s+(?!\S)` tail is simplified to a plain
+    * whitespace run (multi-space runs count as one token instead of
+    * donating their last space to the next word): a documented BPE-ISH
+    * approximation, chosen because engine-identical counting beats
+    * tokenizer-exact counting that only one engine can replay.
+    * Whitespace is the EXPLICIT class `[ \t\n\r\f]`, not `\s` — Java's
+    * `\s` includes vertical tab (\x0B) and RE2's does not, so the
+    * shorthand is precisely the kind of dialect edge this pattern must
+    * avoid. Alternation order is significant and identical in both
+    * engines (leftmost-first). */
   private[graft] val BpeRe =
-    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+"
 
   /** Token accounting under BOTH counters — whitespace (what a naive
     * pipeline reports) and the BPE-ish pre-tokenizer (what a trainer's

@@ -43,8 +43,10 @@ object SnapshotMerge {
     * TOUCHED partitions either way. */
   val NParts = 16
 
-  /** Rules tag, part of the content address (the BuildTag lesson). */
-  val Tag = "m1"
+  /** Rules tag, part of the content address (the BuildTag lesson).
+    * m2: rows carry the writing seq and the layout persists
+    * `_merge_meta` — pre-versioning m1 dirs must not be served. */
+  val Tag = "m2"
 
   /** Range partition of a doc_id given the corpus max id: floor(id·N/(mx+1))
     * ∈ [0, N) — integer math, identical in Spark (`DIV`) and DuckDB (`//`). */
@@ -66,7 +68,10 @@ object SnapshotMerge {
     val mx = graft.Tables.documentsMaxId(s, sfDir)
     graft.Tables.documents(s, sfDir)
       .filter(col("doc_id") <= baseCut(mx))
-      .select(col("doc_id"), col("text"), partOf(mx).as("part"))
+      // every snapshot row carries the seq that wrote it (base = 0): the
+      // version guard applyDiff's merge compares deliveries against
+      .select(col("doc_id"), col("text"), lit(0L).as("seq"),
+              partOf(mx).as("part"))
       .repartition(NParts, col("part"))
       .sortWithinPartitions("part", "doc_id")
       .write.mode("overwrite").partitionBy("part").parquet(dir)
@@ -78,12 +83,21 @@ object SnapshotMerge {
       s"maxId=$mx\nnparts=$NParts\n")
   }
 
-  /** The layout's partition expression, recovered from `_merge_meta`. */
+  /** The layout's partition expression, recovered from `_merge_meta`.
+    * Fails LOUD when the persisted nparts disagrees with this engine's
+    * [[NParts]] — applyDiff's repartition and swap are sized by the
+    * constant, so silently routing by a different divisor would strand
+    * rows in partitions the merge never reads (duplicate doc_ids,
+    * undeleted takedowns). A retuned deployment rebuilds the layout. */
   def partColFromMeta(snapDir: String): Column = {
     val kv = new java.util.HashMap[String, String]
     Files.readAllLines(Paths.get(s"$snapDir/_merge_meta")).forEach { l =>
       if (l.contains("=")) { val Array(k, v) = l.split("=", 2); kv.put(k, v) }
     }
+    val persisted = kv.get("nparts").toInt
+    require(persisted == NParts,
+      s"snapshot at $snapDir was laid out with nparts=$persisted but this " +
+      s"engine's NParts=$NParts — rebuild the layout or run the matching engine")
     partOf(kv.get("maxId").toLong)
   }
 
@@ -107,6 +121,7 @@ object SnapshotMerge {
       .select(col("doc_id"), lit(null).cast(StringType).as("text"),
               lit("delete").as("op"))
     newCrawl.unionByName(revised).unionByName(takedown)
+      .withColumn("seq", lit(1L))
       .withColumn("part", partOf(mx))
   }
 
@@ -117,14 +132,7 @@ object SnapshotMerge {
 
   private def tmpDir(snapDir: String): String = s"$snapDir.merge_tmp"
 
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      if (Files.isDirectory(p)) {
-        val l = Files.list(p)
-        try l.forEach(deleteTree) finally l.close()
-      }
-      Files.deleteIfExists(p)
-    }
+  private def deleteTree(p: Path): Unit = graft.Fs.deleteTree(p)
 
   /** Apply a CDC delta to the snapshot at `snapDir`; returns
     * (partitions touched, NParts). Reads ONLY the affected partitions
@@ -133,11 +141,21 @@ object SnapshotMerge {
     * are never listed, read, or replaced. Idempotent: re-applying the
     * same delta reproduces the same state.
     *
+    * The merge is VERSION-GUARDED: every snapshot row carries the `seq`
+    * that wrote it, and a delta row wins only when its seq is at least
+    * the stored one (ties go to the delta — that is what makes a
+    * replayed apply reproduce its own rows). An out-of-order delivery —
+    * a stale CDC file applied after a newer one — therefore cannot
+    * regress a doc: its stale upserts and deletes lose to the stored
+    * seq, while its rows for untouched docs still land. This is the
+    * per-row version check a table format's MERGE runs; without it,
+    * apply order would silently encode into the data.
+    *
     * PRECONDITION: at most one row per doc_id (a CDC delta's natural
     * shape; a caller holding several versions must collapse latest-wins
     * first — the streaming twin does, [[graft.streaming.SnapshotIngest]]
-    * `applyBatch`). Two rows for one doc would both survive the
-    * anti-join and land as duplicates. */
+    * `applyBatch`). Two rows for one doc would both survive the merge
+    * and land as duplicates. */
   def applyDiff(s: SparkSession, snapDir: String, delta: DataFrame): (Int, Int) = {
     // we are the writer: finish a manifested crashed swap forward,
     // discard an unmanifested (uncommitted) temp
@@ -149,12 +167,24 @@ object SnapshotMerge {
     // bounded: ≤ NParts rows
     val affected = delta.select("part").distinct()
       .collect().map(_.getLong(0)).sorted
-    val oldKeep = s.read.parquet(snapDir)
+    val old = s.read.parquet(snapDir)
       .filter(col("part").isin(affected.map(Long.box): _*))
-      .select(col("doc_id"), col("text"), col("part").cast(LongType).as("part"))
-      .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("seq").cast(LongType).as("seq"),
+              col("part").cast(LongType).as("part"))
+    // version-guarded merge (see scaladoc): exactly one side survives per
+    // doc — the old row iff strictly newer than the delta's seq, the
+    // delta's upsert iff at least as new as any stored row. Both joins
+    // build on the DELTA side (bounded by the delivery, broadcast-able).
+    val oldKeep = old
+      .join(delta.select(col("doc_id"), col("seq").as("__dseq")),
+            Seq("doc_id"), "left")
+      .filter(col("__dseq").isNull || col("seq") > col("__dseq"))
+      .select(col("doc_id"), col("text"), col("seq"), col("part"))
     val upserts = delta.filter(col("op") === "upsert")
-      .select(col("doc_id"), col("text"), col("part"))
+      .join(old.select(col("doc_id"), col("seq").as("__oseq")),
+            Seq("doc_id"), "left")
+      .filter(col("__oseq").isNull || col("seq") >= col("__oseq"))
+      .select(col("doc_id"), col("text"), col("seq"), col("part"))
     val tmp = tmpDir(snapDir)
     oldKeep.unionByName(upserts)
       .repartition(NParts, col("part"))

@@ -16,7 +16,7 @@ import graft.sources.SnapshotMerge
   * [[SnapshotMerge.applyDiff]]: only the partitions the delivery touches
   * are rewritten, under the crash-forward manifest swap.
   *
-  * Two semantics the batch twin doesn't need:
+  * Three semantics the one-shot batch path doesn't need:
   *
   *  - WITHIN-batch latest-wins: `Trigger.AvailableNow` may coalesce
   *    several pending drop files into ONE micro-batch, so a doc can
@@ -24,10 +24,16 @@ import graft.sources.SnapshotMerge
   *    next). applyDiff's contract is one row per doc_id; [[applyBatch]]
   *    keeps the row with the highest `seq` (the delivery sequence the
   *    CDC producer stamps — file order inside a batch is not a version).
+  *  - CROSS-batch ordering: a stale CDC file can be DELIVERED after a
+  *    newer one and become its own later micro-batch. The snapshot's
+  *    rows carry the seq that wrote them, and applyDiff's merge is
+  *    version-guarded (a delta row wins only at seq ≥ stored), so the
+  *    late batch's stale rows lose while its untouched-doc rows land —
+  *    the end state is delivery-ORDER independent, not just
+  *    delivery-batching independent (spec-pinned).
   *  - REPLAY idempotence: foreachBatch re-delivers an uncommitted batch
-  *    after a crash. applyDiff is idempotent for the same delta by
-  *    construction (deletes of absent rows no-op, upserts overwrite with
-  *    identical rows — spec-pinned in SnapshotMergeSpec), so a replayed
+  *    after a crash. A replayed row re-applies at its own seq (ties go
+  *    to the delta), overwriting with identical content — so a replayed
   *    apply reproduces the state instead of corrupting it; a crash
   *    MID-apply is completed forward or discarded by applyDiff's own
   *    heal-on-entry.
@@ -55,13 +61,17 @@ object SnapshotIngest {
 
   /** Collapse a micro-batch to one row per doc_id (highest seq wins) and
     * apply it. Deterministic: ties cannot arise — a delivery carries one
-    * row per doc and distinct deliveries carry distinct seqs. */
+    * row per doc and distinct deliveries carry distinct seqs. The seq
+    * RIDES INTO the apply: applyDiff's version-guarded merge compares it
+    * against each stored row's seq, so a stale delivery arriving in a
+    * LATER micro-batch (out-of-order CDC) cannot regress docs a newer
+    * delivery already wrote — its untouched-doc rows still land. */
   private[graft] def applyBatch(batch: DataFrame, snapDir: String): Unit = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("seq").desc)
     val latest = batch
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "seq")
+      .filter(col("__rn") === 1).drop("__rn")
       .withColumn("part", SnapshotMerge.partColFromMeta(snapDir))
     SnapshotMerge.applyDiff(batch.sparkSession, snapDir, latest)
   }

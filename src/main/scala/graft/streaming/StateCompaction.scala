@@ -70,13 +70,7 @@ object StateCompaction {
       .map(_.getPath).sorted
   }
 
-  private[streaming] def deleteTree(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val listing = Files.list(p)
-      try listing.forEach(deleteTree) finally listing.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  private[streaming] def deleteTree(p: Path): Unit = graft.Fs.deleteTree(p)
 
   private def dataFileCount(dir: String): Int = {
     def walk(f: java.io.File): Int =

@@ -102,6 +102,30 @@ class SnapshotIngestSpec extends AnyFunSuite {
       .head().getString(1).startsWith("DRAFT"))
   }
 
+  test("an out-of-order late delivery cannot regress newer state") {
+    val dir = tmp("snap_ingest_ooo") + "/snap"
+    SnapshotMerge.writeBase(spark, sf, dir)
+    val dropDir = tmp("snap_drop_ooo"); val ckpt = tmp("snap_ckpt_ooo")
+    import spark.implicits._
+    val draft = Seq((probeId, "DRAFT pending recrawl", "upsert", 1L))
+      .toDF("doc_id", "text", "op", "seq")
+    // the NEWER delivery (seq 2, canonical odd rows incl. probeId's final
+    // text) arrives and is applied FIRST; the seq-1 file (even rows + the
+    // stale draft of probeId) is delivered late as its own micro-batch
+    deliver(cdc(2, col("doc_id") % 2 =!= 0), dropDir, "d2")
+    SnapshotIngest.start(spark, dropDir, dir, ckpt).awaitTermination()
+    deliver(cdc(1, col("doc_id") % 2 === 0).unionByName(draft), dropDir, "d1")
+    SnapshotIngest.start(spark, dropDir, dir, ckpt).awaitTermination()
+
+    // the version guard: the stale draft LOST, the late delivery's
+    // untouched-doc rows still landed — end state is order-independent
+    val (m, e) = (snapDocs(dir), expected)
+    assert(m.count() == e.count())
+    assert(m.exceptAll(e).isEmpty && e.exceptAll(m).isEmpty)
+    assert(!snapDocs(dir).filter(col("doc_id") === probeId)
+      .head().getString(1).startsWith("DRAFT"))
+  }
+
   test("a replayed batch reproduces the state (foreachBatch redelivery)") {
     val dir = tmp("snap_ingest_rp") + "/snap"
     SnapshotMerge.writeBase(spark, sf, dir)

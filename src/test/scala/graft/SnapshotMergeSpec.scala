@@ -98,7 +98,7 @@ class SnapshotMergeSpec extends AnyFunSuite {
     val tmp = s"$dir.merge_tmp"
     spark.read.parquet(dir)
       .filter(col("part") === p.toInt)
-      .select("doc_id", "text", "part")
+      .select("doc_id", "text", "seq", "part")
       .coalesce(1).write.partitionBy("part").parquet(tmp)
     Files.writeString(Paths.get(s"$tmp/.merge_manifest"), s"$p:keep\n$q:drop")
     deleteTree(Paths.get(s"$dir/part=$p")) // worst case: only copy is the temp

@@ -20,22 +20,38 @@ LO = datetime.datetime(1996, 1, 1)
 HI = datetime.datetime(1997, 1, 1)
 
 
+def files_of(path):
+    """Parquet leaf files of a dir-table OR a single-file table; loud on
+    a path mistake — a silent empty glob would zero both sides of the
+    audit (the no-silent-zero bench rule)."""
+    if path.endswith('.parquet') and not glob.glob(f"{path}/*.parquet"):
+        fs = [path]
+    else:
+        fs = sorted(glob.glob(f"{path}/*.parquet"))
+    if not fs:
+        sys.exit(f"zorder_bytes: no parquet files under {path}")
+    return fs
+
+
 def max_partkey(path):
-    m = 0
-    for fp in glob.glob(f"{path}/*.parquet"):
+    m = None
+    for fp in files_of(path):
         f = pq.ParquetFile(fp)
         for i in range(f.num_row_groups):
             md = f.metadata.row_group(i)
             for j in range(md.num_columns):
                 c = md.column(j)
                 if c.path_in_schema == 'l_partkey':
-                    m = max(m, c.statistics.max)
+                    v = c.statistics.max
+                    m = v if m is None else max(m, v)
+    if m is None:
+        sys.exit(f"zorder_bytes: no l_partkey stats under {path}")
     return m
 
 
 def must_read(path, pk_bound):
     tot_rg = read_rg = tot_b = read_b = 0
-    for fp in glob.glob(f"{path}/*.parquet"):
+    for fp in files_of(path):
         f = pq.ParquetFile(fp)
         for i in range(f.num_row_groups):
             md = f.metadata.row_group(i)
