@@ -253,6 +253,35 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_SPILL=1 — per-query IN-SUITE task-metric ledger
+    // (memory/disk spill bytes, GC ms, task-run ms), attributed by a
+    // current-query label with the async listener bus DRAINED at each
+    // query boundary (GraftCoreBridge — without the barrier a heavy
+    // query's straggler events bill its successor). This is the
+    // instrument the isolated BenchDiag `spill` mode can't be: spill
+    // under SUITE heap pressure is a different regime than spill with
+    // the heap to itself (the sf30 q73-vs-q4 inversion question).
+    // Stderr-only; the timed region gains two ~0 ms bus drains per query.
+    val spillOn = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
+    val spillCur = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val spillLedger = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    def drainBus(): Unit =
+      org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
+    if (spillOn) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val (q, m) = (spillCur.get, te.taskMetrics)
+          if (q.nonEmpty && m != null) {
+            val a = spillLedger.computeIfAbsent(q, _ => Array.fill(4)(0L))
+            a.synchronized {
+              a(0) += m.memoryBytesSpilled; a(1) += m.diskBytesSpilled
+              a(2) += m.jvmGCTime;          a(3) += m.executorRunTime
+            }
+          }
+        }
+      })
+
     val passes = 3
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
@@ -263,6 +292,7 @@ object Bench {
       graft.operators.TextOps.invalidateSharedIndex()
       queries.foreach { case (name, fn) =>
         if (!failed(name)) {
+          if (spillOn) { drainBus(); spillCur.set(name) }
           val t0 = System.nanoTime()
           val ok = try {
             prepared.get(name) match {
@@ -277,8 +307,22 @@ object Bench {
             false
           }
           if (ok) samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+          if (spillOn) { drainBus(); spillCur.set("") }
         }
       }
+    }
+    if (spillOn) {
+      // per-query SUMS over the 3 timed passes (divide by 3 for per-run):
+      // mem/dsk in MiB, gc/run in task-milliseconds
+      val cells = spillLedger.entrySet().toArray
+        .map(_.asInstanceOf[java.util.Map.Entry[String, Array[Long]]])
+        .sortBy(_.getKey)
+        .map { e =>
+          val a = e.getValue
+          s""""${e.getKey}":[${a(0) >> 20},${a(1) >> 20},${a(2)},${a(3)}]"""
+        }
+      System.err.println(
+        s"""[bench-spill] {"passes":$passes,"cols":["memSpillMiB","diskSpillMiB","gcMs","taskRunMs"],"queries":{${cells.mkString(",")}}}""")
     }
 
     def fmt(m: Seq[(String, Double)]): String =

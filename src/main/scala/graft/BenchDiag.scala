@@ -369,11 +369,9 @@ object MicroShingle {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.functions.WordShingles.register(spark)
-    graft.functions.BoundedDocSetAgg.register(spark)
+    graft.functions.Natives.registerAll(spark)
     val s2 = graft.Tuning.boundedAggSession(spark)
-    graft.functions.WordShingles.register(s2)
-    graft.functions.BoundedDocSetAgg.register(s2)
+    graft.functions.Natives.registerAll(s2)
     import graft.functions.WordShingles.word_shingles
     def docsWide = graft.Tables.documents(s2, sfDir)
       .repartition(32, col("doc_id"))

@@ -80,12 +80,12 @@ object Tables {
   /** On-disk parquet footprint of a table — metadata-only (file listing),
     * used by layout gates (Relational.liPart) that need a SIZE, not a row
     * count, to decide whether a persisted layout's per-bucket share is
-    * big enough to be worth its task granularity. */
-  def tableBytes(d: String, name: String): Long = {
-    val f = new java.io.File(s"$d/$name.parquet")
-    val files = if (f.isDirectory) f.listFiles() else Array(f)
-    if (files == null) 0L else files.filter(_.isFile).map(_.length).sum
-  }
+    * big enough to be worth its task granularity. RECURSIVE (graft.Fs
+    * walk): a partitioned/nested source table must report its real
+    * footprint, not 0 — a flat listing would silently pin the layout
+    * gate false at every scale for such layouts. */
+  def tableBytes(d: String, name: String): Long =
+    graft.Fs.dirBytes(s"$d/$name.parquet")
 
   private[graft] def tableRows(s: SparkSession, d: String, name: String): Long = {
     rowCounts.keySet.removeIf { case (ses, _, _) => ses.sparkContext.isStopped }

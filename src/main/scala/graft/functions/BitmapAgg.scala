@@ -98,13 +98,11 @@ case class DenseBitmapAgg(
 object BitmapAgg {
   /** Register `dense_bitmap(pos, nBits)` (nBits a foldable bigint literal). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dense_bitmap",
-      exprs => DenseBitmapAgg(exprs.head, exprs(1).eval(null) match {
+    Natives.ensure(spark, "dense_bitmap")(exprs =>
+      DenseBitmapAgg(exprs.head, exprs(1).eval(null) match {
         case l: java.lang.Long    => l.longValue()
         case i: java.lang.Integer => i.longValue()
         case other => throw new IllegalArgumentException(
           s"dense_bitmap nBits must be an integer literal, got $other")
-      }).toAggregateExpression(),
-      "built-in")
+      }).toAggregateExpression())
 }

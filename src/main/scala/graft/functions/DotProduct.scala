@@ -81,8 +81,7 @@ object DotProduct {
   /** Register `dot_product` in the session's function registry (idempotent)
     * so it is usable from both SQL text and the Column API below. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    Natives.ensure(spark, "dot_product")(exprs => DotProduct(exprs(0), exprs(1)))
 
   /** Column-API entry point: `dot_product(a, b)` (requires register()). */
   def dot_product(a: Column, b: Column): Column =

@@ -93,15 +93,13 @@ object GramStats {
 
   /** Register `gram_stats(str, n)` (n a foldable int literal). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "gram_stats",
-      exprs => GramStats(exprs.head,
+    Natives.ensure(spark, "gram_stats")(exprs =>
+      GramStats(exprs.head,
         exprs(1).eval(null) match {
           case i: Int => i
           case other => throw new IllegalArgumentException(
             s"gram_stats: n must be a foldable int literal, got $other")
-        }),
-      "built-in")
+        }))
 
   /** Column-API entry point (requires register()). */
   def gram_stats(c: Column, n: Int): Column =

@@ -84,17 +84,14 @@ object Md5Long {
   /** Register `md5_long(str, start, n)` in the session function registry
     * (idempotent) — start/n must be foldable int literals. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_long",
-      exprs => {
-        def lit(e: Expression): Int = e.eval(null) match {
-          case i: Int => i
-          case other  => throw new IllegalArgumentException(
-            s"md5_long start/n must be integer literals, got $other")
-        }
-        Md5Long(exprs.head, lit(exprs(1)), lit(exprs(2)))
-      },
-      "built-in")
+    Natives.ensure(spark, "md5_long") { exprs =>
+      def lit(e: Expression): Int = e.eval(null) match {
+        case i: Int => i
+        case other  => throw new IllegalArgumentException(
+          s"md5_long start/n must be integer literals, got $other")
+      }
+      Md5Long(exprs.head, lit(exprs(1)), lit(exprs(2)))
+    }
 
   /** Column-API entry point (requires register()). */
   def md5_long(c: Column, start: Int, n: Int): Column =

@@ -57,11 +57,8 @@ object PqAdc {
 
   /** Register `pq_adc(lut, code, kc)` (kc a foldable int literal). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_adc",
-      exprs => PqAdc(exprs.head, exprs(1),
-        exprs(2).eval(null).asInstanceOf[Int]),
-      "built-in")
+    Natives.ensure(spark, "pq_adc")(exprs =>
+      PqAdc(exprs.head, exprs(1), exprs(2).eval(null).asInstanceOf[Int]))
 
   def pq_adc(lut: Column, code: Column, kc: Int): Column =
     org.apache.spark.sql.functions.call_function(

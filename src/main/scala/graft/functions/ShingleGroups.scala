@@ -134,11 +134,9 @@ object BoundedDocSetAgg {
 
   /** Register `bounded_doc_set(doc, cap)` (cap a foldable int literal). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bounded_doc_set",
-      exprs => BoundedDocSetAgg(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression(),
-      "built-in")
+    Natives.ensure(spark, "bounded_doc_set")(exprs =>
+      BoundedDocSetAgg(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression())
 
   /** Column-API entry: struct(n, docs) per group (requires register()). */
   def bounded_doc_set(cap: Int)(doc: Column): Column =
@@ -247,10 +245,10 @@ object SortedPairs {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_pairs", exprs => SortedPairs(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_pair_keys", exprs => SortedPairKeys(exprs.head), "built-in")
+    // Guarded per NAME: an extension-built session injects sorted_pairs
+    // but not sorted_pair_keys, so the two must be ensured independently.
+    Natives.ensure(spark, "sorted_pairs")(exprs => SortedPairs(exprs.head))
+    Natives.ensure(spark, "sorted_pair_keys")(exprs => SortedPairKeys(exprs.head))
   }
 
   def sorted_pairs(c: Column): Column =

@@ -83,8 +83,7 @@ case class SqDist(left: Expression, right: Expression)
 object SqDist {
   /** Register `sq_dist` in the session's function registry (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sq_dist", exprs => SqDist(exprs(0), exprs(1)), "built-in")
+    Natives.ensure(spark, "sq_dist")(exprs => SqDist(exprs(0), exprs(1)))
 
   /** Column-API entry point: `sq_dist(a, b)` (requires register()). */
   def sq_dist(a: Column, b: Column): Column =

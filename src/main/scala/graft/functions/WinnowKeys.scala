@@ -132,8 +132,7 @@ object WinnowKeys {
   /** Register `winnow_keys(str)` in the session function registry
     * (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_keys", exprs => WinnowKeys(exprs.head), "built-in")
+    Natives.ensure(spark, "winnow_keys")(exprs => WinnowKeys(exprs.head))
 
   /** Column-API entry point (requires register()). */
   def winnow_keys(c: Column): Column =

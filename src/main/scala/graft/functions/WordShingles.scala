@@ -86,8 +86,7 @@ object WordShingles {
   /** Register `word_shingles(str)` in the session function registry
     * (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShingles(exprs.head), "built-in")
+    Natives.ensure(spark, "word_shingles")(exprs => WordShingles(exprs.head))
 
   /** Column-API entry point (requires register()). */
   def word_shingles(c: Column): Column =

@@ -109,7 +109,7 @@ object IvfIndex {
     * exchange. The round-≤9 window form shuffled all N×K rows to rank
     * them — fine at K=16, a non-starter once K∝N. */
   private[graft] def assign(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    graft.functions.SqDist.register(vecs.sparkSession)
+    graft.functions.Natives.registerAll(vecs.sparkSession)
     vecs.crossJoin(broadcast(cent))
       .withColumn("d2", sqdist)
       .groupBy("vec_id")
@@ -199,7 +199,7 @@ object IvfIndex {
     val sp = vecs0.sparkSession
     import sp.implicits._
     register(sp)
-    graft.functions.SqDist.register(sp)
+    graft.functions.Natives.registerAll(sp)
     val (supers, cidSid) = superCluster(cent)
     val maxSuperNorm = supers.map(s => math.sqrt(s._3)).max
     val cent2 = broadcast(

@@ -52,7 +52,7 @@ object PqIndex {
   /** Train + persist codebooks and codes for `sfDir` into `dir`. */
   def build(s: SparkSession, sfDir: String, dir: String): Unit = {
     import s.implicits._
-    graft.functions.SqDist.register(s)
+    graft.functions.Natives.registerAll(s)
     val sub = embeddings(s, sfDir)
       .select(col("vec_id"), expr(VECD).as("v"))
       .select(col("vec_id"), explode(expr(

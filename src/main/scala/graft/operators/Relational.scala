@@ -189,6 +189,36 @@ object Relational {
       .boundedOrderBy("l_returnflag")
   }
 
+  // --------------------------------------------- q77: 3-dim hilbert slice
+  /** q74's question one dimension up: a box slice on THREE independent
+    * range predicates — partkey prefix, ship-date year, suppkey prefix —
+    * over the HILBERT-clustered lineitem copy (sources/HilbertLayout;
+    * ZOrderLayout is 16+16-bit 2-dim by construction, the r11 builder
+    * note). The 2-dim layouts are blind on the third column: their every
+    * file spans the full suppkey range, so the suppkey predicate can
+    * never skip — the 3-dim curve gives footer selectivity on all three
+    * at once (HilbertLayoutSpec audits the footers; tools/zorder_bytes.py
+    * carries the plain / z-2d / hilbert-3d must-read three-way). Values
+    * are layout-independent: the oracle runs the identical slice on the
+    * PLAIN table — q73/q74's value-faithfulness pattern. */
+  val q77_hilbert_slice: Q = (s, d) => {
+    val loc = graft.sources.HilbertLayout.ensureLineitem3(s, d)
+    // same bounds the oracle derives with MAX()//k — exact integer division
+    val b = lineitem(s, d)
+      .agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    val (maxPk, maxSk) = (b.getLong(0), b.getLong(1))
+    s.read.parquet(loc)
+      .filter(col("l_partkey") <= lit(maxPk / 8) &&
+              col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+              col("l_suppkey") <= lit(maxSk / 4))
+      .groupBy("l_returnflag")
+      .agg(dsum(revenue).as("revenue"),
+           dsum(money(col("l_quantity"))).as("total_qty"),
+           count(lit(1)).as("n_items"))
+      .boundedOrderBy("l_returnflag")
+  }
+
   // --------------------------------------------------- q5: multi-hop chain
   /** J6 — Orders⋈Location⋈State⋈Region chain (DA:cell 4) → here
     * orders⋈customer⋈nation⋈region; all dims broadcast. */
@@ -749,6 +779,7 @@ object Relational {
     "q4_brand_revenue"      -> q4_brand_revenue,
     "q73_bucketed_brand_revenue" -> q73_bucketed_brand_revenue,
     "q74_zorder_slice"      -> q74_zorder_slice,
+    "q77_hilbert_slice"     -> q77_hilbert_slice,
     "q5_region_revenue"     -> q5_region_revenue,
     "q6_ship_delay"         -> q6_ship_delay,
     "q7_monthly_sales"      -> q7_monthly_sales,
@@ -888,6 +919,21 @@ object Relational {
          WHERE l_partkey <= (SELECT MAX(l_partkey) // 8 FROM lineitem)
            AND l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // q77 runs against the hilbert-clustered 3-dim COPY; same
+    // value-faithfulness contract as q74 (oracle = plain table, identical
+    // three-predicate box, exact integer division on both sides)
+    "q77_hilbert_slice" ->
+      s"""SELECT l_returnflag,
+           CAST(SUM($REV_SQL) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n_items
+         FROM lineitem
+         WHERE l_partkey <= (SELECT MAX(l_partkey) // 8 FROM lineitem)
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_suppkey <= (SELECT MAX(l_suppkey) // 4 FROM lineitem)
          GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q5_region_revenue" ->

@@ -47,8 +47,7 @@ object TextOps {
     * cluster: seed tables for expansion pipelines must be spread wide
     * before the expansion, not after. */
   private def docsWide(s: SparkSession, d: String): DataFrame = {
-    graft.functions.Md5Long.register(s)
-    graft.functions.WordShingles.register(s)
+    graft.functions.Natives.registerAll(s)
     documents(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
   }
@@ -186,7 +185,7 @@ object TextOps {
     * MIN, so the native rolling/deque implementation is pinned bit-exact
     * end to end. */
   val q39_winnow_fingerprints: Q = (s, d) => {
-    graft.functions.WinnowKeys.register(s)
+    graft.functions.Natives.registerAll(s)
     docsWide(s, d)
       .select(col("doc_id"), explode(winnow_keys(col("text"))).as("key"))
       .select(col("doc_id"),
@@ -223,7 +222,7 @@ object TextOps {
 
   val q63_winnow_dup_pairs: Q = (s0, d) => {
     val s = graft.Tuning.boundedAggSession(s0)
-    graft.functions.SortedPairs.register(s)
+    graft.functions.Natives.registerAll(s)
     // distinct (doc, hash) by construction: positions stripped and hashes
     // deduped IN-ROW inside the shared index build — the explode there
     // emits each hash once per doc
@@ -280,7 +279,7 @@ object TextOps {
     * (`filter(s3.n_grams >= 1)` — same semantics as the oracle's inner
     * join). */
   val q59_repetition_stats: Q = (s, d) => {
-    graft.functions.GramStats.register(s)
+    graft.functions.Natives.registerAll(s)
     import graft.functions.GramStats.gram_stats
     docsWide(s, d)
       .select(col("doc_id"),
@@ -322,8 +321,7 @@ object TextOps {
     // (see Tuning.boundedAggSession). Every consumer chain roots at this
     // DataFrame, so the whole query executes under the child's conf.
     val s = graft.Tuning.boundedAggSession(s0)
-    graft.functions.SortedPairs.register(s)
-    graft.functions.BoundedDocSetAgg.register(s)
+    graft.functions.Natives.registerAll(s)
     docsWide(s, d)
       .select(col("doc_id"), explode(word_shingles(col("text"))).as("shingle"))
       .groupBy("shingle")
@@ -426,8 +424,7 @@ object TextOps {
     winnowCache.computeIfAbsent(
       (s0, d, dfCap, graft.Tables.pathStamp(s"$d/documents.parquet")),
       _ => {
-        graft.functions.WinnowKeys.register(s)
-        graft.functions.BoundedDocSetAgg.register(s)
+        graft.functions.Natives.registerAll(s)
         val posBits = graft.functions.WinnowKeys.PosBits
         docsWide(s, d)
           .select(col("doc_id"),
@@ -615,7 +612,7 @@ object TextOps {
     * member docs. The efficient form for a full-corpus (or base-index)
     * build; [[bandRowsFromShingles]] is the per-delivery twin. */
   private[graft] def bandRowsFromGroups(capped: DataFrame): DataFrame = {
-    graft.functions.Md5Long.register(capped.sparkSession)
+    graft.functions.Natives.registerAll(capped.sparkSession)
     val hashed = capped
       .select(col("g.docs").as("docs"),
               md5_long(col("shingle"), 0, 12).as("h1"),
@@ -631,7 +628,7 @@ object TextOps {
     * the delivery (no group index to share; duplicates are harmless under
     * min). Same family, same band keys as [[bandRowsFromGroups]]. */
   private[graft] def bandRowsFromShingles(docShingles: DataFrame): DataFrame = {
-    graft.functions.Md5Long.register(docShingles.sparkSession)
+    graft.functions.Natives.registerAll(docShingles.sparkSession)
     minsToBands(docShingles
       .select(col("doc_id"),
               md5_long(col("shingle"), 0, 12).as("h1"),
@@ -725,7 +722,7 @@ object TextOps {
     * directly testable (docs of 2^15..2^16−1 tokens must compute exactly;
     * ≥ 2^16 must hit the NAMED guard, not a generic ANSI overflow). */
   private[graft] def simhashOf(docs: DataFrame): DataFrame = {
-    graft.functions.Md5Long.register(docs.sparkSession)
+    graft.functions.Natives.registerAll(docs.sparkSession)
     val tokenHashes = docs
       .select(col("doc_id"), explode(expr(TOKENS)).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
@@ -1159,7 +1156,7 @@ object TextOps {
     * ([[graft.streaming.DocsFunnel]]), so the two can never drift.
     * Output: `(doc_id, n_tokens, fp, p1, p2, p3)`. */
   private[graft] def funnelSignals(s: SparkSession, docs: DataFrame): DataFrame = {
-    graft.functions.GramStats.register(s)
+    graft.functions.Natives.registerAll(s)
     import graft.functions.GramStats.gram_stats
     def hits(words: String) = s"size(filter($TOKENS, t -> t IN ($words)))"
     docs
@@ -1266,7 +1263,7 @@ object TextOps {
     * probes are O(1) at any scale. */
   private def bloomDecontamParts(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    graft.functions.BitmapAgg.register(s)
+    graft.functions.Natives.registerAll(s)
     // Same sharing as decontamReport (round 10): train explodes only
     // train-split docs, the test side is the shared materialized list.
     // The list is DISTINCT where the old inline derivation was not — the
@@ -1341,7 +1338,7 @@ object TextOps {
     // exchange. The trailing n_sampled > 0 filter reproduces the WHERE
     // form's group elimination exactly (a flag with zero sampled rows
     // appears in neither).
-    graft.functions.Md5Long.register(s)
+    graft.functions.Natives.registerAll(s)
     // first md5 hex byte < '1a' ⇔ md5_long(…, 0, 2) < 26 — same rows,
     // no hex string/substring per row (was 1.9 CPU-s of the query)
     val keep = md5_long(

@@ -30,8 +30,7 @@ import graft.functions.TopKByScore.top_k_by_score
 object VectorOps {
 
   private def register(s: org.apache.spark.sql.SparkSession): Unit = {
-    graft.functions.DotProduct.register(s)
-    graft.functions.SqDist.register(s)
+    graft.functions.Natives.registerAll(s)
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -251,7 +250,7 @@ object VectorOps {
                     * (element_at(qv, CAST(i div $kc AS INT) * $dsub + j)
                        - element_at(cb, CAST(i AS INT) * $dsub + j))))"""))
       .drop("cb")
-    graft.functions.PqAdc.register(s)
+    graft.functions.Natives.registerAll(s)
     val cands = PqIndex.codes(s, idx)
       .crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("q_id"))
@@ -291,7 +290,7 @@ object VectorOps {
     * the PQ codebooks/codes) — hash-checked like its two halves. */
   val q67_ivfpq_ann: Q = (s, d) => {
     register(s)
-    graft.functions.PqAdc.register(s)
+    graft.functions.Natives.registerAll(s)
     val ivf = IvfIndex.ensure(s, d)
     val pq  = PqIndex.ensure(s, d)
     val (mm, kc, dsub) = (PqIndex.M, PqIndex.Kc, PqIndex.Dsub)

@@ -45,8 +45,10 @@ object SnapshotMerge {
 
   /** Rules tag, part of the content address (the BuildTag lesson).
     * m2: rows carry the writing seq and the layout persists
-    * `_merge_meta` — pre-versioning m1 dirs must not be served. */
-  val Tag = "m2"
+    * `_merge_meta` — pre-versioning m1 dirs must not be served.
+    * m3: deletes persist TOMBSTONES (`tomb=true`, null text, the deleting
+    * seq) — pre-tombstone m2 dirs lack the column and must not be served. */
+  val Tag = "m3"
 
   /** Range partition of a doc_id given the corpus max id: floor(id·N/(mx+1))
     * ∈ [0, N) — integer math, identical in Spark (`DIV`) and DuckDB (`//`). */
@@ -71,7 +73,7 @@ object SnapshotMerge {
       // every snapshot row carries the seq that wrote it (base = 0): the
       // version guard applyDiff's merge compares deliveries against
       .select(col("doc_id"), col("text"), lit(0L).as("seq"),
-              partOf(mx).as("part"))
+              lit(false).as("tomb"), partOf(mx).as("part"))
       .repartition(NParts, col("part"))
       .sortWithinPartitions("part", "doc_id")
       .write.mode("overwrite").partitionBy("part").parquet(dir)
@@ -151,6 +153,15 @@ object SnapshotMerge {
     * per-row version check a table format's MERGE runs; without it,
     * apply order would silently encode into the data.
     *
+    * Deletes persist TOMBSTONES (`tomb=true`, null text, the deleting
+    * seq) rather than removing the row: without a stored seq to lose to,
+    * a stale out-of-order upsert would re-insert the doc and resurrect
+    * deleted content. Readers see only live rows ([[liveDocs]]); a
+    * deployment reclaims old tombstones with [[vacuumTombstones]] once
+    * every producer is past their seq (the table-format RETENTION
+    * contract — a tombstone may be dropped only when no delivery that
+    * could still arrive carries a lower seq).
+    *
     * PRECONDITION: at most one row per doc_id (a CDC delta's natural
     * shape; a caller holding several versions must collapse latest-wins
     * first — the streaming twin does, [[graft.streaming.SnapshotIngest]]
@@ -170,29 +181,41 @@ object SnapshotMerge {
     val old = s.read.parquet(snapDir)
       .filter(col("part").isin(affected.map(Long.box): _*))
       .select(col("doc_id"), col("text"), col("seq").cast(LongType).as("seq"),
-              col("part").cast(LongType).as("part"))
+              col("tomb"), col("part").cast(LongType).as("part"))
     // version-guarded merge (see scaladoc): exactly one side survives per
-    // doc — the old row iff strictly newer than the delta's seq, the
-    // delta's upsert iff at least as new as any stored row. Both joins
-    // build on the DELTA side (bounded by the delivery, broadcast-able).
+    // doc — the old row (live OR tombstone) iff strictly newer than the
+    // delta's seq, the delta's row iff at least as new as any stored row
+    // (an upsert lands live, a delete lands as a tombstone — both carry
+    // the seq so later stale rows lose to them). Both joins build on the
+    // DELTA side (bounded by the delivery, broadcast-able).
     val oldKeep = old
       .join(delta.select(col("doc_id"), col("seq").as("__dseq")),
             Seq("doc_id"), "left")
       .filter(col("__dseq").isNull || col("seq") > col("__dseq"))
-      .select(col("doc_id"), col("text"), col("seq"), col("part"))
-    val upserts = delta.filter(col("op") === "upsert")
+      .select(col("doc_id"), col("text"), col("seq"), col("tomb"), col("part"))
+    val deltaWins = delta
+      .withColumn("tomb", col("op") === "delete")
       .join(old.select(col("doc_id"), col("seq").as("__oseq")),
             Seq("doc_id"), "left")
       .filter(col("__oseq").isNull || col("seq") >= col("__oseq"))
-      .select(col("doc_id"), col("text"), col("seq"), col("part"))
-    val tmp = tmpDir(snapDir)
-    oldKeep.unionByName(upserts)
+      .select(col("doc_id"), col("text"), col("seq"), col("tomb"), col("part"))
+    oldKeep.unionByName(deltaWins)
       .repartition(NParts, col("part"))
       .sortWithinPartitions("part", "doc_id")
-      .write.partitionBy("part").parquet(tmp)
-    // an affected partition whose every row was deleted has no temp dir:
-    // record keep-vs-drop per partition so forward recovery can tell
-    // "already swapped" from "must be removed" (bounded ≤ NParts listing)
+      .write.partitionBy("part").parquet(tmpDir(snapDir))
+    manifestAndSwap(snapDir, affected)
+    (affected.length, NParts)
+  }
+
+  /** Manifest the fully-written temp and complete the swap — the shared
+    * tail of [[applyDiff]] and [[vacuumTombstones]]. Records keep-vs-drop
+    * per affected partition so forward recovery can tell "already
+    * swapped" from "must be removed" (bounded ≤ NParts listing). With
+    * tombstoned deletes an applyDiff partition always produces rows, so
+    * drop only arises for vacuum passes that empty a partition — recovery
+    * must still handle both modes. */
+  private def manifestAndSwap(snapDir: String, affected: Array[Long]): Unit = {
+    val tmp = tmpDir(snapDir)
     val kept = Option(new java.io.File(tmp).listFiles).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("part="))
       .map(_.getName.stripPrefix("part=").toLong).toSet
@@ -206,7 +229,42 @@ object SnapshotMerge {
         StandardCopyOption.ATOMIC_MOVE)
       finishSwap(snapDir)
     }
-    (affected.length, NParts)
+  }
+
+  /** Reclaim tombstones whose seq is strictly below `horizon`, rewriting
+    * ONLY the partitions that hold one (same temp + manifest + forward
+    * swap as the merge; a partition left with zero rows is dropped).
+    * Returns the number of partitions rewritten.
+    *
+    * RETENTION CONTRACT: `horizon` must be at or below the lowest seq any
+    * delivery that could still arrive might carry — a vacuumed tombstone
+    * can no longer defeat a stale upsert, so vacuuming ahead of the
+    * producers' low-watermark re-opens the resurrection window the
+    * tombstone closed. The CDC producer's acknowledged low-watermark is
+    * the natural horizon. */
+  def vacuumTombstones(s: SparkSession, snapDir: String, horizon: Long): Int = {
+    swapLock.synchronized {
+      val t = Paths.get(tmpDir(snapDir))
+      if (Files.exists(t.resolve(".merge_manifest"))) finishSwap(snapDir)
+      else deleteTree(t)
+    }
+    def expired = col("tomb") && col("seq") < horizon
+    // bounded: ≤ NParts rows (partition-discovered `part` comes back as
+    // int — cast before collecting)
+    val affected = s.read.parquet(snapDir).filter(expired)
+      .select(col("part").cast(LongType)).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return 0
+    s.read.parquet(snapDir)
+      .filter(col("part").isin(affected.map(Long.box): _*))
+      .filter(!expired)
+      .select(col("doc_id"), col("text"), col("seq").cast(LongType).as("seq"),
+              col("tomb"), col("part").cast(LongType).as("part"))
+      .repartition(affected.length, col("part"))
+      .sortWithinPartitions("part", "doc_id")
+      .write.partitionBy("part").parquet(tmpDir(snapDir))
+    manifestAndSwap(snapDir, affected)
+    affected.length
   }
 
   /** Complete a manifested swap forward. Idempotent at every
@@ -245,13 +303,19 @@ object SnapshotMerge {
       finishSwap(snapDir)
   }
 
+  /** The reader's view of a merged snapshot: healed, live rows only —
+    * tombstones are the MERGE's bookkeeping, never a query's input. */
+  def liveDocs(s: SparkSession, dir: String): DataFrame = {
+    healIfCrashed(dir)
+    s.read.parquet(dir).filter(!col("tomb"))
+  }
+
   /** The q75 ledger over a merged snapshot: per-partition doc/token
     * counts, id sum, and min/max content fingerprints — exact ints and
     * md5 strings, so the DuckDB oracle (which derives the same end state
     * from the documents table directly) hash-matches bit-for-bit. */
-  def mergedLedger(s: SparkSession, dir: String): DataFrame = {
-    healIfCrashed(dir)
-    s.read.parquet(dir)
+  def mergedLedger(s: SparkSession, dir: String): DataFrame =
+    liveDocs(s, dir)
       .groupBy(col("part").cast(LongType).as("part"))
       .agg(count(lit(1)).as("n_docs"),
            sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("n_tokens"),
@@ -259,7 +323,6 @@ object SnapshotMerge {
            min(md5(col("text"))).as("first_fp"),
            max(md5(col("text"))).as("last_fp"))
       .orderBy("part")
-  }
 
   private def hash(sfDir: String): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -82,8 +82,7 @@ object BandIngest {
     // bounded-agg child session: the df-capped group-by uses the raised
     // object-agg fallback threshold, scoped there (see Tuning)
     val s = graft.Tuning.boundedAggSession(s0)
-    graft.functions.WordShingles.register(s)
-    graft.functions.BoundedDocSetAgg.register(s)
+    graft.functions.Natives.registerAll(s)
     val width = s.sessionState.conf.numShufflePartitions
     // spread before the shingle expansion (docsWide rationale: the scan's
     // byte-based splits under-provision an explode-heavy pipeline)
@@ -142,7 +141,7 @@ object BandIngest {
     * base build excluded its over-cap groups. Cost: O(|delivery|). */
   def bandsOf(docs: DataFrame, bannedSh: DataFrame): DataFrame = {
     val s = docs.sparkSession
-    graft.functions.WordShingles.register(s)
+    graft.functions.Natives.registerAll(s)
     graft.operators.TextOps.bandRowsFromShingles(
       docs.select(col("doc_id"), explode(word_shingles(col("text"))).as("shingle"))
         .join(bannedSh, Seq("shingle"), "left_anti"))
@@ -230,11 +229,20 @@ object BandIngest {
     *      group-derived base layout.
     *   2. Persist under a NEW content-addressed dir (generation tag =
     *      highest consumed batch id): probes never observe a
-    *      half-rebuilt index, and the old generation stays valid until
-    *      its readers drain.
-    *   3. Retire the consumed `bid=` dirs. A crash between (2) and (3)
-    *      is safe in the read direction: old index + intact deltas still
-    *      serve, the new dir is simply ready early.
+    *      half-rebuilt index.
+    *   3. Retire the consumed `bid=` dirs (default). NOTE the lifecycle
+    *      this implies: once rebuild returns, the OLD generation is no
+    *      longer a valid probe target — a reader still composing
+    *      `bandsWithDelta(oldDir, deltaDir)` has silently lost its delta
+    *      coverage. Single-process callers (this engine's ensure paths)
+    *      switch to the returned dir on the same line, so the window is
+    *      empty; a deployment with CONCURRENT long-lived readers passes
+    *      `retireConsumed = false`, switches every probe to the new dir,
+    *      and then calls [[retireDeltasUpTo]] with the new generation —
+    *      the old base + intact deltas stay serving until that drain
+    *      completes. A crash between (2) and (3) is safe in the read
+    *      direction either way: old index + intact deltas still serve,
+    *      the new dir is simply ready early.
     *
     * The result is BIT-IDENTICAL to a from-scratch [[buildBase]] over the
     * same grown corpus (spec-pinned) — the incremental lifecycle can
@@ -247,7 +255,8 @@ object BandIngest {
   def rebuild(s: SparkSession, sfDir: String, dropDir: String,
               deltaDir: String, cap: Int = DfCap,
               baseFilter: Column = q64BasePred,
-              split: String = "m10lt8"): String = {
+              split: String = "m10lt8",
+              retireConsumed: Boolean = true): String = {
     StateCompaction.healIfCrashed(deltaDir)
     val consumed = VecIngest.committedBidDirs(deltaDir)
     val gen = consumed
@@ -260,9 +269,20 @@ object BandIngest {
           .option("pathGlobFilter", "documents*.parquet").parquet(dropDir)),
       newDir, cap,
       meta = s"""{"sfDir":"$sfDir","cap":$cap,"gen":$gen}""")
-    consumed.foreach(d => StateCompaction.deleteTree(Paths.get(d)))
+    if (retireConsumed) retireDeltasUpTo(deltaDir, gen)
     newDir
   }
+
+  /** Drain-side delta retirement: delete committed `bid=` dirs at or
+    * below `gen` — exactly the set a rebuild tagged `+g$gen` consumed,
+    * even when newer deliveries have landed since. A deployment with
+    * concurrent readers calls this AFTER every probe has switched to the
+    * rebuilt dir (see [[rebuild]] step 3); deliveries past `gen` are
+    * untouched and keep accumulating against the new generation. */
+  def retireDeltasUpTo(deltaDir: String, gen: Long): Unit =
+    VecIngest.committedBidDirs(deltaDir)
+      .filter(p => new java.io.File(p).getName.stripPrefix("bid=").toLong <= gen)
+      .foreach(d => StateCompaction.deleteTree(Paths.get(d)))
 
   /** Base + committed deltas as one band table — what probes read.
     * Append-only by construction: band rows are derived state; a

@@ -73,8 +73,7 @@ object DocsFunnel {
     // clone only if it happened before start() — observed as
     // UNRESOLVED_ROUTINE gram_stats on the first stream of a fresh JVM.
     val bs = batch.sparkSession
-    graft.functions.Md5Long.register(bs)
-    graft.functions.WordShingles.register(bs)
+    graft.functions.Natives.registerAll(bs)
     val sig = TextOps.funnelSignals(bs, batch)
     // q38's decontamination rule, per-doc-local given the fixed list:
     // train-split docs (md5 first byte < 0xcc) with ≥ 5% shingle overlap.

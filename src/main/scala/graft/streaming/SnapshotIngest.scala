@@ -30,7 +30,10 @@ import graft.sources.SnapshotMerge
   *    version-guarded (a delta row wins only at seq ≥ stored), so the
   *    late batch's stale rows lose while its untouched-doc rows land —
   *    the end state is delivery-ORDER independent, not just
-  *    delivery-batching independent (spec-pinned).
+  *    delivery-batching independent (spec-pinned). Deletes persist
+  *    TOMBSTONES for the same reason: a removed-outright row would leave
+  *    no stored seq for a stale late upsert to lose to (spec-pinned:
+  *    upsert-after-delete cannot resurrect).
   *  - REPLAY idempotence: foreachBatch re-delivers an uncommitted batch
   *    after a crash. A replayed row re-applies at its own seq (ties go
   *    to the delta), overwriting with identical content — so a replayed

@@ -55,7 +55,7 @@ object VecIngest {
   private[graft] def assignBatch(batch: DataFrame, indexDir: String,
                                  deltaDir: String, batchId: Long): Unit = {
     val s = batch.sparkSession
-    graft.functions.DotProduct.register(s)
+    graft.functions.Natives.registerAll(s)
     val vecs = batch.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val cent = IvfIndex.centroids(s, indexDir)
@@ -131,8 +131,15 @@ object VecIngest {
       // committed subset of batch directories
       val delta = s.read.option("basePath", deltaDir).parquet(bidDirs: _*)
         .withColumn("bid", col("bid").cast(LongType))
+      // lazily local-checkpointed: the take() below must run the full
+      // aggregation anyway (it is a shuffle), so its blocks are stored
+      // once and every later reference — the over-budget fallback's
+      // anti/semi joins, the >64-redeliveries semi-join — reads them
+      // instead of re-paying the delta aggregation (blocks are tiny
+      // 3-long rows, reclaimed when the frame is unreferenced)
       val winsDf = delta.groupBy("vec_id")
         .agg(max(col("bid")).as("bid"), count(lit(1)).as("n"))
+        .localCheckpoint(false)
       // ONE job decides the branch AND supplies the rows: take() caps the
       // collect at budget+1 (the former limit.count + collect pair ran the
       // whole delta aggregation twice on every search-side call)

@@ -148,7 +148,7 @@ class BandIngestSpec extends AnyFunSuite {
     val bannedSet = BandIngest.banned(spark, idx).collect().map(_.getString(0)).toSet
     // recompute the expected banned set directly: shingles whose BASE
     // document frequency exceeds the cap
-    graft.functions.WordShingles.register(spark)
+    graft.functions.Natives.registerAll(spark)
     val expected = Tables.documents(spark, sf)
       .filter(pmod(col("doc_id"), lit(10)) < 8)
       .select(col("doc_id"),

@@ -13,7 +13,7 @@ class IvfPruneSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
   private def vecs = {
-    graft.functions.DotProduct.register(spark)
+    graft.functions.Natives.registerAll(spark)
     Tables.embeddings(spark, sf).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
   }

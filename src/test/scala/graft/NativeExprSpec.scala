@@ -12,8 +12,7 @@ class NativeExprSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
   private def registered = {
-    graft.functions.Md5Long.register(spark)
-    graft.functions.WordShingles.register(spark)
+    graft.functions.Natives.registerAll(spark)
     spark
   }
 
@@ -36,8 +35,7 @@ class NativeExprSpec extends AnyFunSuite {
   }
 
   test("sq_dist is BIT-identical to the aggregate/zip_with fold; ragged → NULL") {
-    graft.functions.SqDist.register(spark)
-    graft.functions.DotProduct.register(spark)
+    graft.functions.Natives.registerAll(spark)
     // real corpus vectors, all pairs of a 40-vector slice (1.6k pairs of
     // 64-dim doubles), plus constructed edge rows
     val v = Tables.embeddings(spark, sf).filter(col("vec_id") < 40)
@@ -164,7 +162,7 @@ class NativeExprSpec extends AnyFunSuite {
 
   test("sorted_pairs and sorted_pair_keys: cap boundary, duplicates, packing range") {
     val s = registered
-    graft.functions.SortedPairs.register(s)
+    graft.functions.Natives.registerAll(s)
     import s.implicits._
     import graft.functions.SortedPairs.{sorted_pairs, sorted_pair_keys}
     def naive(a: Seq[Long]): Seq[(Long, Long)] =
@@ -225,7 +223,7 @@ class NativeExprSpec extends AnyFunSuite {
 
   test("bounded_doc_set is invariant to partitioning, order, and sort fallback") {
     val s = registered
-    graft.functions.BoundedDocSetAgg.register(s)
+    graft.functions.Natives.registerAll(s)
     import s.implicits._
     val cap = 5
     // 3 shingles: under-cap, exactly-cap, over-cap (df=40 > cap+1=6)
@@ -264,7 +262,7 @@ class NativeExprSpec extends AnyFunSuite {
 
   test("gram_stats equals the explode/groupBy composition on the real corpus") {
     val s = registered
-    graft.functions.GramStats.register(s)
+    graft.functions.Natives.registerAll(s)
     // composed reference: per-doc total/distinct/max from the exploded
     // gram table — the pipeline form q59 used before going row-local
     def composed(n: Int) = {
@@ -294,7 +292,7 @@ class NativeExprSpec extends AnyFunSuite {
 
   test("gram_stats edge cases: empty, sub-gram, uniform repeats, non-ASCII") {
     val s = registered
-    graft.functions.GramStats.register(s)
+    graft.functions.Natives.registerAll(s)
     import s.implicits._
     def st(text: String, n: Int): (Long, Long, Long) = {
       val r = Seq(text).toDF("text")
@@ -321,7 +319,7 @@ class NativeExprSpec extends AnyFunSuite {
 
   test("dense_bitmap: membership exact, partition-invariant, bounds raise") {
     val s = registered
-    graft.functions.BitmapAgg.register(s)
+    graft.functions.Natives.registerAll(s)
     import s.implicits._
     val nBits = 1L << 10
     val positions = Seq(0L, 1L, 63L, 64L, 65L, 511L, 512L, 1023L, 63L, 0L)

@@ -55,7 +55,7 @@ class PqSpec extends AnyFunSuite {
   }
 
   test("native pq_adc equals the composed aggregate fold on the real index") {
-    graft.functions.PqAdc.register(spark)
+    graft.functions.Natives.registerAll(spark)
     val idx = PqIndex.ensure(spark, sf)
     val (mm, kc, dsub) = (PqIndex.M, PqIndex.Kc, PqIndex.Dsub)
     val probes = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)

@@ -75,7 +75,7 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("dense_bitmap equals a reference BitSet for random positions and widths") {
-    graft.functions.BitmapAgg.register(spark)
+    graft.functions.Natives.registerAll(spark)
     import spark.implicits._
     // widths straddle word boundaries (64-multiples and off-by-one) so the
     // last-word edge is always in play

@@ -52,7 +52,7 @@ class SnapshotIngestSpec extends AnyFunSuite {
   }
 
   private def snapDocs(dir: String): DataFrame =
-    spark.read.parquet(dir).select("doc_id", "text")
+    SnapshotMerge.liveDocs(spark, dir).select("doc_id", "text")
 
   /** An odd new-crawl doc id: its canonical upsert rides delivery 2, so
     * delivery 1 can carry a DRAFT version that must be superseded. */
@@ -124,6 +124,34 @@ class SnapshotIngestSpec extends AnyFunSuite {
     assert(m.exceptAll(e).isEmpty && e.exceptAll(m).isEmpty)
     assert(!snapDocs(dir).filter(col("doc_id") === probeId)
       .head().getString(1).startsWith("DRAFT"))
+  }
+
+  test("a stale upsert delivered after a delete cannot resurrect the doc") {
+    val dir = tmp("snap_ingest_tomb") + "/snap"
+    SnapshotMerge.writeBase(spark, sf, dir)
+    val dropDir = tmp("snap_drop_tomb"); val ckpt = tmp("snap_ckpt_tomb")
+    import spark.implicits._
+    // a doc the base holds: takedown at seq 2 applied FIRST, then a stale
+    // seq-1 revision of the same doc arrives late as its own micro-batch.
+    // Pre-tombstone, the delete left no stored seq for the upsert to lose
+    // to and the doc came back from the dead.
+    val mx = Tables.documentsMaxId(spark, sf)
+    val victim = SnapshotMerge.churnFloor(mx) // ≤ baseCut → in the base
+    deliver(Seq((victim, null: String, "delete", 2L))
+      .toDF("doc_id", "text", "op", "seq"), dropDir, "d2")
+    SnapshotIngest.start(spark, dropDir, dir, ckpt).awaitTermination()
+    assert(snapDocs(dir).filter(col("doc_id") === victim).isEmpty)
+    deliver(Seq((victim, "STALE revision from before the takedown", "upsert", 1L))
+      .toDF("doc_id", "text", "op", "seq"), dropDir, "d1")
+    SnapshotIngest.start(spark, dropDir, dir, ckpt).awaitTermination()
+    // the tombstone's seq defeats the stale upsert: still deleted
+    assert(snapDocs(dir).filter(col("doc_id") === victim).isEmpty)
+    // and a genuinely newer upsert (seq 3) revives the doc past the delete
+    deliver(Seq((victim, "fresh recrawl", "upsert", 3L))
+      .toDF("doc_id", "text", "op", "seq"), dropDir, "d3")
+    SnapshotIngest.start(spark, dropDir, dir, ckpt).awaitTermination()
+    assert(snapDocs(dir).filter(col("doc_id") === victim)
+      .head().getString(1) == "fresh recrawl")
   }
 
   test("a replayed batch reproduces the state (foreachBatch redelivery)") {

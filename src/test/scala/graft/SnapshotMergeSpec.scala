@@ -49,7 +49,7 @@ class SnapshotMergeSpec extends AnyFunSuite {
   }
 
   private def mergedDocs(dir: String): DataFrame =
-    spark.read.parquet(dir).select("doc_id", "text")
+    SnapshotMerge.liveDocs(spark, dir).select("doc_id", "text")
 
   test("apply lands the full-recompute end state, touching only delta partitions") {
     val dir = Files.createTempDirectory("graft_merge").toString + "/snap"
@@ -85,6 +85,31 @@ class SnapshotMergeSpec extends AnyFunSuite {
     assert(again.exceptAll(e).isEmpty && e.exceptAll(again).isEmpty)
   }
 
+  test("deletes persist tombstones; vacuum reclaims them only past the horizon") {
+    val dir = Files.createTempDirectory("graft_merge_vac").toString + "/snap"
+    SnapshotMerge.writeBase(spark, sf, dir)
+    val delta = SnapshotMerge.delta(spark, sf)
+    val nDeletes = delta.filter(col("op") === "delete").count()
+    assert(nDeletes > 0, "fixture must carry takedowns")
+    SnapshotMerge.applyDiff(spark, dir, delta)
+
+    def tombs() = spark.read.parquet(dir).filter(col("tomb"))
+    assert(tombs().count() == nDeletes)
+    val liveBefore = mergedDocs(dir).collect().toSet
+
+    // horizon at the deletes' seq (1): nothing is strictly below → no-op
+    assert(SnapshotMerge.vacuumTombstones(spark, dir, 1L) == 0)
+    assert(tombs().count() == nDeletes)
+
+    // horizon past them: all reclaimed, live view byte-identical
+    val rewritten = SnapshotMerge.vacuumTombstones(spark, dir, 2L)
+    assert(rewritten > 0)
+    assert(tombs().isEmpty)
+    assert(mergedDocs(dir).collect().toSet == liveBefore)
+    // idempotent: a second vacuum finds nothing
+    assert(SnapshotMerge.vacuumTombstones(spark, dir, 2L) == 0)
+  }
+
   test("a manifested crashed swap is healed forward by a plain read") {
     val dir = Files.createTempDirectory("graft_merge_crash").toString + "/snap"
     SnapshotMerge.writeBase(spark, sf, dir)
@@ -98,7 +123,7 @@ class SnapshotMergeSpec extends AnyFunSuite {
     val tmp = s"$dir.merge_tmp"
     spark.read.parquet(dir)
       .filter(col("part") === p.toInt)
-      .select("doc_id", "text", "seq", "part")
+      .select("doc_id", "text", "seq", "tomb", "part")
       .coalesce(1).write.partitionBy("part").parquet(tmp)
     Files.writeString(Paths.get(s"$tmp/.merge_manifest"), s"$p:keep\n$q:drop")
     deleteTree(Paths.get(s"$dir/part=$p")) // worst case: only copy is the temp

@@ -52,7 +52,7 @@ class VecIngestSpec extends AnyFunSuite {
     deliver(delta.filter(col("vec_id") % 3 =!= 0), dropDir, "d2")
     VecIngest.start(spark, dropDir, idx, deltaDir, ckpt).awaitTermination()
 
-    graft.functions.DotProduct.register(spark)
+    graft.functions.Natives.registerAll(spark)
     val batchAssign = IvfIndex.assign(
         delta.select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")),
