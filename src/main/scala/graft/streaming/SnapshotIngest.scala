@@ -91,4 +91,54 @@ object SnapshotIngest {
         applyBatch(b, snapDir)
       }
       .start()
+
+  /** RETENTION — retire CDC delivery files whose batch is COMMITTED
+    * (`BandIngest.retireDeltasUpTo`'s drop-file analog): a year of daily
+    * deliveries must not accumulate unboundedly in `dropDir` once their
+    * content lives in the snapshot. The committed set comes from the
+    * stream's OWN checkpoint — the source metadata log records which
+    * files each micro-batch read, the commit log records which batches
+    * finished their apply — so retirement can never touch a file a
+    * crash-replay still needs: foreachBatch only ever re-delivers an
+    * UNCOMMITTED batch, and those files (plus any file no batch has read
+    * yet) are exactly the ones left in place. Restart safety after
+    * deletion is the file source's normal contract: it plans new batches
+    * from its log + the live listing, never by re-reading retired paths.
+    *
+    * Call between stream runs (the offline/ownership convention every
+    * layout swap in this repo uses). Idempotent; returns the number of
+    * files deleted. */
+  def retireDeliveries(dropDir: String, checkpoint: String): Int = {
+    val maxCommitted = Option(new java.io.File(s"$checkpoint/commits")
+        .listFiles).toSeq.flatten
+      .flatMap(f => scala.util.Try(f.getName.toLong).toOption)
+      .foldLeft(-1L)(math.max)
+    if (maxCommitted < 0) return 0
+    // source 0's metadata log: one "v1"-headed file per batch (plus
+    // periodic <id>.compact files that re-list history); every entry line
+    // carries the file's uri and the batch that read it — the per-entry
+    // batchId is authoritative, so compacted logs parse identically
+    val logFiles = Option(new java.io.File(s"$checkpoint/sources/0")
+        .listFiles).toSeq.flatten
+      .filter(_.getName.matches("\\d+(\\.compact)?"))
+    val pathRe = "\"path\":\"([^\"]+)\"".r
+    val bidRe = "\"batchId\":(\\d+)".r
+    val dropRoot = java.nio.file.Paths.get(dropDir).toAbsolutePath.normalize
+    var retired = 0
+    logFiles.foreach { f =>
+      java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+        (bidRe.findFirstMatchIn(line), pathRe.findFirstMatchIn(line)) match {
+          case (Some(b), Some(u)) if b.group(1).toLong <= maxCommitted =>
+            val p = java.nio.file.Paths.get(new java.net.URI(u.group(1)))
+              .toAbsolutePath.normalize
+            // containment guard: the log is trusted state, but a delete
+            // outside the drop dir is never what retention means
+            if (p.startsWith(dropRoot) &&
+                java.nio.file.Files.deleteIfExists(p)) retired += 1
+          case _ =>
+        }
+      }
+    }
+    retired
+  }
 }

@@ -154,6 +154,41 @@ class SnapshotIngestSpec extends AnyFunSuite {
       .head().getString(1) == "fresh recrawl")
   }
 
+  test("retention: committed deliveries retire, unprocessed files survive, view unchanged") {
+    val dir = tmp("snap_ingest_ret") + "/snap"
+    SnapshotMerge.writeBase(spark, sf, dir)
+    val dropDir = tmp("snap_drop_ret"); val ckpt = tmp("snap_ckpt_ret")
+    def cdcFiles = Option(new java.io.File(dropDir).listFiles).toSeq.flatten
+      .map(_.getName).filter(n => n.startsWith("cdc") && n.endsWith(".parquet"))
+    // two deliveries over two stream runs — both batches committed
+    deliver(cdc(1, col("doc_id") % 2 === 0), dropDir, "d1")
+    SnapshotIngest.start(spark, dropDir, dir, ckpt).awaitTermination()
+    deliver(cdc(2, col("doc_id") % 2 =!= 0), dropDir, "d2")
+    SnapshotIngest.start(spark, dropDir, dir, ckpt).awaitTermination()
+    // a third delivery lands but is NOT streamed yet: no batch has read
+    // it, so retention must leave it in place
+    deliver(cdc(3, col("doc_id") % 100 === 7), dropDir, "d3_pending")
+    val before = SnapshotMerge.mergedLedger(spark, dir).collect().toSeq
+
+    val retired = SnapshotIngest.retireDeliveries(dropDir, ckpt)
+    assert(retired == 2, s"expected the 2 committed deliveries retired, got $retired")
+    assert(cdcFiles == Seq("cdc_d3_pending.parquet"),
+      s"unprocessed delivery must survive retention, saw $cdcFiles")
+    // the merged view is derived from the snapshot, not the drop files
+    assert(SnapshotMerge.mergedLedger(spark, dir).collect().toSeq == before)
+    // idempotent
+    assert(SnapshotIngest.retireDeliveries(dropDir, ckpt) == 0)
+
+    // the stream RESTARTS cleanly against the thinned drop dir (retired
+    // paths are never re-planned) and applies the pending delivery
+    SnapshotIngest.start(spark, dropDir, dir, ckpt).awaitTermination()
+    assert(SnapshotIngest.retireDeliveries(dropDir, ckpt) == 1)
+    assert(cdcFiles.isEmpty, "file count stays bounded after N deliveries")
+    // end state: base+d1+d2 state with d3's revisions on top of expected
+    val m = snapDocs(dir)
+    assert(m.count() == expected.count())
+  }
+
   test("a replayed batch reproduces the state (foreachBatch redelivery)") {
     val dir = tmp("snap_ingest_rp") + "/snap"
     SnapshotMerge.writeBase(spark, sf, dir)
