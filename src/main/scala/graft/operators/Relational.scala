@@ -67,7 +67,13 @@ object Relational {
     * min_by over a total order (line number is not unique within a group,
     * so the value itself tiebreaks) — deterministic, unlike bare first(). */
   val q2_dedup_merge: Q = (s, d) =>
-    lineitem(s, d)
+    // ORDERKEY-layout gated (see liOrdersBucketed): past gate scale the
+    // bucketed lineitem copy's HashPartitioning(l_orderkey) satisfies the
+    // (l_orderkey, l_partkey) grouping distribution — the full-fact
+    // exchange disappears and the aggregation runs in the scan stage.
+    // At gate scales the plain branch below stays bit-identical.
+    liOrdersBucketed(s, d).map(_._1).getOrElse(
+      lineitem(s, d)
       // Hash-partition by the dedup keys BEFORE aggregating. The keys are
       // near-unique (dup groups are the exception, etl.py:74-84), so
       // map-side partial aggregation reduces ~nothing — it only burns CPU
@@ -77,7 +83,7 @@ object Relational {
       // way; this form ships raw rows and does all agg work on the wide
       // side — the plan you want at any scale when reduction ratio ≈ 1.
       .repartition(s.sessionState.conf.numShufflePartitions,
-        col("l_orderkey"), col("l_partkey"))
+        col("l_orderkey"), col("l_partkey")))
       .groupBy("l_orderkey", "l_partkey")
       .agg(
         sum(money(col("l_quantity"))).cast(DoubleType).as("quantity"),
@@ -132,6 +138,35 @@ object Relational {
     else {
       val (li, pt) = graft.sources.BucketedLayout.ensure(s, d)
       (s.table(li), s.table(pt))
+    }
+  }
+
+  /** ORDERKEY family gate (q2/q6/q19/q20/q28 — round 12): every one of
+    * these shuffles lineitem and/or orders on the orderkey (q2/q19's
+    * group-by exchange, q6/q20/q28's fact-to-fact join), and unlike the
+    * partkey family there is NO broadcast escape at scale — orders is a
+    * fact, never broadcastable next to lineitem, so past gate scale every
+    * run re-shuffles. Same lever as [[liPart]]: pay the shuffle ONCE as a
+    * persisted orderkey-bucketed layout of both facts, after which the
+    * group-bys are exchange-free (HashPartitioning(l_orderkey) satisfies
+    * ClusteredDistribution for any grouping set containing the orderkey)
+    * and the joins are co-partitioned on both sides. ONE gate term: each
+    * bucket's lineitem share must be a row-group-scale chunk (the same
+    * measured 32 MB crossover as liPart; below it the fixed 32-task
+    * granularity costs more than the small shuffle it saves — and at gate
+    * scales AQE right-sizes the plain exchanges, which is exactly the
+    * behavior the plain branch keeps). Returns None at gate scales so the
+    * plain paths stay bit-identical to rounds ≤11. */
+  private[operators] def liOrdersBucketed(
+      s: SparkSession, d: String): Option[(DataFrame, DataFrame)] = {
+    val minBucketBytes =
+      s.conf.get("graft.bucketed.minBucketBytes", (32L << 20).toString).toLong
+    val bucketsPay = graft.Tables.tableBytes(d, "lineitem") >=
+      graft.sources.BucketedLayout.Buckets.toLong * minBucketBytes
+    if (!bucketsPay) None
+    else {
+      val (li, od) = graft.sources.BucketedLayout.ensureOrderkey(s, d)
+      Some((s.table(li), s.table(od)))
     }
   }
 
@@ -263,7 +298,14 @@ object Relational {
     // single-row-group lineitem scan task — the exchange distributes the
     // probe side across the cluster width. The calendar roles stay
     // broadcast (bounded dimension).
-    val perOrder = lineitem(s, d)
+    // ORDERKEY-layout gated (liOrdersBucketed): past gate scale both
+    // facts read orderkey-co-located buckets — the per-order rollup
+    // aggregates in the scan stage (no lineitem exchange) and the
+    // fact-to-fact join is co-partitioned on both sides (no orders
+    // exchange); only the 5-row priority aggregation still exchanges.
+    val (liSrc, odSrc) = liOrdersBucketed(s, d)
+      .getOrElse((lineitem(s, d), orders(s, d)))
+    val perOrder = liSrc
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_items_o"),
            sum(unix_date(col("l_shipdate").cast(DateType))).as("sum_sd"),
@@ -273,7 +315,7 @@ object Relational {
       // shuffle-hash while the per-task build fits, SMJ beyond (live
       // budget — the forced hint OOMs once orders outgrows the width;
       // see Tables.shuffleHashIfFits / EXPLAIN_r10 §7)
-      .join(shuffleHashIfFits(s, tableRows(s, d, "orders"), 120, orders(s, d)),
+      .join(shuffleHashIfFits(s, tableRows(s, d, "orders"), 120, odSrc),
             col("l_orderkey") === col("o_orderkey"))
       .join(oc, col("o_orderdate").cast(DateType) === col("oc.full_date"))
       .join(sc, col("first_ship") === col("sc.full_date"))
@@ -529,13 +571,15 @@ object Relational {
   // ----------------------------------------------- q19: HAVING on count
   /** F3/A1 — duplicate-group detection, filter on aggregate (etl.py:74-84). */
   val q19_dup_groups: Q = (s, d) =>
-    lineitem(s, d)
+    // ORDERKEY-layout gated, q2's reasoning verbatim (same grouping keys).
+    liOrdersBucketed(s, d).map(_._1).getOrElse(
+      lineitem(s, d)
       // near-unique group keys → partial agg reduces nothing; shuffle raw
       // rows and aggregate wide instead (same rationale as q2 above). No
       // explicit width: AQE right-sizes the exchange (at bench scale 32
       // fixed tasks cost more scheduling than they parallelize; at 100 TB
       // AQE widens to the data).
-      .repartition(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"), col("l_partkey")))
       .groupBy("l_orderkey", "l_partkey")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
@@ -544,19 +588,23 @@ object Relational {
   // --------------------------------------------------- q20: anti join
   /** S9 — the "Not Found" reject branch (etl.py:489-496) as a left-anti
     * join: orders that have no line items. */
-  val q20_orders_no_items: Q = (s, d) =>
-    orders(s, d)
+  val q20_orders_no_items: Q = (s, d) => {
+    // ORDERKEY-layout gated: co-partitioned anti join, zero exchanges.
+    val (liSrc, odSrc) = liOrdersBucketed(s, d)
+      .getOrElse((lineitem(s, d), orders(s, d)))
+    odSrc
       // SHUFFLE_HASH: the anti join only needs a key-set of the right
       // side — SMJ's two full sorts buy nothing here, and the build side
       // is a single deduplicatable bigint column. Still budget-gated:
       // even a key-only build grows linearly with the fact at fixed
       // width (24 B/row UnsafeRow; see Tables.shuffleHashIfFits).
       .join(shuffleHashIfFits(s, tableRows(s, d, "lineitem"), 24,
-              lineitem(s, d).select("l_orderkey")),
+              liSrc.select("l_orderkey")),
             col("o_orderkey") === col("l_orderkey"), "left_anti")
       .select(col("o_orderkey"), col("o_totalprice"),
               col("o_orderdate").cast(DateType).as("order_date"))
       .orderBy("o_orderkey")
+  }
 
   // --------------------------------------------------- q21: semi join
   /** Lookup-hit branch as left-semi: customers with ≥1 finished order. */

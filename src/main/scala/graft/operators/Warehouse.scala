@@ -75,8 +75,14 @@ object Warehouse {
     * Python's round, which is half-EVEN (banker's) on *.5 averages; the
     * exact-parity target for that reference line is
     * SuperstoreETL.shippingBehaviorFacts, which uses bround. */
-  val q28_shipping_behavior: Q = (s, d) =>
-    lineitem(s, d)
+  val q28_shipping_behavior: Q = (s, d) => {
+    // ORDERKEY-layout gated (Relational.liOrdersBucketed): past gate
+    // scale both facts read orderkey-co-located buckets and the
+    // fact-to-fact join is exchange-free on both sides; only the bounded
+    // priority×flag aggregation still exchanges.
+    val (liSrc, odSrc) = graft.operators.Relational.liOrdersBucketed(s, d)
+      .getOrElse((lineitem(s, d), orders(s, d)))
+    liSrc
       // fact-to-fact: SHUFFLE_HASH (see Relational.q6) -- orders is never
       // broadcastable next to lineitem at warehouse scale. A round-7
       // experiment pre-aggregated lineitem to (order, returnflag) grain
@@ -87,7 +93,7 @@ object Warehouse {
       // Kept raw: the exchange is the cheaper of the two (EXPLAIN_r7).
       // budget-gated hint: SMJ once orders outgrows the per-task build
       // envelope (Tables.shuffleHashIfFits; EXPLAIN_r10 §7)
-      .join(shuffleHashIfFits(s, tableRows(s, d, "orders"), 120, orders(s, d)),
+      .join(shuffleHashIfFits(s, tableRows(s, d, "orders"), 120, odSrc),
             col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority", "l_returnflag")
       .agg(
@@ -96,6 +102,7 @@ object Warehouse {
               count(lit(1)) + 0.5).cast(IntegerType).as("avg_delay"),
         count(lit(1)).as("method_freq"))
       .boundedOrderBy("o_orderpriority", "l_returnflag")
+  }
 
   // ------------------------------------------------- event sessionization
   /** Gap-based sessionization (30-min inactivity): lag over the per-user

@@ -39,44 +39,59 @@ object BucketedLayout {
 
   val Buckets = 32
 
-  private def hash(sfDir: String, buckets: Int): String =
+  private def hash(seed: String, buckets: Int): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|$buckets".getBytes("UTF-8"))
+      .digest(s"$seed|$buckets".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
 
-  /** Ensure the (lineitem, part) pair for `sfDir` exists bucketed by the
-    * partkey; returns the catalog table names. Builds the files once per
-    * config; re-registers only on a fresh catalog. */
-  def ensure(s: SparkSession, sfDir: String,
-             buckets: Int = Buckets): (String, String) = synchronized {
-    val h = hash(sfDir, buckets)
-    val names = Seq(("lineitem", "l_partkey"), ("part", "p_partkey")).map {
-      case (t, k) =>
-        val name = s"graft_${t}_bkt_$h"
-        if (!s.catalog.tableExists(name)) {
-          val loc = s"/root/repo/target/bucketed/$h/$t"
-          val marker = Paths.get(s"$loc/_bkt_ok")
-          if (Files.exists(marker)) {
-            // files already on disk from a previous JVM: register only
-            val ddl = s.read.parquet(loc).schema.toDDL
-            s.sql(s"""CREATE TABLE $name ($ddl) USING PARQUET
-                      CLUSTERED BY ($k) SORTED BY ($k) INTO $buckets BUCKETS
-                      LOCATION '$loc'""")
-          } else {
-            graft.Tables.table(s, sfDir, t)
-              // pre-cluster by the bucketer's own hash → one bucket per
-              // task → one file per bucket (tasks×buckets files otherwise,
-              // the partitionBy lesson applied to bucketing)
-              .repartition(buckets, col(k))
-              .write.mode("overwrite")
-              .bucketBy(buckets, k).sortBy(k)
-              .option("path", loc)
-              .saveAsTable(name)
-            Files.writeString(marker, "ok")
-          }
-        }
-        name
+  /** Generic single-table ensure: `table` bucketed+sorted by `key`,
+    * content-addressed by (sfDir, table, key, buckets) — one source table
+    * can have several bucketed copies under DIFFERENT keys (lineitem by
+    * l_partkey for the partkey family, by l_orderkey for the orderkey
+    * family); each is a distinct layout with its own address. Builds the
+    * files once per config; re-registers only on a fresh catalog. */
+  def ensureTable(s: SparkSession, sfDir: String, table: String,
+                  key: String, buckets: Int = Buckets): String = synchronized {
+    val h = hash(s"$sfDir|$table|$key", buckets)
+    val name = s"graft_${table}_bkt_$h"
+    if (!s.catalog.tableExists(name)) {
+      val loc = s"/root/repo/target/bucketed/$h/$table"
+      val marker = Paths.get(s"$loc/_bkt_ok")
+      if (Files.exists(marker)) {
+        // files already on disk from a previous JVM: register only
+        val ddl = s.read.parquet(loc).schema.toDDL
+        s.sql(s"""CREATE TABLE $name ($ddl) USING PARQUET
+                  CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+                  LOCATION '$loc'""")
+      } else {
+        graft.Tables.table(s, sfDir, table)
+          // pre-cluster by the bucketer's own hash → one bucket per
+          // task → one file per bucket (tasks×buckets files otherwise,
+          // the partitionBy lesson applied to bucketing)
+          .repartition(buckets, col(key))
+          .write.mode("overwrite")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", loc)
+          .saveAsTable(name)
+        Files.writeString(marker, "ok")
+      }
     }
-    (names.head, names(1))
+    name
   }
+
+  /** Ensure the (lineitem, part) pair for `sfDir` exists bucketed by the
+    * partkey; returns the catalog table names. */
+  def ensure(s: SparkSession, sfDir: String,
+             buckets: Int = Buckets): (String, String) =
+    (ensureTable(s, sfDir, "lineitem", "l_partkey", buckets),
+     ensureTable(s, sfDir, "part", "p_partkey", buckets))
+
+  /** Ensure the (lineitem, orders) pair for `sfDir` exists bucketed by the
+    * ORDER key — the second join/agg family's co-location (q2/q6/q19/q20/
+    * q28 all shuffle lineitem and/or orders on the orderkey; see
+    * Relational.liOrdersBucketed for the gate). */
+  def ensureOrderkey(s: SparkSession, sfDir: String,
+                     buckets: Int = Buckets): (String, String) =
+    (ensureTable(s, sfDir, "lineitem", "l_orderkey", buckets),
+     ensureTable(s, sfDir, "orders", "o_orderkey", buckets))
 }

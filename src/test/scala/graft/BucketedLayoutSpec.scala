@@ -64,6 +64,38 @@ class BucketedLayoutSpec extends AnyFunSuite {
     assert(rows(bucketedDf) == rows(plainDf))
   }
 
+  test("orderkey family gate: plain at gate scale, co-located past it, same rows") {
+    // default session at test scale: the gate returns None → plain scans
+    val plainPlan = SparkEntry.queries("q6_ship_delay")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plainPlan.contains("Bucketed: true"))
+    // a session with the per-bucket minimum dropped: the whole family
+    // flips to the orderkey-co-located layout, same rows each
+    val s2 = spark.newSession()
+    s2.conf.set("graft.bucketed.minBucketBytes", "0")
+    def hashExchanges(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    for (q <- Seq("q2_dedup_merge", "q6_ship_delay", "q19_dup_groups",
+                  "q20_orders_no_items", "q28_shipping_behavior")) {
+      val plain = SparkEntry.queries(q)(spark, sf)
+      val gated = SparkEntry.queries(q)(s2, sf)
+      val gPlan = gated.queryExecution.executedPlan.toString
+      assert(gPlan.contains("Bucketed: true"), s"$q gated plan not bucketed")
+      // the fact exchanges are gone: group-by-only members run the whole
+      // aggregation in the scan stage (zero hash exchanges), join members
+      // keep at most the bounded post-join aggregation exchange — always
+      // strictly fewer than the plain plan's fact shuffles
+      val (gx, px) = (hashExchanges(gPlan),
+        hashExchanges(plain.queryExecution.executedPlan.toString))
+      if (q == "q2_dedup_merge" || q == "q19_dup_groups" ||
+          q == "q20_orders_no_items")
+        assert(gx == 0, s"$q gated plan still hash-exchanges:\n$gPlan")
+      else assert(gx < px, s"$q gated $gx >= plain $px hash exchanges")
+      // value-faithfulness: same rows in the same order
+      assert(gated.collect().toSeq == plain.collect().toSeq, s"$q rows differ")
+    }
+  }
+
   test("q73 (bucketed) result equals q4 (source tables)") {
     def rows(df: DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
