@@ -13,13 +13,23 @@ object Verify {
     val whDir = outDir.stripSuffix("/") + "_wh"
     System.setProperty("graft.wh.dir", whDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is TIMESTAMP(NANOS)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k=v" — same override hook as Bench: lets a
+    // builder session oracle-check a GATED branch (e.g. force the
+    // bucketed family layouts at sf0.01 with
+    // graft.bucketed.minBucketBytes=0) instead of trusting the
+    // equal-rows spec pin alone. The driver's invocation leaves it
+    // unset = the committed gate defaults.
+    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(b0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // sorted: the run order (and thus any cross-query session state) is
