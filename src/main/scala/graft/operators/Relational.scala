@@ -170,6 +170,23 @@ object Relational {
     }
   }
 
+  /** Partkey-grain fact-aggregate source (q12/q14): both group BARE
+    * lineitem by l_partkey before their broadcast dim join, so past gate
+    * scale the PARTKEY-bucketed copy — already persisted for the q4
+    * family — runs the aggregation in the scan stage (zero exchanges
+    * before the slim post-agg rows). Single-term gate, liOrdersBucketed's
+    * reasoning: the group-by exchange exists regardless of the dim
+    * broadcast, so only the per-bucket-chunk condition matters. */
+  private[operators] def liByPartkey(s: SparkSession, d: String): Option[DataFrame] = {
+    val minBucketBytes =
+      s.conf.get("graft.bucketed.minBucketBytes", (32L << 20).toString).toLong
+    val bucketsPay = graft.Tables.tableBytes(d, "lineitem") >=
+      graft.sources.BucketedLayout.Buckets.toLong * minBucketBytes
+    if (!bucketsPay) None
+    else Some(s.table(
+      graft.sources.BucketedLayout.ensureTable(s, d, "lineitem", "l_partkey")))
+  }
+
   val q4_brand_revenue: Q = (s, d) => {
     val (li, pt) = liPart(s, d)
     li.join(pt, col("l_partkey") === col("p_partkey"))
@@ -445,7 +462,7 @@ object Relational {
     // `agg` (and pay the wide shuffle) or pre-filter to part's key set. The per-group sum runs in long e4 units
     // (bounded per-part groups) and converts to the exact decimal at the
     // aggregate boundary — see revenueE4.
-    val agg = lineitem(s, d)
+    val agg = liByPartkey(s, d).getOrElse(lineitem(s, d))
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(e4ToDecimal(sum(revenueE4)).as("rev_d"))
     // Two-phase top-k (round 10 audit): `RANK() ... <= 10` does NOT sort
@@ -491,7 +508,7 @@ object Relational {
     // same pre-aggregation as q12: p_partkey determines p_type, so the
     // (p_type, p_partkey) grain IS the l_partkey grain — aggregate the fact
     // alone, then broadcast-join the dim attribute onto ~|part| rows.
-    val base = lineitem(s, d)
+    val base = liByPartkey(s, d).getOrElse(lineitem(s, d))
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(e4ToDecimal(sum(revenueE4)).as("rev_d"))   // long e4 hot path, cf. q12
       .join(partB(s, d).select("p_partkey", "p_type"), Seq("p_partkey"))

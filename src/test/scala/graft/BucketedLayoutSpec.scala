@@ -76,7 +76,10 @@ class BucketedLayoutSpec extends AnyFunSuite {
     def hashExchanges(p: String): Int =
       "Exchange hashpartitioning".r.findAllIn(p).length
     for (q <- Seq("q2_dedup_merge", "q6_ship_delay", "q19_dup_groups",
-                  "q20_orders_no_items", "q28_shipping_behavior")) {
+                  "q20_orders_no_items", "q28_shipping_behavior",
+                  // partkey-grain fact aggregates riding the q4 family's
+                  // existing layout (Relational.liByPartkey)
+                  "q12_rank_parts", "q14_pareto_parts")) {
       val plain = SparkEntry.queries(q)(spark, sf)
       val gated = SparkEntry.queries(q)(s2, sf)
       val gPlan = gated.queryExecution.executedPlan.toString
@@ -88,7 +91,7 @@ class BucketedLayoutSpec extends AnyFunSuite {
       val (gx, px) = (hashExchanges(gPlan),
         hashExchanges(plain.queryExecution.executedPlan.toString))
       if (q == "q2_dedup_merge" || q == "q19_dup_groups" ||
-          q == "q20_orders_no_items")
+          q == "q20_orders_no_items" || q == "q12_rank_parts")
         assert(gx == 0, s"$q gated plan still hash-exchanges:\n$gPlan")
       else assert(gx < px, s"$q gated $gx >= plain $px hash exchanges")
       // value-faithfulness: same rows in the same order
