@@ -166,9 +166,20 @@ object Tables {
     * 4 (hash-map overhead: key array + load factor + UnsafeRow copies)
     * / shuffle width; hint while ≤ 32 MB, else return the frame
     * unhinted and the planner picks SMJ — which degrades to disk, not
-    * OOM. Same overestimate-flips-early discipline as dimBroadcast. */
+    * OOM. Same overestimate-flips-early discipline as dimBroadcast.
+    *
+    * `fixedWidth`: when the join runs CO-PARTITIONED on a persisted
+    * bucketed layout (Relational.liOrdersBucketed families), execution
+    * width is exactly the layout's bucket count — there is no exchange,
+    * so neither the session shuffle width nor AQE coalescing applies.
+    * Sizing against the session width there would overstate parallelism
+    * by width/buckets and the forced SHUFFLE_HASH could hit the exact
+    * "Can't acquire bytes" OOM this gate exists to prevent — precisely
+    * at the large scales where the layout gate engages. Callers on a
+    * bucketed source pass Some(BucketedLayout.Buckets). */
   def shuffleHashIfFits(s: SparkSession, buildRows: Long, rowBytes: Long,
-                        df: DataFrame): DataFrame = {
+                        df: DataFrame,
+                        fixedWidth: Option[Int] = None): DataFrame = {
     val conf = s.sessionState.conf
     val width = math.max(1, conf.numShufflePartitions).toLong
     val buildBytes = buildRows * rowBytes
@@ -181,12 +192,13 @@ object Tables {
     // so effWidth is an underestimate and the per-task figure an
     // overestimate: the gate flips to SMJ early, same safe direction as
     // dimBroadcast).
-    val effWidth =
+    val effWidth = fixedWidth.map(_.toLong.max(1L)).getOrElse {
       if (conf.adaptiveExecutionEnabled && conf.coalesceShufflePartitionsEnabled) {
         val advisory = math.max(1L, conf.getConf(
           org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
         math.max(1L, math.min(width, buildBytes / advisory))
       } else width
+    }
     if (buildBytes * 4 / effWidth <= (32L << 20)) df.hint("shuffle_hash")
     else df
   }

@@ -25,13 +25,20 @@ object Verify {
     // graft.bucketed.minBucketBytes=0) instead of trusting the
     // equal-rows spec pin alone. The driver's invocation leaves it
     // unset = the committed gate defaults.
-    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
+    val overrides = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .foldLeft(b0) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2); b.config(k, v)
-      }.getOrCreate()
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val spark = overrides
+      .foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Record which ambient overrides (if any) produced this artifact — a
+    // forced-gate verify run must be distinguishable from a default-gate
+    // one after the fact (both on stderr and durably in the dump dir).
+    val ovJson = overrides
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    System.err.println(s"[verify] conf overrides: $ovJson")
+    Files.writeString(Paths.get(s"$outDir/_conf_overrides.json"), ovJson)
     // sorted: the run order (and thus any cross-query session state) is
     // deterministic round over round, same as Bench
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -90,8 +90,18 @@ object Relational {
         sum(money(col("l_extendedprice"))).cast(DoubleType).as("sales"),
         (sum(money(col("l_discount")) * money(col("l_quantity"))).cast(DoubleType) /
           sum(money(col("l_quantity"))).cast(DoubleType)).as("discount_w"),
+        // "first row's value" under the total order (linenumber, flag) —
+        // packed into one LONG (linenumber dominates, the flag's single
+        // ASCII byte tiebreaks) instead of the former zero-padded
+        // format_string key: the orders are identical (zero-padded
+        // numeric-then-char lexicographic ≡ ln·256+ascii arithmetic), but
+        // the packed key is three codegen'd integer ops per row where the
+        // string key ALLOCATED a 12-char UTF8String per fact row — pure
+        // agg-side CPU at the 180 M-row scale where this query is
+        // aggregation-bound (EXPLAIN_r13 heavy-tail audit).
         min_by(col("l_returnflag"),
-               format_string("%010d|%s", col("l_linenumber"), col("l_returnflag")))
+               col("l_linenumber").cast(LongType) * 256 +
+                 ascii(col("l_returnflag")))
           .as("returnflag"),
         min(col("l_linenumber")).as("first_line"))
       .orderBy("l_orderkey", "l_partkey")
@@ -226,11 +236,27 @@ object Relational {
     * layouts directly). Values are layout-independent: the oracle runs
     * the identical slice against the PLAIN table, so the hash-match pins
     * the copy's value-faithfulness, q73's pattern. */
+  /** Epoch-micros bounds of the probe year — the session TZ is pinned UTC
+    * at every entry point, so these equal the `to_timestamp` literals in
+    * the row-level filters (manifest stats are physical TIMESTAMP_MICROS
+    * longs). */
+  private val micros1996 =
+    java.time.LocalDate.of(1996, 1, 1).toEpochDay * 86400L * 1000000L
+  private val micros1997 =
+    java.time.LocalDate.of(1997, 1, 1).toEpochDay * 86400L * 1000000L
+
   val q74_zorder_slice: Q = (s, d) => {
     val loc = graft.sources.ZOrderLayout.ensureLineitem(s, d)
     // same bound the oracle derives with MAX()//8 — exact integer division
     val maxPk = lineitem(s, d).agg(max(col("l_partkey"))).head().getLong(0)
-    s.read.parquet(loc)
+    // manifest-pruned: the file-level must-read set comes from ONE
+    // _stats_manifest read instead of O(files) plan-time footer reads
+    // (StatsManifest scaladoc; the full row-level filter below is still
+    // applied — file pruning only narrows the scan's input)
+    graft.sources.StatsManifest.prunedScan(s, loc, Seq(
+        graft.sources.StatsManifest.Range("l_partkey", None, Some(maxPk / 8)),
+        graft.sources.StatsManifest.Range("l_shipdate",
+          Some(micros1996), Some(micros1997 - 1))))
       .filter(col("l_partkey") <= lit(maxPk / 8) &&
               col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
               col("l_shipdate") < to_timestamp(lit("1997-01-01")))
@@ -259,7 +285,12 @@ object Relational {
     val b = lineitem(s, d)
       .agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
     val (maxPk, maxSk) = (b.getLong(0), b.getLong(1))
-    s.read.parquet(loc)
+    // manifest-pruned on all three clustered dimensions (see q74)
+    graft.sources.StatsManifest.prunedScan(s, loc, Seq(
+        graft.sources.StatsManifest.Range("l_partkey", None, Some(maxPk / 8)),
+        graft.sources.StatsManifest.Range("l_shipdate",
+          Some(micros1996), Some(micros1997 - 1)),
+        graft.sources.StatsManifest.Range("l_suppkey", None, Some(maxSk / 4))))
       .filter(col("l_partkey") <= lit(maxPk / 8) &&
               col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
               col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
@@ -320,8 +351,13 @@ object Relational {
     // aggregates in the scan stage (no lineitem exchange) and the
     // fact-to-fact join is co-partitioned on both sides (no orders
     // exchange); only the 5-row priority aggregation still exchanges.
-    val (liSrc, odSrc) = liOrdersBucketed(s, d)
+    val bucketedPair = liOrdersBucketed(s, d)
+    val (liSrc, odSrc) = bucketedPair
       .getOrElse((lineitem(s, d), orders(s, d)))
+    // co-partitioned bucketed join executes at exactly Buckets tasks (no
+    // exchange → no AQE coalescing): size the SHJ build against that
+    // width, not the session shuffle width
+    val shjWidth = bucketedPair.map(_ => graft.sources.BucketedLayout.Buckets)
     val perOrder = liSrc
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_items_o"),
@@ -332,7 +368,7 @@ object Relational {
       // shuffle-hash while the per-task build fits, SMJ beyond (live
       // budget — the forced hint OOMs once orders outgrows the width;
       // see Tables.shuffleHashIfFits / EXPLAIN_r10 §7)
-      .join(shuffleHashIfFits(s, tableRows(s, d, "orders"), 120, odSrc),
+      .join(shuffleHashIfFits(s, tableRows(s, d, "orders"), 120, odSrc, shjWidth),
             col("l_orderkey") === col("o_orderkey"))
       .join(oc, col("o_orderdate").cast(DateType) === col("oc.full_date"))
       .join(sc, col("first_ship") === col("sc.full_date"))
@@ -607,8 +643,12 @@ object Relational {
     * join: orders that have no line items. */
   val q20_orders_no_items: Q = (s, d) => {
     // ORDERKEY-layout gated: co-partitioned anti join, zero exchanges.
-    val (liSrc, odSrc) = liOrdersBucketed(s, d)
+    val bucketedPair = liOrdersBucketed(s, d)
+    val (liSrc, odSrc) = bucketedPair
       .getOrElse((lineitem(s, d), orders(s, d)))
+    // co-partitioned execution is fixed at Buckets tasks (no exchange →
+    // no AQE coalescing): size the SHJ build against that width
+    val shjWidth = bucketedPair.map(_ => graft.sources.BucketedLayout.Buckets)
     odSrc
       // SHUFFLE_HASH: the anti join only needs a key-set of the right
       // side — SMJ's two full sorts buy nothing here, and the build side
@@ -616,7 +656,7 @@ object Relational {
       // even a key-only build grows linearly with the fact at fixed
       // width (24 B/row UnsafeRow; see Tables.shuffleHashIfFits).
       .join(shuffleHashIfFits(s, tableRows(s, d, "lineitem"), 24,
-              liSrc.select("l_orderkey")),
+              liSrc.select("l_orderkey"), shjWidth),
             col("o_orderkey") === col("l_orderkey"), "left_anti")
       .select(col("o_orderkey"), col("o_totalprice"),
               col("o_orderdate").cast(DateType).as("order_date"))

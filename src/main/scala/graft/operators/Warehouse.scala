@@ -80,8 +80,12 @@ object Warehouse {
     // scale both facts read orderkey-co-located buckets and the
     // fact-to-fact join is exchange-free on both sides; only the bounded
     // priority×flag aggregation still exchanges.
-    val (liSrc, odSrc) = graft.operators.Relational.liOrdersBucketed(s, d)
+    val bucketedPair = graft.operators.Relational.liOrdersBucketed(s, d)
+    val (liSrc, odSrc) = bucketedPair
       .getOrElse((lineitem(s, d), orders(s, d)))
+    // co-partitioned bucketed execution is fixed at Buckets tasks: size
+    // the SHJ build against that width (see Tables.shuffleHashIfFits)
+    val shjWidth = bucketedPair.map(_ => graft.sources.BucketedLayout.Buckets)
     liSrc
       // fact-to-fact: SHUFFLE_HASH (see Relational.q6) -- orders is never
       // broadcastable next to lineitem at warehouse scale. A round-7
@@ -93,7 +97,7 @@ object Warehouse {
       // Kept raw: the exchange is the cheaper of the two (EXPLAIN_r7).
       // budget-gated hint: SMJ once orders outgrows the per-task build
       // envelope (Tables.shuffleHashIfFits; EXPLAIN_r10 §7)
-      .join(shuffleHashIfFits(s, tableRows(s, d, "orders"), 120, odSrc),
+      .join(shuffleHashIfFits(s, tableRows(s, d, "orders"), 120, odSrc, shjWidth),
             col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority", "l_returnflag")
       .agg(

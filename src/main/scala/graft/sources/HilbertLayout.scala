@@ -89,8 +89,14 @@ object HilbertLayout {
         Seq(col("l_partkey"), ZOrderLayout.dayOf(col("l_shipdate")),
             col("l_suppkey")),
         loc, files)
+      StatsManifest.write(s, loc, StatsCols)
       Files.writeString(marker, "ok")
-    }
+    } else if (!Files.exists(Paths.get(s"$loc/${StatsManifest.FileName}")))
+      // backfill for layouts persisted before the manifest existed
+      StatsManifest.write(s, loc, StatsCols)
     loc
   }
+
+  /** Manifest-tracked pruning columns: the three clustered dimensions. */
+  val StatsCols: Seq[String] = Seq("l_partkey", "l_shipdate", "l_suppkey")
 }

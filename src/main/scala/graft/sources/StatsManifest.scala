@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-level min/max stats manifest for the persisted layouts — the
+  * Delta/Iceberg move applied at plain-parquet level.
+  *
+  * WHY: layout pruning (q74's z-order slice, q77's Hilbert box) is footer
+  * work — each file's parquet footer carries the min/max that decides
+  * whether the file intersects the query box. Reading footers per file is
+  * fine at 28 files and a DRIVER-SIDE bottleneck at deployment file
+  * counts: thousands of files × one footer round-trip each, paid at PLAN
+  * time on every query (Spark's own split planning does the same listing
+  * + footer pass). A min/max manifest written ONCE at layout-build time
+  * makes plan-time pruning O(1) reads: one small JSON-lines file, scanned
+  * on the driver, instead of O(files) footer fetches.
+  *
+  * WHAT: `_stats_manifest.json` in the layout dir — one JSON line per
+  * data file: name, bytes, rows, and per tracked column the file-hull
+  * [min,max] as signed longs (INT32/INT64 physical columns: ids, epoch
+  * days, epoch micros — exactly the dimension types the layouts cluster
+  * on). Underscore prefix → invisible to Spark's file listing, like
+  * `_SUCCESS`.
+  *
+  * CONTRACT: the manifest is written by the layout builder AFTER the data
+  * files are final (build / append / compact all rewrite it), and lists
+  * EVERY data file — pruning reads only manifest-listed files, so a
+  * missing entry would silently drop rows. [[prunedScan]] therefore
+  * cross-checks the manifest's file census against one cheap name-only
+  * directory listing (an O(1)-RPC `list` call, NOT per-file footer reads
+  * — the thing this module exists to avoid) and falls back to the full
+  * scan, loudly, on any mismatch: stale pruning degrades to correct-but-
+  * unpruned, never to wrong.
+  *
+  * The stats themselves are read DISTRIBUTED at build time (executors
+  * open footers via parquet-hadoop), so manifest construction scales with
+  * the cluster, not the driver.
+  */
+object StatsManifest {
+
+  val FileName = "_stats_manifest.json"
+
+  /** One data file's manifest row. Stats map: column → (min, max), file
+    * hull over its row groups; absent when the footer carries no usable
+    * stats for that column (pruning then keeps the file — conservative). */
+  final case class Entry(name: String, bytes: Long, rows: Long,
+                         stats: Map[String, (Long, Long)])
+
+  /** Footer min/max of the requested columns for one parquet file, as
+    * longs (INT32 widened; INT64 as-is — covers ids, DATE epoch-days,
+    * TIMESTAMP_MICROS epoch-micros). Runs on EXECUTORS at build time. */
+  private def footerEntry(file: java.io.File, cols: Seq[String]): Entry = {
+    val in = HadoopInputFile.fromPath(new Path(file.getAbsolutePath),
+                                      new Configuration())
+    val r = ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = cols.flatMap { c =>
+        val perBlock = blocks.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .flatMap { cc =>
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.longValue, mx.longValue))
+                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                  Some((mn.longValue, mx.longValue))
+                case _ => None // non-integral physical type: no pruning
+              }
+            }
+        }
+        // file hull = union of row-group ranges; ALL row groups must carry
+        // stats or the column is dropped for this file (a stats-less row
+        // group could hold rows outside the partial hull)
+        if (perBlock.nonEmpty && perBlock.size == blocks.size)
+          Some(c -> ((perBlock.map(_._1).min, perBlock.map(_._2).max)))
+        else None
+      }.toMap
+      Entry(file.getName, file.length(), rows, stats)
+    } finally r.close()
+  }
+
+  private def dataFiles(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+
+  /** Build (or rebuild) the manifest for the layout at `dir`, tracking
+    * `cols`. Footer reads run distributed; the tiny result set collects
+    * to the driver (one row per FILE — bounded by layout file count, the
+    * same cardinality the manifest itself holds). Written atomically
+    * (temp + move) so readers never see a torn manifest. */
+  def write(s: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    val files = dataFiles(dir)
+    if (files.isEmpty) return
+    val paths = files.map(_.getAbsolutePath)
+    import s.implicits._
+    val colsB = cols // stable local for the closure
+    val entries = s.createDataset(paths)
+      .repartition(math.min(paths.size, 32))
+      .map(p => render(footerEntry(new java.io.File(p), colsB)))
+      .collect()
+      .sorted
+    val tmp = Paths.get(s"$dir/.${FileName}.tmp")
+    Files.writeString(tmp, entries.mkString("", "\n", "\n"))
+    Files.move(tmp, Paths.get(s"$dir/$FileName"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def render(e: Entry): String = {
+    val st = e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s""""$c":[$mn,$mx]""" }.mkString("{", ",", "}")
+    s"""{"name":"${e.name}","bytes":${e.bytes},"rows":${e.rows},"stats":$st}"""
+  }
+
+  // hand-rolled line parse — the writer above is the only producer, the
+  // grammar is one flat object per line with known keys
+  private val nameRe = "\"name\":\"([^\"]+)\"".r
+  private val bytesRe = "\"bytes\":(\\d+)".r
+  private val rowsRe = "\"rows\":(\\d+)".r
+  private val statRe = "\"([A-Za-z0-9_.]+)\":\\[(-?\\d+),(-?\\d+)\\]".r
+
+  def read(dir: String): Option[Seq[Entry]] = {
+    val p = Paths.get(s"$dir/$FileName")
+    if (!Files.exists(p)) None
+    else Some(Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val stats = l.indexOf("\"stats\":") match {
+        case -1 => Map.empty[String, (Long, Long)]
+        case i => statRe.findAllMatchIn(l.substring(i)).map(m =>
+          m.group(1) -> ((m.group(2).toLong, m.group(3).toLong))).toMap
+      }
+      Entry(nameRe.findFirstMatchIn(l).get.group(1),
+            bytesRe.findFirstMatchIn(l).get.group(1).toLong,
+            rowsRe.findFirstMatchIn(l).get.group(1).toLong, stats)
+    })
+  }
+
+  /** Closed-interval range predicate on a tracked column: keep files
+    * whose [min,max] hull intersects [lo,hi]. `None` bound = unbounded.
+    * Values in the column's physical long domain (DATE: epoch days;
+    * TIMESTAMP_MICROS: epoch micros). */
+  final case class Range(col: String, lo: Option[Long], hi: Option[Long])
+
+  /** The manifest-pruned must-read file names for a conjunction of range
+    * predicates — the same file-hull intersection a footer-pruning reader
+    * computes, answered from ONE manifest read. Files without stats for a
+    * predicate column are conservatively kept. */
+  def mustRead(entries: Seq[Entry], preds: Seq[Range]): Seq[String] =
+    entries.filter { e =>
+      preds.forall { p =>
+        e.stats.get(p.col) match {
+          case Some((mn, mx)) =>
+            p.hi.forall(mn <= _) && p.lo.forall(mx >= _)
+          case None => true // no stats → cannot exclude
+        }
+      }
+    }.map(_.name)
+
+  /** Manifest-pruned scan of the layout at `dir`: reads ONLY the files
+    * whose stats hull intersects every predicate. The caller must still
+    * apply the full row-level filter (manifest pruning is file-granular;
+    * row-group skipping inside selected files still happens from their
+    * own footers, as in any parquet scan).
+    *
+    * Census guard: if the manifest's file set does not exactly match the
+    * live directory's data files (a writer crashed between data and
+    * manifest, or foreign files appeared), pruning is UNSAFE — fall back
+    * to the full-directory scan with a loud stderr note. Costs one
+    * name-only listing, which the scan's own file index pays anyway.
+    * An all-files prune result also short-circuits to the directory scan
+    * (one relation instead of N file paths in the plan). */
+  def prunedScan(s: SparkSession, dir: String, preds: Seq[Range]): DataFrame =
+    read(dir) match {
+      case Some(entries)
+          if entries.map(_.name).sorted == dataFiles(dir).map(_.getName) =>
+        val keep = mustRead(entries, preds)
+        if (keep.size == entries.size) s.read.parquet(dir)
+        // empty must-read: schema still needed — scan the dir with an
+        // always-false partition of files is not expressible; read the
+        // full dir and let row-level filters return 0 rows (rare: a query
+        // box outside the data domain)
+        else if (keep.isEmpty) s.read.parquet(dir)
+        else s.read.parquet(keep.map(n => s"$dir/$n"): _*)
+      case Some(_) =>
+        System.err.println(s"[stats-manifest] census mismatch under $dir — " +
+          "pruning disabled for this scan (correct-but-unpruned fallback)")
+        s.read.parquet(dir)
+      case None => s.read.parquet(dir)
+    }
+}

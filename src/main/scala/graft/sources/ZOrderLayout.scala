@@ -114,8 +114,16 @@ object ZOrderLayout {
     if (!Files.exists(marker)) {
       writeZOrdered(graft.Tables.lineitem(s, sfDir),
         col("l_partkey"), dayOf(col("l_shipdate")), loc, files)
+      StatsManifest.write(s, loc, StatsCols)
       Files.writeString(marker, "ok")
-    }
+    } else if (!Files.exists(Paths.get(s"$loc/${StatsManifest.FileName}")))
+      // backfill for layouts persisted before the manifest existed —
+      // one distributed footer pass, the same cost the build would pay
+      StatsManifest.write(s, loc, StatsCols)
     loc
   }
+
+  /** Manifest-tracked pruning columns: the two clustered dimensions — the
+    * only columns whose file hulls the layout makes tight. */
+  val StatsCols: Seq[String] = Seq("l_partkey", "l_shipdate")
 }

@@ -126,7 +126,19 @@ object SnapshotIngest {
     val dropRoot = java.nio.file.Paths.get(dropDir).toAbsolutePath.normalize
     var retired = 0
     logFiles.foreach { f =>
-      java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      // VERSION PIN: the FileStreamSource metadata log is Spark-internal
+      // (HDFSMetadataLog), not public API — the "v1" header line and the
+      // FileEntry JSON field names are what this parser understands. A
+      // format change across Spark versions must fail LOUDLY here, not
+      // silently match nothing and quietly stop retiring (unbounded
+      // drop-dir growth with no symptom until disk fills).
+      require(lines.size > 0 && lines.get(0).trim == "v1",
+        s"unrecognized file-source log version in $f (expected 'v1' " +
+          s"header, got '${if (lines.isEmpty) "" else lines.get(0)}'): " +
+          "Spark's FileStreamSource log format changed — update " +
+          "SnapshotIngest.retireDeliveries before relying on retention")
+      lines.forEach { line =>
         (bidRe.findFirstMatchIn(line), pathRe.findFirstMatchIn(line)) match {
           case (Some(b), Some(u)) if b.group(1).toLong <= maxCommitted =>
             val p = java.nio.file.Paths.get(new java.net.URI(u.group(1)))
