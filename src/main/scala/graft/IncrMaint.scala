@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.BucketedLayout
+
+/** Measurement main for the bucketed layouts' incremental maintenance
+  * (round 13, VERDICT r12 #1): at a given SF, how does keeping the layout
+  * current through [[BucketedLayout.appendDelta]] compare to the full
+  * rebuild a source change otherwise forces?
+  *
+  * Protocol (all on a scratch copy so the shared layouts stay untouched):
+  *  1. base source  = lineitem with l_orderkey % 128 != 0  (~99.2%)
+  *  2. BUILD        — ensureTable over the base (the one-time layout cost)
+  *  3. source ingests the delta (l_orderkey % 128 == 0, ~0.8% — a "daily
+  *     batch"), APPEND — appendDelta routes it to its buckets
+  *  4. gated-plan check: the orderkey aggregation over the appended
+  *     (multi-file-bucket) layout still runs with zero hash exchanges
+  *  5. COMPACT      — fold back to one file per bucket
+  *  6. REBUILD      — ensureTable over a merged copy (the cost appendDelta
+  *     avoids), then merged ≡ rebuilt by a value fingerprint
+  *
+  * Prints one JSON line; EXPLAIN_r13 carries the table.
+  */
+object IncrMaint {
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val scratch = s"/root/repo/target/incr_maint"
+    graft.Fs.deleteTree(java.nio.file.Paths.get(scratch))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = Tables.lineitem(spark, sfDir)
+    val base = li.filter(col("l_orderkey") % 128 =!= 0)
+    val delta = li.filter(col("l_orderkey") % 128 === 0)
+
+    // scratch source dirs (the layout address is per source path)
+    val srcA = s"$scratch/a"  // build → append → compact
+    val srcB = s"$scratch/b"  // merged, full rebuild (the oracle)
+    base.write.parquet(s"$srcA/lineitem.parquet")
+    val deltaRows = delta.count()
+
+    val (_, tBuild) = timed {
+      BucketedLayout.ensureTable(spark, srcA, "lineitem", "l_orderkey") }
+
+    // the "daily ingest": delta lands in the source, then in the layout
+    delta.write.mode("append").parquet(s"$srcA/lineitem.parquet")
+    Tables.clearCaches()
+    val (nameA, tAppend) = timed {
+      BucketedLayout.appendDelta(spark, srcA, "lineitem", "l_orderkey", delta) }
+    val filesAppended = BucketedLayout.fileCount(spark, srcA, "lineitem", "l_orderkey")
+
+    // the layout's reason to exist survives the delta files: orderkey
+    // aggregation with zero hash exchanges over multi-file buckets
+    def agg(n: String): DataFrame = spark.table(n)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    val appendedPlan = agg(nameA).queryExecution.executedPlan.toString
+    val zeroExchange = !appendedPlan.contains("Exchange hashpartitioning")
+
+    val ((_, filesCompacted), tCompact) = timed {
+      BucketedLayout.compactBuckets(spark, srcA, "lineitem", "l_orderkey") }
+
+    // full rebuild over the merged source — the avoided cost
+    spark.read.parquet(s"$srcA/lineitem.parquet")
+      .write.parquet(s"$srcB/lineitem.parquet")
+    Tables.clearCaches()
+    val (nameB, tRebuild) = timed {
+      BucketedLayout.ensureTable(spark, srcB, "lineitem", "l_orderkey") }
+
+    // merged ≡ rebuilt: order-insensitive value fingerprint over every
+    // column (cheap: one pass each side, no shuffle beyond the final agg)
+    def fp(n: String): (Long, Long) = {
+      val df = spark.table(n)
+      // pmod keeps the 180 M-row sum far under Long.Max (ANSI mode would
+      // throw on a full-range xxhash64 sum)
+      val h = df.select(pmod(xxhash64(df.columns.sorted.map(col).toSeq: _*),
+        lit(1000000000L)).as("h"))
+      val r = h.agg(count(lit(1)), sum(col("h"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (rowsA, hashA) = fp(nameA)
+    val (rowsB, hashB) = fp(nameB)
+
+    println(
+      s"""{"sf_dir":"$sfDir","delta_rows":$deltaRows,"total_rows":$rowsA,""" +
+      s""""build_s":${f"$tBuild%.2f"},"append_s":${f"$tAppend%.2f"},""" +
+      s""""compact_s":${f"$tCompact%.2f"},"rebuild_s":${f"$tRebuild%.2f"},""" +
+      s""""files_after_append":$filesAppended,"files_after_compact":$filesCompacted,""" +
+      s""""zero_exchange_after_append":$zeroExchange,""" +
+      s""""merged_equals_rebuilt":${rowsA == rowsB && hashA == hashB}}""")
+    spark.stop()
+  }
+}

@@ -180,6 +180,38 @@ object Relational {
     }
   }
 
+  /** CUSTKEY family gate (q26 — round 13, VERDICT r12 #3's rider
+    * decision): orders⋈customer is fact-to-dim, but customer GROWS with
+    * the data — past the broadcast budget the join shuffles BOTH sides on
+    * the custkey every run, the exact shape the orderkey family fixed for
+    * fact-to-fact. Same lever, third key: persist (orders by o_custkey,
+    * customer by c_custkey) once, read co-located buckets after. TWO gate
+    * terms, mirroring [[liPart]]: while customer broadcasts, the plain
+    * plan is already orders-shuffle-free (bench scales — plain stays
+    * bit-identical); past it, engage once each bucket's ORDERS share is a
+    * row-group-scale chunk. The crossover is MEASURED for this family
+    * (EXPLAIN_r13 §3, isolated sf A/Bs): 0.78 MB/bucket loses 0.77×,
+    * 7.5 MB wins 1.44×, 22 MB wins 1.88× — sign flip between sf1 and
+    * sf10, so the default threshold sits at 4 MB/bucket, conservatively
+    * above the geometric midpoint (orders is ~¼ of lineitem per decade,
+    * which is why this family's threshold is ~¼ of liPart's measured
+    * 32 MB). Family-specific knob first, the shared knob as fallback so
+    * the forced-gate Verify run drives this branch too. */
+  private[operators] def ordersCustBucketed(
+      s: SparkSession, d: String): Option[(DataFrame, DataFrame)] = {
+    val minBucketBytes =
+      s.conf.get("graft.bucketed.custkey.minBucketBytes",
+                 s.conf.get("graft.bucketed.minBucketBytes",
+                            (4L << 20).toString)).toLong
+    val bucketsPay = graft.Tables.tableBytes(d, "orders") >=
+      graft.sources.BucketedLayout.Buckets.toLong * minBucketBytes
+    if (graft.Tables.fitsBroadcast(s, d, "customer", rowBytes = 160) ||
+        !bucketsPay) None
+    else Some((
+      s.table(graft.sources.BucketedLayout.ensureTable(s, d, "orders", "o_custkey")),
+      s.table(graft.sources.BucketedLayout.ensureTable(s, d, "customer", "c_custkey"))))
+  }
+
   /** Partkey-grain fact-aggregate source (q12/q14): both group BARE
     * lineitem by l_partkey before their broadcast dim join, so past gate
     * scale the PARTKEY-bucketed copy — already persisted for the q4

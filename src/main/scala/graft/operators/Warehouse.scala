@@ -25,9 +25,17 @@ object Warehouse {
   // ------------------------------------------------ monthly aggregate fact
   /** OrderM analog (etl.py:685-811): month × nation pre-aggregated order
     * fact. */
-  val q26_order_month: Q = (s, d) =>
-    orders(s, d)
-      .join(customerB(s, d), col("o_custkey") === col("c_custkey"))
+  val q26_order_month: Q = (s, d) => {
+    // CUSTKEY-layout gated (Relational.ordersCustBucketed): past the
+    // customer broadcast budget the plain plan shuffles BOTH sides on
+    // the custkey per run; the persisted custkey-bucketed pair reads
+    // co-located buckets instead (the bounded month×nation aggregation
+    // after the join still exchanges — a few hundred rows). At bench/
+    // gate scales the plain branch below is bit-identical to rounds ≤12.
+    val (odSrc, custSrc) = Relational.ordersCustBucketed(s, d)
+      .getOrElse((orders(s, d), customerB(s, d)))
+    odSrc
+      .join(custSrc, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(year(col("o_orderdate")).as("year_number"),
                month(col("o_orderdate")).as("month_number"),
@@ -37,6 +45,7 @@ object Warehouse {
            (sum(money(col("o_totalprice"))).cast(DoubleType) / count(lit(1)))
              .as("avg_order_value"))
       .boundedOrderBy("year_number", "month_number", "n_name")
+  }
 
   // --------------------------------------- cumulative product performance
   /** ProductPerformance analog with the reference's *cumulative* measure

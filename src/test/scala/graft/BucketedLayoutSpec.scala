@@ -99,6 +99,26 @@ class BucketedLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("custkey family gate (q26): plain while customer broadcasts, co-located past it, same rows") {
+    // default session at test scale: customer broadcasts → plain scans
+    val plainDf = SparkEntry.queries("q26_order_month")(spark, sf)
+    assert(!plainDf.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+    // past the broadcast budget with the per-bucket minimum dropped: the
+    // custkey-bucketed (orders, customer) pair engages — the join is
+    // co-partitioned (no custkey exchange on either side); only the
+    // bounded month×nation post-join aggregation exchanges
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("graft.bucketed.minBucketBytes", "0")
+    val gated = SparkEntry.queries("q26_order_month")(s2, sf)
+    val gPlan = gated.queryExecution.executedPlan.toString
+    assert(gPlan.contains("Bucketed: true"), s"q26 gated plan not bucketed:\n$gPlan")
+    assert(!gPlan.contains("Exchange hashpartitioning(o_custkey") &&
+           !gPlan.contains("Exchange hashpartitioning(c_custkey"),
+      s"q26 gated plan still exchanges a custkey side:\n$gPlan")
+    assert(gated.collect().toSeq == plainDf.collect().toSeq, "q26 rows differ")
+  }
+
   test("q73 (bucketed) result equals q4 (source tables)") {
     def rows(df: DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
