@@ -94,11 +94,12 @@ object Relational {
         // packed into one LONG (linenumber dominates, the flag's single
         // ASCII byte tiebreaks) instead of the former zero-padded
         // format_string key: the orders are identical (zero-padded
-        // numeric-then-char lexicographic ≡ ln·256+ascii arithmetic), but
+        // numeric-then-char lexicographic ≡ ln·256+ascii arithmetic), and
         // the packed key is three codegen'd integer ops per row where the
-        // string key ALLOCATED a 12-char UTF8String per fact row — pure
-        // agg-side CPU at the 180 M-row scale where this query is
-        // aggregation-bound (EXPLAIN_r13 heavy-tail audit).
+        // string key ALLOCATED a 12-char UTF8String per fact row. The sf30
+        // A/B read within-weather (~4% on mins — the agg is memory-bound,
+        // not tiebreak-bound; EXPLAIN_r13 §3), kept for the strictly
+        // smaller per-row work, not claimed as a measured win.
         min_by(col("l_returnflag"),
                col("l_linenumber").cast(LongType) * 256 +
                  ascii(col("l_returnflag")))
@@ -583,6 +584,12 @@ object Relational {
     val wRun = Window.partitionBy("p_type")
       .orderBy(col("rev_d").desc, col("p_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // whole-partition total. Probed at sf30 (EXPLAIN_r13 §3): giving this
+    // spec wRun's order + an unbounded frame (value-identical) to fuse
+    // both frames into one WindowExec moved nothing (7.20 vs 7.06 s) —
+    // the phase cost is the exchange + sort + presentation sort of the
+    // ~|part| grain, not the second window pass. Kept orderless (simpler,
+    // and the planner needs no second Sort for it).
     val wTot = Window.partitionBy("p_type")
     base
       .withColumn("running_d", sum(col("rev_d")).over(wRun))
