@@ -338,15 +338,23 @@ object Relational {
   // --------------------------------------------------- q5: multi-hop chain
   /** J6 — Orders⋈Location⋈State⋈Region chain (DA:cell 4) → here
     * orders⋈customer⋈nation⋈region; all dims broadcast. */
-  val q5_region_revenue: Q = (s, d) =>
-    orders(s, d)
-      .join(customerB(s, d), col("o_custkey") === col("c_custkey"))
+  val q5_region_revenue: Q = (s, d) => {
+    // CUSTKEY-layout gated (ordersCustBucketed, q26's lever): past the
+    // customer broadcast budget the first hop shuffles both sides; the
+    // persisted custkey pair co-partitions it. The nation/region hops
+    // stay broadcast (bounded dims) and the region×nation aggregation is
+    // bounded. Plain branch bit-identical at gate scales.
+    val (odSrc, custSrc) = ordersCustBucketed(s, d)
+      .getOrElse((orders(s, d), customerB(s, d)))
+    odSrc
+      .join(custSrc, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(dsum(money(col("o_totalprice"))).as("total_sales"),
            count(lit(1)).as("n_orders"))
       .boundedOrderBy("r_name", "n_name")
+  }
 
   // --------------------------------------- q6: role-playing calendar joins
   /** J2/J8/C5 — the reference's role-playing Calendar (order vs ship date,
@@ -559,8 +567,12 @@ object Relational {
     * (DA:cell 12). Partitioned by nation ⇒ parallel across the cluster. */
   val q13_running_sales: Q = (s, d) => {
     val w = Window.partitionBy("n_name").orderBy("order_date")
-    orders(s, d)
-      .join(customerB(s, d), col("o_custkey") === col("c_custkey"))
+    // CUSTKEY-layout gated join (see q26/q5); the nation-partitioned
+    // window after it re-exchanges on n_name either way.
+    val (odSrc, custSrc) = ordersCustBucketed(s, d)
+      .getOrElse((orders(s, d), customerB(s, d)))
+    odSrc
+      .join(custSrc, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("o_orderdate").cast(DateType).as("order_date"),
               col("o_orderkey"), col("o_totalprice"))
@@ -634,15 +646,23 @@ object Relational {
   /** §7.3 — surrogate keys in *first-appearance* order, the reference's
     * AUTO_INCREMENT semantics (etl.py:255-271): first appearance = min
     * order key, then row_number over it. */
-  val q17_customer_dim: Q = (s, d) =>
-    orders(s, d)
+  val q17_customer_dim: Q = (s, d) => {
+    // CUSTKEY-layout gated: the first-appearance aggregation groups
+    // orders by o_custkey, so the bucketed copy aggregates in the scan
+    // stage (HashPartitioning(o_custkey) satisfies the grouping) and the
+    // customer join is co-partitioned — zero custkey exchanges before
+    // the rank. Plain branch bit-identical at gate scales.
+    val (odSrc, custSrc) = ordersCustBucketed(s, d)
+      .getOrElse((orders(s, d), customerB(s, d)))
+    odSrc
       .groupBy("o_custkey")
       .agg(min(col("o_orderkey")).as("first_seen"))
-      .join(customerB(s, d), col("o_custkey") === col("c_custkey"))
+      .join(custSrc, col("o_custkey") === col("c_custkey"))
       .select(
         row_number().over(Window.orderBy("first_seen")).cast(IntegerType).as("customer_sk"),
         col("c_custkey"), col("c_name"), col("c_mktsegment"), col("first_seen"))
       .orderBy("customer_sk")
+  }
 
   // --------------------------------------------------- q18: lost value
   /** C6 — lost_value = sales/(1−discount) − sales, 0 when discount ≥ 1
@@ -704,12 +724,19 @@ object Relational {
 
   // --------------------------------------------------- q21: semi join
   /** Lookup-hit branch as left-semi: customers with ≥1 finished order. */
-  val q21_active_customers: Q = (s, d) =>
-    customer(s, d)
-      .join(orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey"),
+  val q21_active_customers: Q = (s, d) => {
+    // CUSTKEY-layout gated: the semi join shuffles both sides on the
+    // custkey at any scale (nothing broadcasts here — the probe side is
+    // the filtered fact); the bucketed pair co-partitions it, zero
+    // exchanges. Plain branch bit-identical at gate scales.
+    val (odSrc, custSrc) = ordersCustBucketed(s, d)
+      .getOrElse((orders(s, d), customer(s, d)))
+    custSrc
+      .join(odSrc.filter(col("o_orderstatus") === "F").select("o_custkey"),
             col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
+  }
 
   // --------------------------------------------- q22: weighted average
   /** A6 — quantity-weighted mean discount (etl.py:110-112) per brand. */
