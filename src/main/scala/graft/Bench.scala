@@ -234,7 +234,17 @@ object Bench {
       // shared with q69's flag set (build attributed to q38, the first
       // consumer in sort order); q65 deliberately keeps its own plan —
       // it measures the bloom alternative of the same semantics
-      "q38_decontamination", "q69_funnel")
+      "q38_decontamination", "q69_funnel") ++
+      // round 13: q17's scalable surrogate-key path (engaged when the
+      // customer dimension exceeds the rank row threshold) localCheckpoints
+      // its range-partitioned input during CONSTRUCTION — a prepared plan
+      // would serve the whole upstream pipeline from that materialization
+      // and hide the real per-query cost. Membership is CONDITIONAL on the
+      // gate so sf0.1 (window path, fully lazy) keeps prepared-statement
+      // reuse like any other query.
+      (if (graft.Tables.tableRows(spark, sfDir, "customer") >
+             spark.conf.get("graft.rank.maxWindowRows", (1L << 20).toString).toLong)
+         Set("q17_customer_dim") else Set.empty[String])
 
     val calibBefore = calibrate()
     val calibMtBefore = calibrateMt(cpus.toInt)

@@ -94,4 +94,62 @@ object Tuning {
     def boundedOrderBy(c1: String, cs: String*): DataFrame =
       Tuning.boundedOrderBy(df, (c1 +: cs).map(df.col): _*)
   }
+
+  /** Global `row_number() OVER (ORDER BY key)` for an UNBOUNDED input,
+    * without the single-partition window (surrogate-key assignment, q17):
+    * `Window.orderBy(...)` with no partition funnels EVERY row through
+    * ONE task — fine for bounded domains (q16's calendar), a scale-killer
+    * for a dimension that grows with the data.
+    *
+    * Two distributed phases instead:
+    *  1. range-partition on the UNIQUE order key (equal keys can never
+    *     split across range partitions; uniqueness is the caller's
+    *     contract and makes row_number == rank), sort within, and stamp
+    *     `monotonically_increasing_id` — partition id in the high bits,
+    *     the in-partition ROW INDEX of the sorted run in the low 33. No
+    *     second exchange, no per-partition window.
+    *  2. count rows per partition (the ONLY driver-side data: ≤ width
+    *     longs) and add each partition's prefix offset back via a literal
+    *     lookup map: global row number = offset(pid) + local index + 1.
+    *
+    * VALUES are partitioning-independent: whatever boundaries the range
+    * sampler picks, offsets are computed from the realized counts and the
+    * unique key fixes the total order — CPUS=8 and CPUS=32 produce
+    * identical numbers (the determinism probe covers the gated consumer).
+    * The input is persisted across the two passes; a recomputed-on-
+    * eviction partition reproduces the same ids because the partitioner's
+    * boundaries are frozen in the plan and the in-partition sort is total.
+    * Construction is EAGER (the counts job) — the same deliberate
+    * side-effect class as Tables.calendar/tableRows. */
+  def globalRowNumber(df: DataFrame, order: Column, name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val pid = shiftrightunsigned(col("__mid"), 33)
+    // localCheckpoint, not persist: CacheManager dedupes persist() by
+    // logical plan, so a re-CONSTRUCTED identical query would silently
+    // serve the whole upstream pipeline from the previous construction's
+    // cache — correct values, dishonest cost accounting (and a stale
+    // read if the source changed). The checkpoint materializes fresh per
+    // construction and pins the ids the offsets were computed from; a
+    // deployment on a lossy cluster would use reliable checkpoint or an
+    // explicit staging write, same shape. (Consumers that benchmark this
+    // path rebuild per pass — Bench.rebuildEachPass — because the
+    // construction itself runs the heavy jobs.)
+    val ranged = df.repartitionByRange(parts, order)
+      .sortWithinPartitions(order)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy(pid.as("__pid")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // prefix offsets: rows in all partitions BEFORE this one
+    val prefix = counts.scanLeft(0L) { case (cum, (_, n)) => cum + n }
+    val mapEntries = counts.map(_._1).zip(prefix)
+      .flatMap { case (p, off) => Seq(lit(p), lit(off)) }
+    val offCol =
+      if (mapEntries.isEmpty) lit(0L)
+      else element_at(map(mapEntries: _*), pid)
+    ranged
+      .withColumn(name, offCol + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
+      .drop("__mid")
+  }
 }

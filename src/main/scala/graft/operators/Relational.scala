@@ -654,14 +654,31 @@ object Relational {
     // the rank. Plain branch bit-identical at gate scales.
     val (odSrc, custSrc) = ordersCustBucketed(s, d)
       .getOrElse((orders(s, d), customerB(s, d)))
-    odSrc
+    val joined = odSrc
       .groupBy("o_custkey")
       .agg(min(col("o_orderkey")).as("first_seen"))
       .join(custSrc, col("o_custkey") === col("c_custkey"))
-      .select(
-        row_number().over(Window.orderBy("first_seen")).cast(IntegerType).as("customer_sk"),
-        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("first_seen"))
-      .orderBy("customer_sk")
+    // SURROGATE-KEY RANK, gated on dimension size: the single-partition
+    // window is the right plan while the dimension is modest (one task,
+    // zero extra jobs), but it funnels EVERY row through one task — for a
+    // dimension that grows with the data the scalable two-phase form
+    // (Tuning.globalRowNumber: range-partition + prefix offsets; values
+    // partitioning-independent because first_seen = min orderkey is
+    // unique per customer) takes over past the row threshold. Identical
+    // numbers on both branches — row_number over a unique key.
+    val maxWindowRows =
+      s.conf.get("graft.rank.maxWindowRows", (1L << 20).toString).toLong
+    val ranked =
+      if (tableRows(s, d, "customer") <= maxWindowRows)
+        joined.select(
+          row_number().over(Window.orderBy("first_seen"))
+            .cast(IntegerType).as("customer_sk"),
+          col("c_custkey"), col("c_name"), col("c_mktsegment"), col("first_seen"))
+      else
+        graft.Tuning.globalRowNumber(joined, col("first_seen"), "__sk")
+          .select(col("__sk").cast(IntegerType).as("customer_sk"),
+            col("c_custkey"), col("c_name"), col("c_mktsegment"), col("first_seen"))
+    ranked.orderBy("customer_sk")
   }
 
   // --------------------------------------------------- q18: lost value

@@ -82,6 +82,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(dates.sliding(2).forall(p => p(0).isBefore(p(1))))
   }
 
+  test("q17 scalable surrogate-key rank equals the single-window form") {
+    // default session at test scale: the single-partition window path
+    val window = Relational.q17_customer_dim(spark, sf).collect().toSeq
+    // forced past the row threshold: the distributed two-phase rank
+    // (Tuning.globalRowNumber) must produce IDENTICAL numbers — unique
+    // order key, offsets from realized counts
+    val s2 = spark.newSession()
+    s2.conf.set("graft.rank.maxWindowRows", "0")
+    val scalable = Relational.q17_customer_dim(s2, sf).collect().toSeq
+    assert(scalable == window)
+    // and the scalable plan carries no single-partition window
+    val plan = Relational.q17_customer_dim(s2, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["), s"scalable path still windows:\n$plan")
+  }
+
   test("pivot zero-fill matches FILTER-count semantics on sparse combos") {
     // q53's coalesce-to-0 path is not exercised by the test data (every
     // segment has every status); prove the semantics on a sparse frame
