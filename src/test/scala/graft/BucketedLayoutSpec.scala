@@ -117,10 +117,11 @@ class BucketedLayoutSpec extends AnyFunSuite {
            !gPlan.contains("Exchange hashpartitioning(c_custkey"),
       s"q26 gated plan still exchanges a custkey side:\n$gPlan")
     assert(gated.collect().toSeq == plainDf.collect().toSeq, "q26 rows differ")
-    // the riders (q5/q13/q17/q21 — round 13, every member won its sf10
-    // AND sf30 isolated A/B): bucketed plan, no custkey exchange on
-    // either side, same rows in the same order as the plain branch
-    for (q <- Seq("q5_region_revenue", "q13_running_sales",
+    // the riders (q5/q10/q11/q13/q17/q21 — round 13, every member won
+    // its sf10 AND sf30 isolated A/B): bucketed plan, no custkey
+    // exchange on either side, same rows in the same order as plain
+    for (q <- Seq("q5_region_revenue", "q10_distinct_customers",
+                  "q11_pct_of_total", "q13_running_sales",
                   "q17_customer_dim", "q21_active_customers")) {
       val plain = SparkEntry.queries(q)(spark, sf)
       val g = SparkEntry.queries(q)(s2, sf)

@@ -98,6 +98,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("Window ["), s"scalable path still windows:\n$plan")
   }
 
+  test("q13 two-phase running sum equals the direct window form") {
+    // default session at test scale: the direct per-nation RANGE window
+    val window = Relational.q13_running_sales(spark, sf).collect().toSeq
+    // forced past the fact-size threshold: daily-cumsum + broadcast-back
+    // must produce IDENTICAL values (a RANGE frame's running value IS the
+    // per-(nation, day) cumulative; exact decimal both paths)
+    val s2 = spark.newSession()
+    s2.conf.set("graft.window.maxDirectRunningRows", "0")
+    val twoPhase = Relational.q13_running_sales(s2, sf).collect().toSeq
+    assert(twoPhase == window)
+    // and the scalable plan windows only the bounded daily grain — no
+    // window over the fact-row stream (the Window's child aggregates)
+    val plan = Relational.q13_running_sales(s2, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Window"), "two-phase form should keep the daily window")
+  }
+
   test("pivot zero-fill matches FILTER-count semantics on sparse combos") {
     // q53's coalesce-to-0 path is not exercised by the test data (every
     // segment has every status); prove the semantics on a sparse frame
