@@ -23,13 +23,17 @@ import org.apache.spark.sql.functions.col
   * outlives the in-memory catalog entry). The frame is pre-partitioned by
   * the SAME hash the bucketer applies (both are HashPartitioning /
   * Murmur3), so each write task holds exactly one bucket — ONE file per
-  * bucket. The in-partition merge-join Sorts remain (Spark ≥3.0
-  * propagates bucket sort order only behind the legacy
-  * bucketedTableScan.outputOrdering conf, since multi-file buckets can't
-  * be trusted sorted); the EXCHANGES — the term that scales with the
-  * data — are gone, which is the point. A fresh JVM finds the `_bkt_ok`
-  * marker and re-registers the existing files with `CREATE TABLE ...
-  * CLUSTERED BY` DDL instead of rewriting.
+  * bucket. The EXCHANGES — the term that scales with the data — are gone,
+  * and with `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (set
+  * at session build by every entry point in this repo, round 13) the
+  * in-partition merge-join Sorts go too: Spark propagates the bucket sort
+  * order exactly when every selected bucket holds ≤ 1 file — its own
+  * guard, which [[appendDelta]]'s multi-file state trips automatically,
+  * so delta-carrying layouts fall back to sorting instead of trusting a
+  * concatenated read order (BucketedLayoutSpec pins both sides of the
+  * guard). A fresh JVM finds the `_bkt_ok` marker and re-registers the
+  * existing files with `CREATE TABLE ... CLUSTERED BY` DDL instead of
+  * rewriting.
   *
   * INCREMENTAL MAINTENANCE (round 13 — VERDICT r12 #1): a daily ingest at
   * 100 TB cannot re-sort two full copies of the largest fact, so the

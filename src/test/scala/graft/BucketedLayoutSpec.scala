@@ -22,15 +22,18 @@ class BucketedLayoutSpec extends AnyFunSuite {
     assert(!bPlan.contains("Exchange"),
       s"bucketed merge join must not shuffle either side:\n$bPlan")
     assert(bPlan.contains("SortMergeJoin"))
+    // round 13: with the legacy bucketedTableScan.outputOrdering conf
+    // (set at session build repo-wide) the compact one-file-per-bucket
+    // layout serves its WRITTEN sort order, so the merge join plans with
+    // NO Sort on either side — scan-direct SMJ
+    assert(!bPlan.contains("Sort "),
+      s"compact bucketed SMJ must be sort-free under the legacy conf:\n$bPlan")
     // same join over the plain parquet scans shuffles both sides
     val plain = Tables.lineitem(spark, sf).hint("merge")
       .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
     assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
     // the scans themselves are recognized as bucketed (co-location, the
-    // thing the layout buys; the in-partition merge-join Sorts remain —
-    // Spark ≥3.0 only propagates bucket sort order behind
-    // spark.sql.legacy.bucketedTableScan.outputOrdering because it
-    // cannot trust multi-file buckets to be sorted)
+    // thing the layout buys)
     assert(bPlan.contains("Bucketed: true"))
   }
 
