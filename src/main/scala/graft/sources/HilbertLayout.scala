@@ -67,34 +67,88 @@ object HilbertLayout {
     finally conf.set(key, prev)
   }
 
-  private def hash(sfDir: String, files: Int): String =
+  /** Content address: source + algo only — ZOrderLayout's r13 rationale
+    * (identity must not drift with source size; freshness is the
+    * `_layout_meta` stamp). */
+  private def hash(sfDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|$files|$Tag|$BitsPerDim".getBytes("UTF-8"))
+      .digest(s"$sfDir|$Tag|$BitsPerDim".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
+
+  private def locFor(sfDir: String) =
+    s"/root/repo/target/hilbert/${hash(sfDir)}/lineitem"
+
+  private def dims3 = Seq(col("l_partkey"),
+    ZOrderLayout.dayOf(col("l_shipdate")), col("l_suppkey"))
+
+  @volatile private var vacuumed = false
+  private def vacuumLegacyOnce(): Unit = {
+    if (vacuumed) return
+    vacuumed = true
+    LayoutMeta.vacuumLegacy("/root/repo/target/hilbert", "_h_ok")
+  }
 
   /** Ensure the 3-dim Hilbert-clustered lineitem copy for `sfDir` exists,
     * clustered on (l_partkey, day(l_shipdate), l_suppkey) — the three
-    * independent slice dimensions of q77. File-count sizing and
-    * content-address + marker caching identical to
+    * independent slice dimensions of q77. File-count sizing, stamp-checked
+    * reuse/rebuild, and manifest backfill identical to
     * [[ZOrderLayout.ensureLineitem]]. */
   def ensureLineitem3(s: SparkSession, sfDir: String): String = synchronized {
+    vacuumLegacyOnce()
     val targetBytes =
       s.conf.get("graft.zorder.targetBytes", (128L << 20).toString).toLong
     val files = math.max(16, math.ceil(
       graft.Tables.tableBytes(sfDir, "lineitem").toDouble / targetBytes).toInt)
-    val loc = s"/root/repo/target/hilbert/${hash(sfDir, files)}/lineitem"
+    val loc = locFor(sfDir)
     val marker = Paths.get(s"$loc/_h_ok")
-    if (!Files.exists(marker)) {
-      writeHilbert(graft.Tables.lineitem(s, sfDir),
-        Seq(col("l_partkey"), ZOrderLayout.dayOf(col("l_shipdate")),
-            col("l_suppkey")),
-        loc, files)
+    val stamp = graft.Tables.pathStamp(s"$sfDir/lineitem.parquet")
+    if (Files.exists(marker) && LayoutMeta.stamp(loc).contains(stamp)) {
+      if (!Files.exists(Paths.get(s"$loc/${StatsManifest.FileName}")))
+        StatsManifest.write(s, loc, StatsCols) // pre-manifest backfill
+    } else {
+      val dir = Paths.get(loc)
+      if (Files.exists(dir)) graft.Fs.deleteTree(dir) // stale or partial
+      writeHilbert(graft.Tables.lineitem(s, sfDir), dims3, loc, files)
       StatsManifest.write(s, loc, StatsCols)
+      LayoutMeta.write(loc, sfDir, "lineitem", stamp)
       Files.writeString(marker, "ok")
-    } else if (!Files.exists(Paths.get(s"$loc/${StatsManifest.FileName}")))
-      // backfill for layouts persisted before the manifest existed
-      StatsManifest.write(s, loc, StatsCols)
+    }
     loc
+  }
+
+  /** O(delta) maintenance — [[ZOrderLayout.appendDeltaLineitem]]'s shape
+    * on the 3-dim curve: delta clustered among itself, files moved in,
+    * manifest refreshed (true hulls → pruning stays correct), stamp
+    * advanced LAST so every crash point degrades to rebuild or to the
+    * loud unpruned fallback, never to wrong. */
+  def appendDeltaLineitem3(s: SparkSession, sfDir: String,
+                           delta: org.apache.spark.sql.DataFrame): Unit =
+    synchronized {
+      val loc = locFor(sfDir)
+      require(Files.exists(Paths.get(s"$loc/_h_ok")),
+        s"appendDelta: no persisted hilbert layout at $loc — ensure first")
+      val entries = StatsManifest.read(loc).getOrElse(Seq.empty)
+      val rowsPerFile = math.max(1L,
+        if (entries.isEmpty) Long.MaxValue
+        else entries.map(_.rows).sum / entries.size)
+      val deltaRows = delta.count()
+      val files = math.max(1, math.ceil(deltaRows.toDouble / rowsPerFile).toInt)
+      val tmp = s"$loc/.append_tmp"
+      graft.Fs.deleteTree(Paths.get(tmp))
+      writeHilbert(delta, dims3, tmp, files)
+      Option(new java.io.File(tmp).listFiles).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, Paths.get(s"$loc/${f.getName}")))
+      graft.Fs.deleteTree(Paths.get(tmp))
+      StatsManifest.write(s, loc, StatsCols)
+      LayoutMeta.write(loc, sfDir, "lineitem",
+        graft.Tables.pathStamp(s"$sfDir/lineitem.parquet"))
+    }
+
+  /** Full recluster — delta files fold back into the curve. */
+  def recluster(s: SparkSession, sfDir: String): String = synchronized {
+    graft.Fs.deleteTree(Paths.get(locFor(sfDir)))
+    ensureLineitem3(s, sfDir)
   }
 
   /** Manifest-tracked pruning columns: the three clustered dimensions. */

@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Shared `_layout_meta` handling for the clustered layouts (z-order,
+  * Hilbert) — the same source-stamp discipline BucketedLayout carries in
+  * `_bkt_meta`: a layout dir records the stamp of the source files it
+  * reflects, ensure REBUILDS on mismatch (a changed source must never be
+  * served a stale clustered copy — before round 13 these layouts were
+  * content-addressed by file COUNT, so a source change that kept the
+  * count was served stale), and the delta-append path advances the stamp
+  * instead. Meta is written LAST in every maintenance sequence, so a
+  * crash mid-append leaves the stamp old → the next ensure rebuilds
+  * rather than trusting a half-appended layout. */
+private[sources] object LayoutMeta {
+
+  val FileName = "_layout_meta"
+
+  def write(loc: String, sfDir: String, table: String, stamp: Long): Unit = {
+    val tmp = Paths.get(s"$loc/.$FileName.tmp")
+    Files.writeString(tmp,
+      s"""{"sfDir":"$sfDir","table":"$table","sourceStamp":$stamp}""")
+    Files.move(tmp, Paths.get(s"$loc/$FileName"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private val stampRe = "\"sourceStamp\":(-?\\d+)".r
+  def stamp(loc: String): Option[Long] = {
+    val p = Paths.get(s"$loc/$FileName")
+    if (!Files.exists(p)) None
+    else stampRe.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+  }
+
+  /** One-time vacuum of a layout family root: delete hash dirs whose
+    * build COMPLETED under a retired addressing scheme (the layout's
+    * completion `marker` present, meta absent) — BucketedLayout's
+    * vacuumLegacyOnce generalized. In-progress dirs (no marker) are left
+    * alone. Returns the number of dirs removed. */
+  def vacuumLegacy(root: String, marker: String): Int = {
+    var n = 0
+    Option(new java.io.File(root).listFiles).toSeq.flatten
+      .filter(_.isDirectory).foreach { hashDir =>
+        val tables = Option(hashDir.listFiles).toSeq.flatten.filter(_.isDirectory)
+        val legacy = tables.nonEmpty && tables.forall { t =>
+          new java.io.File(t, marker).isFile &&
+            !new java.io.File(t, FileName).isFile
+        }
+        if (legacy) {
+          System.err.println(
+            s"[layout] vacuuming legacy-scheme dir ${hashDir.getPath}")
+          graft.Fs.deleteTree(hashDir.toPath)
+          n += 1
+        }
+      }
+    n
+  }
+}

@@ -92,35 +92,104 @@ object ZOrderLayout {
   def dayOf(c: Column): Column =
     datediff(c.cast(DateType), lit("1970-01-01").cast(DateType)).cast(LongType)
 
-  private def hash(sfDir: String, files: Int): String =
+  /** Content address: source path + algorithm tag ONLY (round 13 — the
+    * pre-r13 seed also baked in the size-derived FILE COUNT, which made
+    * the address drift with source size: a grown source that crossed a
+    * file-count boundary silently orphaned the old dir, and one that
+    * did NOT cross was SERVED STALE. Identity is now the (source, algo)
+    * pair; size is a build-time choice recorded by the files themselves,
+    * and freshness is the `_layout_meta` source stamp). */
+  private def hash(sfDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|$files|$Tag".getBytes("UTF-8"))
+      .digest(s"$sfDir|$Tag".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
+
+  private def locFor(sfDir: String) =
+    s"/root/repo/target/zorder/${hash(sfDir)}/lineitem"
+
+  @volatile private var vacuumed = false
+  private def vacuumLegacyOnce(): Unit = {
+    if (vacuumed) return
+    vacuumed = true
+    LayoutMeta.vacuumLegacy("/root/repo/target/zorder", "_z_ok")
+  }
 
   /** Ensure the z-ordered lineitem copy for `sfDir` exists, clustered on
     * (l_partkey, day(l_shipdate)) — the two independent slice dimensions
     * of the part/time query family. File count is size-driven
     * (`graft.zorder.targetBytes`, default 128 MB — row-group-friendly at
     * deployment scale; the 16-file floor keeps the curve's rectangles
-    * real at test scale). Content-addressed + marker-cached: built once
-    * per config, like BucketedLayout. */
+    * real at test scale). Marker-cached AND stamp-checked: reused while
+    * the source stamp matches `_layout_meta`, REBUILT when it doesn't
+    * ([[appendDeltaLineitem]] is the incremental alternative that
+    * advances the stamp for O(delta) cost). */
   def ensureLineitem(s: SparkSession, sfDir: String): String = synchronized {
+    vacuumLegacyOnce()
     val targetBytes =
       s.conf.get("graft.zorder.targetBytes", (128L << 20).toString).toLong
     val files = math.max(16, math.ceil(
       graft.Tables.tableBytes(sfDir, "lineitem").toDouble / targetBytes).toInt)
-    val loc = s"/root/repo/target/zorder/${hash(sfDir, files)}/lineitem"
+    val loc = locFor(sfDir)
     val marker = Paths.get(s"$loc/_z_ok")
-    if (!Files.exists(marker)) {
+    val stamp = graft.Tables.pathStamp(s"$sfDir/lineitem.parquet")
+    if (Files.exists(marker) && LayoutMeta.stamp(loc).contains(stamp)) {
+      if (!Files.exists(Paths.get(s"$loc/${StatsManifest.FileName}")))
+        StatsManifest.write(s, loc, StatsCols) // pre-manifest backfill
+    } else {
+      val dir = Paths.get(loc)
+      if (Files.exists(dir)) graft.Fs.deleteTree(dir) // stale or partial
       writeZOrdered(graft.Tables.lineitem(s, sfDir),
         col("l_partkey"), dayOf(col("l_shipdate")), loc, files)
       StatsManifest.write(s, loc, StatsCols)
+      LayoutMeta.write(loc, sfDir, "lineitem", stamp)
       Files.writeString(marker, "ok")
-    } else if (!Files.exists(Paths.get(s"$loc/${StatsManifest.FileName}")))
-      // backfill for layouts persisted before the manifest existed —
-      // one distributed footer pass, the same cost the build would pay
-      StatsManifest.write(s, loc, StatsCols)
+    }
     loc
+  }
+
+  /** O(delta) maintenance for the z-ordered copy: cluster the DELTA rows
+    * among themselves (own bounds — placement only) into
+    * row-count-proportional new files, move them in, refresh the stats
+    * manifest (the new files' hulls are true, so pruning stays correct —
+    * merely less tight than a full recluster), and advance the source
+    * stamp LAST (a crash before it leaves the stamp old → next ensure
+    * rebuilds; a crash between the file move and the manifest leaves a
+    * census mismatch → prunedScan falls back to the full scan, loudly —
+    * every crash point degrades to correct). Caller contract matches
+    * BucketedLayout.appendDelta: `delta` is exactly the rows added to
+    * the source since the recorded stamp. Periodic full recluster =
+    * [[recluster]]. */
+  def appendDeltaLineitem(s: SparkSession, sfDir: String,
+                          delta: org.apache.spark.sql.DataFrame): Unit =
+    synchronized {
+      val loc = locFor(sfDir)
+      require(Files.exists(Paths.get(s"$loc/_z_ok")),
+        s"appendDelta: no persisted z-order layout at $loc — ensure first")
+      // size delta files to the layout's own rows-per-file
+      val entries = StatsManifest.read(loc).getOrElse(Seq.empty)
+      val rowsPerFile = math.max(1L,
+        if (entries.isEmpty) Long.MaxValue
+        else entries.map(_.rows).sum / entries.size)
+      val deltaRows = delta.count()
+      val files = math.max(1, math.ceil(deltaRows.toDouble / rowsPerFile).toInt)
+      val tmp = s"$loc/.append_tmp"
+      graft.Fs.deleteTree(Paths.get(tmp))
+      writeZOrdered(delta, col("l_partkey"), dayOf(col("l_shipdate")),
+        tmp, files)
+      Option(new java.io.File(tmp).listFiles).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, Paths.get(s"$loc/${f.getName}")))
+      graft.Fs.deleteTree(Paths.get(tmp))
+      StatsManifest.write(s, loc, StatsCols)
+      LayoutMeta.write(loc, sfDir, "lineitem",
+        graft.Tables.pathStamp(s"$sfDir/lineitem.parquet"))
+    }
+
+  /** Full recluster — the compaction analog: drop the copy and rebuild
+    * from the (current) source; delta files fold back into the curve. */
+  def recluster(s: SparkSession, sfDir: String): String = synchronized {
+    graft.Fs.deleteTree(Paths.get(locFor(sfDir)))
+    ensureLineitem(s, sfDir)
   }
 
   /** Manifest-tracked pruning columns: the two clustered dimensions — the

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{HilbertLayout, StatsManifest, ZOrderLayout}
+import graft.sources.StatsManifest.Range
+
+/** Incremental maintenance for the CLUSTERED layouts (round 13 follow-on
+  * to the bucketed story): delta appends keep the copy current for
+  * O(delta), the manifest stays a faithful census (pruning correct, just
+  * less tight, until recluster), and a source change WITHOUT an append
+  * rebuilds instead of serving stale. */
+class ClusteredDeltaSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private val root = "/root/repo/target/test_zdelta"
+
+  private def freshSource(tag: String, df: DataFrame): String = {
+    val d = s"$root/$tag"
+    graft.Fs.deleteTree(Paths.get(d))
+    df.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    Tables.clearCaches()
+    d
+  }
+
+  private def li = Tables.lineitem(spark, sf)
+  private def base = li.filter(col("l_orderkey") % 10 =!= 0)
+  private def delta = li.filter(col("l_orderkey") % 10 === 0)
+
+  private val micros1996 =
+    java.time.LocalDate.of(1996, 1, 1).toEpochDay * 86400L * 1000000L
+  private val micros1997 =
+    java.time.LocalDate.of(1997, 1, 1).toEpochDay * 86400L * 1000000L
+
+  private def sliceFilter(maxPk: Long) =
+    col("l_partkey") <= lit(maxPk / 8) &&
+      col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+      col("l_shipdate") < to_timestamp(lit("1997-01-01"))
+
+  test("z-order appendDelta: pruned slice stays value-correct, manifest census intact") {
+    val src = freshSource("zmerge", base)
+    val loc = ZOrderLayout.ensureLineitem(spark, src)
+    val filesBefore = StatsManifest.read(loc).get.size
+    // the source ingests the delta, the layout appends it
+    delta.write.mode("append").parquet(s"$src/lineitem.parquet")
+    Tables.clearCaches()
+    ZOrderLayout.appendDeltaLineitem(spark, src, delta)
+    val entries = StatsManifest.read(loc).get
+    assert(entries.size > filesBefore, "delta must land as new files")
+    // census intact → pruning ENGAGES (no fallback) and is value-correct
+    val maxPk = li.agg(max(col("l_partkey"))).head().getLong(0)
+    val preds = Seq(
+      Range("l_partkey", None, Some(maxPk / 8)),
+      Range("l_shipdate", Some(micros1996), Some(micros1997 - 1)))
+    val pruned = StatsManifest.prunedScan(spark, loc, preds)
+      .filter(sliceFilter(maxPk))
+    val mustRead = StatsManifest.mustRead(entries, preds).toSet
+    assert(pruned.inputFiles.map(_.split('/').last).toSet == mustRead,
+      "pruned scan must read exactly the manifest's must-read set")
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val expect = base.union(delta).filter(sliceFilter(maxPk))
+      .collect().map(key).sorted.toSeq
+    assert(pruned.collect().map(key).sorted.toSeq == expect)
+    // ensure now treats the appended layout as current — no rebuild
+    assert(ZOrderLayout.ensureLineitem(spark, src) == loc)
+    assert(StatsManifest.read(loc).get.size == entries.size)
+    // recluster folds the delta files back into the curve, same values
+    ZOrderLayout.recluster(spark, src)
+    val after = StatsManifest.prunedScan(spark, loc, preds)
+      .filter(sliceFilter(maxPk)).collect().map(key).sorted.toSeq
+    assert(after == expect)
+  }
+
+  test("z-order: a changed source WITHOUT an append rebuilds, not a stale serve") {
+    val src = freshSource("zstale", base)
+    val loc = ZOrderLayout.ensureLineitem(spark, src)
+    delta.write.mode("append").parquet(s"$src/lineitem.parquet")
+    Tables.clearCaches()
+    ZOrderLayout.ensureLineitem(spark, src)
+    val n = spark.read.parquet(loc).filter(col("l_orderkey") % 10 === 0).count()
+    assert(n == delta.count(), "rebuild must pick up the new rows")
+  }
+
+  test("hilbert appendDelta: same contract on the 3-dim curve") {
+    val src = freshSource("hmerge", base)
+    val loc = HilbertLayout.ensureLineitem3(spark, src)
+    delta.write.mode("append").parquet(s"$src/lineitem.parquet")
+    Tables.clearCaches()
+    HilbertLayout.appendDeltaLineitem3(spark, src, delta)
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val got = spark.read.parquet(loc).collect().map(key).sorted.toSeq
+    val expect = base.union(delta).collect().map(key).sorted.toSeq
+    assert(got == expect, "appended hilbert layout must hold base+delta")
+    // manifest census matches the live dir (pruning enabled, not fallback)
+    val entries = StatsManifest.read(loc).get
+    val live = new java.io.File(loc).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(entries.size == live)
+  }
+}
