@@ -473,6 +473,21 @@ object Bench {
       // line budget for the nested {err, ok} shape — flat err values +
       // recall arrays; bounds (0.15 / 2.0) and the nprobe order [1,2,4]
       // are documented in EXPLAIN_r8. ok == (err <= bound) by definition.
+      // LSH resolution attest (round 14): the live derived bits and the
+      // exact candidate-pair count they admit (Σ nC2 over the bucket
+      // histogram) — the quantity the N-derived gate holds ~linear in the
+      // corpus. Stderr detail line (the stdout line has no char budget);
+      // the per-rung recall evidence lives in the LshLadder artifact.
+      val lshBits = graft.operators.LshGate.bits(spark, sfDir)
+      val lshCand = Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.expr(
+          graft.operators.LshGate.sparkBucketExpr(lshBits)).as("bucket"))
+        .groupBy("bucket").count()
+        .agg(org.apache.spark.sql.functions.sum(
+          col("count") * (col("count") - 1) / 2).cast("long"))
+        .head.getLong(0)
+      System.err.println(
+        s"""[bench-detail] {"lsh_bits":$lshBits,"lsh_cand_pairs":$lshCand}""")
       s""","attest":{"q10b":${r3(relErr)},"q29b":${r3(rankErr)},""" +
         s""""ivf":[${recalls.map(_._2).mkString(",")}],"pq":$pqRecall}"""
     } catch { case e: Throwable =>
