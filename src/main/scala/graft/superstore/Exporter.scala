@@ -3,6 +3,8 @@ package graft.superstore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.StatsManifest
+
 /** Warehouse export + reject-quarantine utilities.
   *
   * Exporter = the reference's generate_excel.py (S4–S6): iterate the
@@ -185,7 +187,7 @@ object Exporter {
     * stats selective; unsorted writes carry full-range stats that can
     * never prune. */
   def persistItemPartitioned(item: DataFrame, calendar: DataFrame,
-                             outDir: String): Unit =
+                             outDir: String): Unit = {
     item
       .join(broadcast(calendar.select(col("calendar_id"), col("year_number"))),
             "calendar_id")
@@ -194,6 +196,26 @@ object Exporter {
       .write.mode("overwrite")
       .partitionBy("order_year")
       .parquet(s"$outDir/Item_by_year")
+    // stats manifest over the partition tree (round 14, VERDICT r13 #3):
+    // the last persisted structure still pruning via per-file footer
+    // reads joins the manifest layer — calendar-ranged readers answer
+    // must-read from ONE manifest read (readItemPruned) instead of
+    // O(files) footer fetches at plan time; partition-dir pruning on
+    // order_year still comes first and free.
+    StatsManifest.write(item.sparkSession, s"$outDir/Item_by_year",
+      Seq("calendar_id"))
+  }
+
+  /** Manifest-routed calendar-range reader over the partitioned Item
+    * layout: file-level pruning below the year-directory grain from one
+    * `_stats_manifest.json` read, census-guarded (falls back to the full
+    * scan, loudly, on any mismatch — correct-but-unpruned, never wrong).
+    * The caller still applies the row-level filter; this routes the SCAN,
+    * exactly like q74/q77 over the clustered layouts. */
+  def readItemPruned(s: SparkSession, outDir: String,
+                     loCal: Option[Long], hiCal: Option[Long]): DataFrame =
+    StatsManifest.prunedScan(s, s"$outDir/Item_by_year",
+      Seq(StatsManifest.Range("calendar_id", loCal, hiCal)))
 
   /** Small-file compaction for a partitioned fact directory — the
     * maintenance pass every long-lived table needs: streaming/incremental
@@ -222,6 +244,9 @@ object Exporter {
       .repartitionByRange(outTasks, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").partitionBy(partCol).parquet(dstDir)
+    // compaction is a (re)build: the compacted tree gets its own manifest
+    // so readItemPruned-style readers stay O(1)-read pruned post-compact
+    StatsManifest.write(s, dstDir, sortCols)
     (before.size, dataFiles(new java.io.File(dstDir)).size)
   }
 
