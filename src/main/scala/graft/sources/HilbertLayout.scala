@@ -141,8 +141,19 @@ object HilbertLayout {
         .foreach(f => Files.move(f.toPath, Paths.get(s"$loc/${f.getName}")))
       graft.Fs.deleteTree(Paths.get(tmp))
       StatsManifest.write(s, loc, StatsCols)
-      LayoutMeta.write(loc, sfDir, "lineitem",
-        graft.Tables.pathStamp(s"$sfDir/lineitem.parquet"))
+      // row-conservation guard — BucketedLayout.appendDelta's discipline
+      // (see ZOrderLayout.appendDeltaLineitem): a diverged source must
+      // recluster, never get a fresh stamp.
+      val layoutRows = StatsManifest.read(loc).map(_.map(_.rows).sum).getOrElse(-1L)
+      val sourceRows = graft.Tables.tableRows(s, sfDir, "lineitem")
+      if (layoutRows != sourceRows) {
+        System.err.println(
+          s"[hilbert] appendDelta divergence: layout holds $layoutRows rows, " +
+          s"source holds $sourceRows — reclustering from source.")
+        recluster(s, sfDir)
+      } else
+        LayoutMeta.write(loc, sfDir, "lineitem",
+          graft.Tables.pathStamp(s"$sfDir/lineitem.parquet"))
     }
 
   /** Full recluster — delta files fold back into the curve. */

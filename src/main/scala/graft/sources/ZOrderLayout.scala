@@ -181,8 +181,20 @@ object ZOrderLayout {
         .foreach(f => Files.move(f.toPath, Paths.get(s"$loc/${f.getName}")))
       graft.Fs.deleteTree(Paths.get(tmp))
       StatsManifest.write(s, loc, StatsCols)
-      LayoutMeta.write(loc, sfDir, "lineitem",
-        graft.Tables.pathStamp(s"$sfDir/lineitem.parquet"))
+      // row-conservation guard (round 14 — BucketedLayout.appendDelta's
+      // discipline applied curve-side): never advance the stamp over a
+      // layout that diverged from the source beyond the supplied delta.
+      // Both sides are metadata the append already paid for.
+      val layoutRows = StatsManifest.read(loc).map(_.map(_.rows).sum).getOrElse(-1L)
+      val sourceRows = graft.Tables.tableRows(s, sfDir, "lineitem")
+      if (layoutRows != sourceRows) {
+        System.err.println(
+          s"[zorder] appendDelta divergence: layout holds $layoutRows rows, " +
+          s"source holds $sourceRows — reclustering from source.")
+        recluster(s, sfDir)
+      } else
+        LayoutMeta.write(loc, sfDir, "lineitem",
+          graft.Tables.pathStamp(s"$sfDir/lineitem.parquet"))
     }
 
   /** Full recluster — the compaction analog: drop the copy and rebuild

@@ -85,6 +85,25 @@ class ClusteredDeltaSpec extends AnyFunSuite {
     assert(n == delta.count(), "rebuild must pick up the new rows")
   }
 
+  test("z-order appendDelta: an under-covering delta reclusters, never a stamp advance") {
+    // round 14: BucketedLayout's row-conservation guard, curve-side —
+    // two batches land in the source but the caller hands only the first
+    val half1 = delta.filter(col("l_linenumber") % 2 === 0)
+    val half2 = delta.filter(col("l_linenumber") % 2 =!= 0)
+    val src = freshSource("zdiverge", base)
+    val loc = ZOrderLayout.ensureLineitem(spark, src)
+    half1.write.mode("append").parquet(s"$src/lineitem.parquet")
+    half2.write.mode("append").parquet(s"$src/lineitem.parquet")
+    Tables.clearCaches()
+    ZOrderLayout.appendDeltaLineitem(spark, src, half1)
+    // the guard must have reclustered from the FULL source
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val got = spark.read.parquet(loc).collect().map(key).sorted.toSeq
+    val expect = base.union(delta).collect().map(key).sorted.toSeq
+    assert(got == expect, "guarded recluster must reflect the full source")
+    assert(ZOrderLayout.ensureLineitem(spark, src) == loc) // now fresh
+  }
+
   test("hilbert appendDelta: same contract on the 3-dim curve") {
     val src = freshSource("hmerge", base)
     val loc = HilbertLayout.ensureLineitem3(spark, src)
