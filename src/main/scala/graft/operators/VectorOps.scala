@@ -81,6 +81,14 @@ object VectorOps {
   /** Sign-bit code over the first 8 dimensions (random-hyperplane LSH with
     * axis-aligned planes — embeddings are already whitened/normalized).
     * Bucket histogram: the partition layout an IVF/LSH ANN index would use. */
+  /** Sign-bucket occupancy histogram at the CANONICAL 8-bit resolution —
+    * deliberately NOT gate-derived (round 14): as the sizing instrument
+    * its value is cross-scale comparability (same 256-bucket view at
+    * every SF, so occupancy growth is visible directly), while the live
+    * operator (q42) derives its own resolution via [[LshGate]]; the
+    * ladder artifact computes candidate counts at the DERIVED resolution
+    * separately (LshLadder). A derived-resolution histogram would also
+    * grow its own output with N — wrong shape for a diagnostic. */
   val q41_lsh_buckets: Q = (s, d) =>
     embeddings(s, d)
       .withColumn("bucket", expr(
