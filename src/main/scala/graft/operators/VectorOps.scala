@@ -79,9 +79,9 @@ object VectorOps {
 
   // --------------------------------------------------- sign-LSH buckets
   /** Sign-bit code over the first 8 dimensions (random-hyperplane LSH with
-    * axis-aligned planes — embeddings are already whitened/normalized).
-    * Bucket histogram: the partition layout an IVF/LSH ANN index would use. */
-  /** Sign-bucket occupancy histogram at the CANONICAL 8-bit resolution —
+    * axis-aligned planes — embeddings are already whitened/normalized);
+    * bucket histogram = the partition layout an IVF/LSH ANN index would
+    * use. The histogram stays at the CANONICAL 8-bit resolution —
     * deliberately NOT gate-derived (round 14): as the sizing instrument
     * its value is cross-scale comparability (same 256-bucket view at
     * every SF, so occupancy growth is visible directly), while the live
