@@ -108,32 +108,73 @@ object VectorOps {
     * count per unit data — holds ~flat from sf0.1 to sf30 instead of the
     * fixed-8-bit quadratic blow-up (798 M candidate pairs at sf30).
     * `graft.lsh.bits` forces a resolution; the DuckDB oracle replays the
-    * same derivation from count(*) (LshGate.oracleBitsSql). */
+    * same derivation from count(*) (LshGate.oracleBitsSql). Round 15 adds
+    * the per-bucket overflow split (skew robustness — see the body
+    * comment and the LshGate scaladoc). */
   val q42_lsh_neardup: Q = (s, d) => {
     register(s)
-    val bucketExpr = LshGate.sparkBucketExpr(LshGate.bits(s, d))
-    def vecs = embeddings(s, d)
-      .select(col("vec_id"), expr(VECD).as("v"),
-              expr(bucketExpr).as("bucket"))
-      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
-    val a = vecs.select(col("bucket"), col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1"))
-    // side b derives from an INDEPENDENTLY RESOLVED scan (fresh relation →
-    // fresh exprIds end to end, join key aliased) so the self-join never
-    // depends on DeduplicateRelations rewriting a shared subtree: in a
-    // long warm session that rewrite was observed to miss, failing
-    // executor-side with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (binding
-    // embedding#old against the deduped scan). Same discipline as
+    val bits = LshGate.bits(s, d)
+    // per-bucket overflow split (round 15, VERDICT r14 #1): the derived
+    // GLOBAL resolution bounds the AVERAGE occupancy; a sign-pattern-
+    // concentrated corpus (boilerplate mass) still piles f·N rows into one
+    // bucket → ~f²N²/2 candidates at any width. A tiny occupancy census
+    // (≤ 2^bits rows, column-pruned scan + map-side-combined count) gives
+    // every overflowing bucket (> factor·target rows) a LOCAL extension
+    // over the suffix dims — extendible hashing at plan level. The
+    // DuckDB oracle replays census + ladder + suffix code in plain SQL
+    // (LshGate.oracleExtSql/duckExtCodeExpr), so the hash gate follows
+    // the split exactly. On a corpus with no overflowing bucket the
+    // census is EMPTY and the output is bit-identical to the unsplit
+    // operator (small-SF outputs unchanged).
+    // each side derives from an INDEPENDENTLY RESOLVED scan — census
+    // included — (fresh relations → fresh exprIds end to end, every
+    // column aliased per side) so the self-join never depends on
+    // DeduplicateRelations rewriting a shared subtree: in a long warm
+    // session that rewrite was observed to miss, failing executor-side
+    // with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (binding embedding#old
+    // against the deduped scan). Same discipline as
     // plans.BandJoin.bandJoin's fresh().
-    val b = s.read.parquet(s"$d/embeddings.parquet")
-      .select(col("vec_id"), expr(VECD).as("v"),
-              expr(bucketExpr).as("bucket_b"))
-      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
-      .select(col("bucket_b"), col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2"))
-    a.join(b, col("bucket") === col("bucket_b")).filter(col("d1") < col("d2"))
+    def side(i: Int): DataFrame =
+      lshCodedScan(s, d, bits)
+        .select(col("bucket").as(s"bucket$i"), col("extc").as(s"extc$i"),
+                col("vec_id").as(s"d$i"), col("v").as(s"v$i"),
+                col("norm").as(s"n$i"))
+    side(1).join(side(2),
+        col("bucket1") === col("bucket2") && col("extc1") === col("extc2"))
+      .filter(col("d1") < col("d2"))
       .withColumn("cosine", dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= 0.2)
-      .select("bucket", "d1", "d2", "cosine")
+      .select(col("bucket1").as("bucket"), col("d1"), col("d2"), col("cosine"))
       .orderBy("bucket", "d1", "d2")
+  }
+
+  /** One FRESH sign-coded scan of the corpus at `d` under resolution
+    * `bits` and the session's split confs: (vec_id, v double-cast, norm,
+    * bucket, extc). Every call builds new relations (the q42 freshness
+    * discipline); q42's two join sides and LshLadder's instrument share
+    * exactly this construction so the measured candidate grain IS the
+    * operator's. */
+  def lshCodedScan(s: SparkSession, d: String, bits: Int): DataFrame = {
+    register(s)
+    val bucketExpr = LshGate.sparkBucketExpr(bits)
+    val ladder = LshGate.extLadderSql("n", LshGate.targetRows(s),
+      LshGate.splitFactor(s), LshGate.maxExtFor(bits).toString)
+    val census = s.read.parquet(s"$d/embeddings.parquet")
+      .select(expr(bucketExpr).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .select(col("bucket"), expr(ladder).as("ext"))
+      .filter(col("ext") > 0) // overflow buckets only — tiny by design
+    // broadcast is safe while the bucket domain is broadcastable; a
+    // hand-forced ultra-wide resolution falls back to a plain join
+    val cj = if (bits <= 20) broadcast(census) else census
+    s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), expr(VECD).as("v"),
+              expr(bucketExpr).as("bucket"))
+      .join(cj, Seq("bucket"), "left")
+      .withColumn("ext", coalesce(col("ext"), lit(0)))
+      .withColumn("extc", expr(LshGate.sparkExtCodeExpr("ext")))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+      .select("vec_id", "v", "norm", "bucket", "extc")
   }
 
   // ------------------------------------------------- kNN label vote
@@ -623,19 +664,29 @@ object VectorOps {
          FROM embeddings GROUP BY 1 ORDER BY 1""",
 
     // the resolution CTE replays LshGate's derivation (or its forced-conf
-    // override) from count(*) — integer CASE ladder, no float log2
+    // override) from count(*) — integer CASE ladder, no float log2; the
+    // cen/ve CTEs replay the round-15 per-bucket overflow split (census →
+    // extension ladder → suffix-dim code), same integer discipline
     "q42_lsh_neardup" ->
       s"""WITH res AS (
            SELECT ${LshGate.oracleBitsSql} AS nbits
            FROM (SELECT COUNT(*) AS c FROM embeddings)),
          vecs AS (
-           SELECT vec_id, $VECD_SQL AS v,
+           SELECT vec_id, embedding, $VECD_SQL AS v,
              sqrt(${dotDuck("v0", "v0").replace("v0", VECD_SQL)}) AS norm,
              ${LshGate.duckBucketExpr("nbits")} AS bucket
-           FROM embeddings, res)
+           FROM embeddings, res),
+         cen AS (
+           SELECT bucket, ${LshGate.oracleExtSql("COUNT(*)")} AS ext
+           FROM vecs GROUP BY bucket),
+         ve AS (
+           SELECT v.vec_id, v.v, v.norm, v.bucket,
+             ${LshGate.duckExtCodeExpr("ext")} AS extc
+           FROM vecs v JOIN cen USING (bucket))
          SELECT a.bucket, a.vec_id AS d1, b.vec_id AS d2,
            ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) AS cosine
-         FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         FROM ve a JOIN ve b
+           ON a.bucket = b.bucket AND a.extc = b.extc AND a.vec_id < b.vec_id
          WHERE ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) >= 0.2
          ORDER BY a.bucket, d1, d2""",
 

@@ -79,6 +79,84 @@ class LshGateSpec extends AnyFunSuite {
     }
   }
 
+  test("extBits: trigger, monotonicity, clamps; SQL ext ladder == Scala") {
+    // defaults: target 32, factor 4 → trigger at n > 128
+    assert(LshGate.extBits(128) == 0)  // at the trigger exactly → no split
+    assert(LshGate.extBits(129) == 3)  // smallest e with n ≤ 32·2^e
+    assert(LshGate.extBits(256) == 3)
+    assert(LshGate.extBits(257) == 4)
+    assert(LshGate.extBits(120000) == 12)
+    assert(LshGate.extBits(Long.MaxValue / 4) == LshGate.MaxExtBits) // clamp
+    assert(LshGate.extBits(1000000, factor = 0) == 0)                // disabled
+    // monotone in n
+    val es = Seq(1L, 129L, 300L, 5000L, 120000L, 1L << 40).map(LshGate.extBits(_))
+    assert(es == es.sorted)
+    // the ANSI ladder text computes the same widths (Spark SQL groks it)
+    val ladder = LshGate.extLadderSql("n", 32, 4, LshGate.MaxExtBits.toString)
+    for (n <- Seq(1L, 32L, 128L, 129L, 256L, 257L, 8192L, 120000L,
+                  1L << 30, Long.MaxValue / 4)) {
+      val got = spark.sql(s"SELECT $ladder FROM (SELECT CAST($n AS BIGINT) AS n)")
+        .head.getInt(0)
+      assert(got == LshGate.extBits(n), s"ext ladder diverges at n=$n")
+    }
+  }
+
+  test("q42 under a forced split == pure-Scala oracle (census, ladder, suffix code)") {
+    val d = sf // 500 vectors: the driver-side oracle is cheap
+    // force a resolution/budget that makes most buckets overflow: 4 bits
+    // → 16 buckets ≈ 31 rows each, trigger at n > 8, ext = ladder(n)
+    val (bits, target, factor) = (4, 4L, 2L)
+    spark.conf.set("graft.lsh.bits", bits.toString)
+    spark.conf.set("graft.lsh.targetBucketRows", target.toString)
+    spark.conf.set("graft.lsh.splitFactor", factor.toString)
+    try {
+      val got = SparkEntry.queries("q42_lsh_neardup")(spark, d)
+        .select(col("bucket"), col("d1"), col("d2")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      // independent oracle: the whole pipeline re-derived in plain Scala
+      // over the collected fixture (no shared code path with q42)
+      val vecs = Tables.embeddings(spark, d).select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def bucketOf(v: Array[Float]): Int =
+        (0 until bits).map(i => if (v(i) > 0f) 1 << i else 0).sum
+      val ext = vecs.groupBy(x => bucketOf(x._2)).map { case (b, xs) =>
+        b -> LshGate.extBits(xs.length, target, factor, LshGate.maxExtFor(bits)) }
+      def extcOf(v: Array[Float], e: Int): Long =
+        if (e <= 0) 0L
+        else (64 - e until 64).map(i => if (v(i) > 0f) 1L << (i - (64 - e)) else 0L).sum
+      def dot(a: Array[Float], b: Array[Float]): Double =
+        (0 until 64).foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+      val keyed = vecs.map { case (id, v) =>
+        val b = bucketOf(v); (id, v, b, extcOf(v, ext(b))) }
+      val expect = (for {
+        (i1, v1, b1, e1) <- keyed.toSeq
+        (i2, v2, b2, e2) <- keyed.toSeq
+        if i1 < i2 && b1 == b2 && e1 == e2
+        if dot(v1, v2) / (math.sqrt(dot(v1, v1)) * math.sqrt(dot(v2, v2))) >= 0.2
+      } yield (b1, i1, i2)).toSet
+      assert(ext.values.exists(_ > 0),
+        "fixture produced no overflowing bucket — the split test is vacuous")
+      assert(got == expect, "q42 under forced split != pure-Scala oracle")
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.unset("graft.lsh.bits")
+      spark.conf.unset("graft.lsh.targetBucketRows")
+      spark.conf.unset("graft.lsh.splitFactor")
+    }
+  }
+
+  test("split is a no-op where no bucket overflows (default small-SF invariance)") {
+    val d = sf // 500 rows over 256 buckets: far under the 128-row trigger
+    val dflt = SparkEntry.queries("q42_lsh_neardup")(spark, d)
+      .collect().toSeq.sortBy(_.toString)
+    spark.conf.set("graft.lsh.splitFactor", "0")
+    try {
+      val off = SparkEntry.queries("q42_lsh_neardup")(spark, d)
+        .collect().toSeq.sortBy(_.toString)
+      assert(dflt == off, "default output changed where no bucket overflows")
+    } finally spark.conf.unset("graft.lsh.splitFactor")
+  }
+
   test("derived resolution is the default path and matches forcing the same bits") {
     val d = sf
     val derived = LshGate.bits(spark, d)
