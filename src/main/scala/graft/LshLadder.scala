@@ -64,8 +64,18 @@ object LshLadder {
         val (cand, maxCell) = (h.getLong(0), h.getLong(1))
         val maxBucket = coded.groupBy("bucket").count()
           .agg(max(col("count"))).head.getLong(0)
+        // SPARK_GRAFT_LSH_SKIPJOIN=mode,mode — skip EXECUTING the
+        // candidate join for reference modes whose cost is the ladder's
+        // point (the f300 skew rung's unsplit join is ~7 G pairs / tens
+        // of minutes; its cand_pairs census and recall probe — the
+        // numbers the rung exists for — cost seconds). Skipped joins
+        // report wall/out_rows as -1, like Bench's failed-query marker.
+        val skipJoin = sys.env.get("SPARK_GRAFT_LSH_SKIPJOIN").toSeq
+          .flatMap(_.split(",")).map(_.trim).contains(tag)
         val q42 = SparkEntry.queries("q42_lsh_neardup")
-        val (rows, wall) = timed { q42(spark, sfDir).count() }
+        val (rows, wall) =
+          if (skipJoin) (-1L, -1.0)
+          else timed { q42(spark, sfDir).count() }
         // probe-anchored sampled recall, both thresholds from one pass;
         // CAUGHT == shares the probe's (bucket, extc) — the join grain
         val probes = coded.filter(col("vec_id") < 200)
