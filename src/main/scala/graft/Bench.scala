@@ -336,6 +336,89 @@ object Bench {
         s"""[bench-spill] {"passes":$passes,"cols":["memSpillMiB","diskSpillMiB","gcMs","taskRunMs"],"queries":{${cells.mkString(",")}}}""")
     }
 
+    // phase ruler closing the timed region (the matching open is above
+    // the warmup); read HERE so the storm self-adjudication below can
+    // consult it before the artifact lines are built
+    val calibAfter = calibrate()
+    val calibMtAfter = calibrateMt(cpus.toInt)
+
+    // ---- storm self-adjudication (round 15, VERDICT r14 #4) ------------
+    // A degraded window makes the interleaved 3-pass min read as a code
+    // regression: r14's driver artifact read 18% over r13 from weather
+    // alone, settled only by a NEXT-SESSION isolated re-run of the
+    // movers. When this run's own phase evidence flags degradation —
+    // either ruler past the storm mark, or a wide min≪median spread —
+    // the run re-reads its biggest movers in isolation (sequential,
+    // post-GC: the SPARK_GRAFT_ONLY mechanism folded into the same
+    // artifact) and folds each re-read in as EXTRA SAMPLES of the same
+    // min-of-k estimator — a min can only improve, never switch metric.
+    // Mover selection needs no cross-round reference: (a) queries whose
+    // own passes disagree (median/min > 1.3 — at most one pass is clean),
+    // and (b) the heavy tail (a storm spanning ALL THREE of a query's
+    // samples leaves median/min ≈ 1, which (a) cannot see — r14's q56
+    // case; re-reading the largest mins catches exactly those, and a
+    // genuinely-heavy query just re-confirms its value for a few
+    // seconds). Floor-class queries (min < 0.3 s) are excluded: their
+    // spread is scheduling noise the ruler already prices.
+    // SPARK_GRAFT_ADJUDICATE=0 disables, =1 forces; subset (ONLY) runs
+    // never adjudicate — they ARE the isolated re-read.
+    val stormStMark = spark.conf.getOption("graft.bench.stormStS")
+      .map(_.toDouble).getOrElse(0.2)
+    val spreadCount = queries.count { case (nm, _) =>
+      val s = samples(nm)
+      s.size >= 2 && s.min > 0.05 && s.sorted.apply(s.size / 2) / s.min > 1.15 }
+    val stormy = sys.env.getOrElse("SPARK_GRAFT_ADJUDICATE", "auto") match {
+      case "0" => false
+      case "1" => only.isEmpty
+      case _   => only.isEmpty && (
+        math.max(calibBefore, calibAfter) > stormStMark ||
+        (queries.nonEmpty && spreadCount * 4 > queries.size))
+    }
+    val adjudicated = scala.collection.mutable.Map[String, Double]()
+    if (stormy) {
+      def stats(nm: String): (Double, Double) = {
+        val s = samples(nm).sorted; (s.head, s(s.size / 2))
+      }
+      // shared-index RIDERS measure their INCREMENTAL cost in-suite (the
+      // build is attributed to the family head in sort order); isolation
+      // cannot reproduce that accounting — with the caches dropped they
+      // over-pay the build, with them warm they under-pay it (a stale
+      // index from the last pass made a q34 re-read read 0.04 s in the
+      // shakedown run — an invalid fold). Heads re-pay their own build
+      // per sample (caches dropped before EACH sample), which IS their
+      // in-suite accounting.
+      val riders = Set("q35_minhash_lsh", "q37_neardup_clusters", "q69_funnel")
+      val eligible = queries.map(_._1)
+        .filter(nm => !failed(nm) && samples(nm).nonEmpty && !riders(nm))
+      val disagree = eligible.map(nm => (nm, stats(nm)))
+        .filter { case (_, (mn, md)) => mn >= 0.3 && md / mn > 1.3 }
+        .sortBy { case (_, (mn, md)) => -(md - mn) }.take(5).map(_._1)
+      val heavy = eligible.filter(nm => stats(nm)._1 >= 1.0)
+        .sortBy(nm => -stats(nm)._1).take(3)
+      val movers = (disagree ++ heavy).distinct
+      movers.foreach { nm =>
+        val fn = SparkEntry.queries(nm)
+        val reread = (1 to 2).map { _ =>
+          System.gc()
+          graft.operators.TextOps.invalidateSharedIndex()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count()
+                Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] adjudication re-read of $nm FAILED: ${e.getMessage}")
+            None }
+        }.flatten
+        if (reread.nonEmpty) adjudicated(nm) = reread.min
+      }
+      val cells = movers.flatMap { nm =>
+        adjudicated.get(nm).map { r =>
+          f""""$nm":{"suite":${stats(nm)._1}%.3f,"reread":$r%.3f}""" } }
+      System.err.println(
+        f"""[bench-adjudicate] {"st":[$calibBefore%.3f,$calibAfter%.3f],""" +
+        f""""st_post":${calibrate()}%.3f,"spread_over_1p15":$spreadCount,""" +
+        s""""movers":{${cells.mkString(",")}}}""")
+    }
+
     def fmt(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Per-query seconds rounded to 10 ms, trailing zeros stripped: the
@@ -356,7 +439,9 @@ object Bench {
         "\"" + k + "\":" + s0
       }.mkString("{", ",", "}")
     val mins = queries.map { case (name, _) =>
-      name -> (if (failed(name) || samples(name).isEmpty) -1.0 else samples(name).min)
+      name -> (if (failed(name) || samples(name).isEmpty) -1.0
+               else adjudicated.get(name).fold(samples(name).min)(
+                 math.min(samples(name).min, _)))
     }
     val medians = queries.map { case (name, _) =>
       val s = samples(name).sorted
@@ -372,11 +457,10 @@ object Bench {
     // the box's phase noise; the third decimal only spent line budget
     val total = math.rint(gated.collect { case (_, v) if v >= 0 => v }.sum * 100) / 100
     val noOracleJson = noOracle.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // phase ruler bracketing the timed region (see calibrate()): stderr
+    // phase rulers bracketing the timed region (see calibrate()): stderr
     // only — comparisons across artifacts divide by these, the stdout
-    // line's budget stays untouched
-    val calibAfter = calibrate()
-    val calibMtAfter = calibrateMt(cpus.toInt)
+    // line's budget stays untouched (values read above, before the
+    // self-adjudication block, so they describe the SUITE window)
     System.err.println(
       f"""[bench-detail] {"calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f,""" +
       f""""calib_mt_before_s":$calibMtBefore%.3f,"calib_mt_after_s":$calibMtAfter%.3f}""")
@@ -478,16 +562,18 @@ object Bench {
       // histogram) — the quantity the N-derived gate holds ~linear in the
       // corpus. Stderr detail line (the stdout line has no char budget);
       // the per-rung recall evidence lives in the LshLadder artifact.
+      // candidate count at the JOIN grain — (bucket, extc) cells, i.e.
+      // the live operator's own candidate set including the round-15
+      // overflow split; max_cell pins the worst cell the split bounds
       val lshBits = graft.operators.LshGate.bits(spark, sfDir)
-      val lshCand = Tables.embeddings(spark, sfDir)
-        .select(org.apache.spark.sql.functions.expr(
-          graft.operators.LshGate.sparkBucketExpr(lshBits)).as("bucket"))
-        .groupBy("bucket").count()
+      val lshHist = graft.operators.VectorOps.lshCodedScan(spark, sfDir, lshBits)
+        .groupBy("bucket", "extc").count()
         .agg(org.apache.spark.sql.functions.sum(
-          col("count") * (col("count") - 1) / 2).cast("long"))
-        .head.getLong(0)
+               col("count") * (col("count") - 1) / 2).cast("long"),
+             org.apache.spark.sql.functions.max(col("count")))
+        .head
       System.err.println(
-        s"""[bench-detail] {"lsh_bits":$lshBits,"lsh_cand_pairs":$lshCand}""")
+        s"""[bench-detail] {"lsh_bits":$lshBits,"lsh_cand_pairs":${lshHist.getLong(0)},"lsh_max_cell":${lshHist.getLong(1)}}""")
       s""","attest":{"q10b":${r3(relErr)},"q29b":${r3(rankErr)},""" +
         s""""ivf":[${recalls.map(_._2).mkString(",")}],"pq":$pqRecall}"""
     } catch { case e: Throwable =>
