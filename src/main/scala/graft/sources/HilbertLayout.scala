@@ -110,7 +110,10 @@ object HilbertLayout {
       if (Files.exists(dir)) graft.Fs.deleteTree(dir) // stale or partial
       writeHilbert(graft.Tables.lineitem(s, sfDir), dims3, loc, files)
       StatsManifest.write(s, loc, StatsCols)
-      LayoutMeta.write(loc, sfDir, "lineitem", stamp)
+      // the freshly-clustered tightness IS the recluster policy's floor
+      val floor = StatsManifest.read(loc)
+        .map(StatsManifest.pointProbeBytes(_, StatsCols))
+      LayoutMeta.write(loc, sfDir, "lineitem", stamp, floor)
       Files.writeString(marker, "ok")
     }
     loc
@@ -152,8 +155,36 @@ object HilbertLayout {
           s"source holds $sourceRows — reclustering from source.")
         recluster(s, sfDir)
       } else
+        // stamp advance carries the recorded recluster floor (see
+        // ZOrderLayout.appendDeltaLineitem)
         LayoutMeta.write(loc, sfDir, "lineitem",
-          graft.Tables.pathStamp(s"$sfDir/lineitem.parquet"))
+          graft.Tables.pathStamp(s"$sfDir/lineitem.parquet"),
+          LayoutMeta.probeFloor(loc))
+    }
+
+  /** Recluster policy — ZOrderLayout.maintain's shape on the 3-dim curve
+    * (point-probe must-read bytes vs the recorded floor, recluster past
+    * k×; see that scaladoc for the derivation and defaults). */
+  def maintain(s: SparkSession, sfDir: String): Option[(Double, Double)] =
+    synchronized {
+      val loc = locFor(sfDir)
+      StatsManifest.read(loc) match {
+        case None => None
+        case Some(entries) =>
+          val metric = StatsManifest.pointProbeBytes(entries, StatsCols)
+          LayoutMeta.probeFloor(loc) match {
+            case None =>
+              LayoutMeta.write(loc, sfDir, "lineitem",
+                LayoutMeta.stamp(loc).getOrElse(0L), Some(metric))
+              None
+            case Some(floor) =>
+              val k = s.conf.get("graft.cluster.maxProbeBloat", "3.0").toDouble
+              if (floor > 0 && metric > k * floor) {
+                recluster(s, sfDir)
+                Some((metric, floor))
+              } else None
+          }
+      }
     }
 
   /** Full recluster — delta files fold back into the curve. */

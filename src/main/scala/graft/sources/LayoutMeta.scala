@@ -12,14 +12,23 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * instead. Meta is written LAST in every maintenance sequence, so a
   * crash mid-append leaves the stamp old → the next ensure rebuilds
   * rather than trusting a half-appended layout. */
-private[sources] object LayoutMeta {
+private[graft] object LayoutMeta {
 
   val FileName = "_layout_meta"
 
-  def write(loc: String, sfDir: String, table: String, stamp: Long): Unit = {
+  /** `probeFloor` (round 15, VERDICT r14 #2) is the point-probe expected
+    * must-read bytes of the layout as last (re)clustered
+    * ([[StatsManifest.pointProbeBytes]]) — the recluster policy's
+    * baseline: appends may only bloat the live metric so far over this
+    * floor before `maintain` folds the deltas back into the curve.
+    * Recorded at build/recluster, carried through by appendDelta's stamp
+    * advance, absent on pre-policy layouts (maintain backfills). */
+  def write(loc: String, sfDir: String, table: String, stamp: Long,
+            probeFloor: Option[Double] = None): Unit = {
     val tmp = Paths.get(s"$loc/.$FileName.tmp")
+    val floorField = probeFloor.fold("")(f => s""","probeFloor":$f""")
     Files.writeString(tmp,
-      s"""{"sfDir":"$sfDir","table":"$table","sourceStamp":$stamp}""")
+      s"""{"sfDir":"$sfDir","table":"$table","sourceStamp":$stamp$floorField}""")
     Files.move(tmp, Paths.get(s"$loc/$FileName"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -29,6 +38,13 @@ private[sources] object LayoutMeta {
     val p = Paths.get(s"$loc/$FileName")
     if (!Files.exists(p)) None
     else stampRe.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+  }
+
+  private val floorRe = "\"probeFloor\":(-?[0-9.eE+-]+)".r
+  def probeFloor(loc: String): Option[Double] = {
+    val p = Paths.get(s"$loc/$FileName")
+    if (!Files.exists(p)) None
+    else floorRe.findFirstMatchIn(Files.readString(p)).map(_.group(1).toDouble)
   }
 
   /** One-time vacuum of a layout family root: delete hash dirs whose

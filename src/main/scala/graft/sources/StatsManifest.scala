@@ -168,6 +168,41 @@ object StatsManifest {
     * TIMESTAMP_MICROS: epoch micros). */
   final case class Range(col: String, lo: Option[Long], hi: Option[Long])
 
+  /** Expected must-read bytes for a UNIFORMLY RANDOM probe point over the
+    * tracked dims — the recluster policy's tightness metric (round 15,
+    * VERDICT r14 #2): Σ over files of bytes·Π_dims(hull width / domain
+    * width), i.e. each file weighted by the probability a random point
+    * lands inside its hull. Pure manifest arithmetic, no I/O beyond the
+    * one manifest read the caller already has.
+    *
+    * Why this scalar: a WELL-clustered layout's files tile the key space,
+    * so the metric ≈ the bytes of the few files covering any one point
+    * (~one file) — and it stays there as the corpus grows, because more
+    * data means more, proportionally narrower hulls. A delta file
+    * clustered only among itself spans ~the full domain in every dim and
+    * contributes ~its WHOLE bytes — so the metric reads floor + Σ delta
+    * bytes, exactly the pruning-tightness decay the policy must bound.
+    * Files lacking stats for a dim count their full bytes (conservative,
+    * same as pruning keeps them). Degenerate domains (single value)
+    * count as width 1. */
+  def pointProbeBytes(entries: Seq[Entry], cols: Seq[String]): Double = {
+    val domains = cols.map { c =>
+      val hulls = entries.flatMap(_.stats.get(c))
+      c -> (if (hulls.isEmpty) (0L, 0L)
+            else (hulls.map(_._1).min, hulls.map(_._2).max))
+    }.toMap
+    entries.map { e =>
+      e.bytes * cols.map { c =>
+        val (dLo, dHi) = domains(c)
+        e.stats.get(c) match {
+          case Some((mn, mx)) if dHi > dLo =>
+            math.min(1.0, (mx - mn + 1).toDouble / (dHi - dLo + 1).toDouble)
+          case _ => 1.0
+        }
+      }.product
+    }.sum
+  }
+
   /** The manifest-pruned must-read file names for a conjunction of range
     * predicates — the same file-hull intersection a footer-pruning reader
     * computes, answered from ONE manifest read. Files without stats for a

@@ -141,7 +141,10 @@ object ZOrderLayout {
       writeZOrdered(graft.Tables.lineitem(s, sfDir),
         col("l_partkey"), dayOf(col("l_shipdate")), loc, files)
       StatsManifest.write(s, loc, StatsCols)
-      LayoutMeta.write(loc, sfDir, "lineitem", stamp)
+      // the freshly-clustered tightness IS the recluster policy's floor
+      val floor = StatsManifest.read(loc)
+        .map(StatsManifest.pointProbeBytes(_, StatsCols))
+      LayoutMeta.write(loc, sfDir, "lineitem", stamp, floor)
       Files.writeString(marker, "ok")
     }
     loc
@@ -193,8 +196,47 @@ object ZOrderLayout {
           s"source holds $sourceRows — reclustering from source.")
         recluster(s, sfDir)
       } else
+        // stamp advance CARRIES the recorded recluster floor — appends
+        // bloat the live metric, never the baseline
         LayoutMeta.write(loc, sfDir, "lineitem",
-          graft.Tables.pathStamp(s"$sfDir/lineitem.parquet"))
+          graft.Tables.pathStamp(s"$sfDir/lineitem.parquet"),
+          LayoutMeta.probeFloor(loc))
+    }
+
+  /** Recluster POLICY (round 15, VERDICT r14 #2 — the exact symmetry of
+    * BucketedLayout.maintain): appendDelta keeps values correct but every
+    * delta batch is clustered only among itself, so its file hulls span
+    * ~the whole (partkey, day) plane and pruning tightness decays
+    * monotonically. The trigger is computable from the manifest alone:
+    * the point-probe expected must-read bytes
+    * ([[StatsManifest.pointProbeBytes]]) against the floor recorded at
+    * the last (re)cluster — recluster when metric > k·floor
+    * (`graft.cluster.maxProbeBloat`, default 3: ~two full-file
+    * equivalents of accumulated delta hull mass before a fold, the same
+    * few-ingest-days cadence as the bucketed family's 4-files bound).
+    * Pre-policy layouts (meta without a floor) get the CURRENT state
+    * recorded as baseline and fold on the next qualifying tick. Returns
+    * Some((metric, floor)) when a recluster ran, None otherwise. */
+  def maintain(s: SparkSession, sfDir: String): Option[(Double, Double)] =
+    synchronized {
+      val loc = locFor(sfDir)
+      StatsManifest.read(loc) match {
+        case None => None // no manifest → nothing to decide from
+        case Some(entries) =>
+          val metric = StatsManifest.pointProbeBytes(entries, StatsCols)
+          LayoutMeta.probeFloor(loc) match {
+            case None =>
+              LayoutMeta.write(loc, sfDir, "lineitem",
+                LayoutMeta.stamp(loc).getOrElse(0L), Some(metric))
+              None
+            case Some(floor) =>
+              val k = s.conf.get("graft.cluster.maxProbeBloat", "3.0").toDouble
+              if (floor > 0 && metric > k * floor) {
+                recluster(s, sfDir)
+                Some((metric, floor))
+              } else None
+          }
+      }
     }
 
   /** Full recluster — the compaction analog: drop the copy and rebuild

@@ -104,6 +104,86 @@ class ClusteredDeltaSpec extends AnyFunSuite {
     assert(ZOrderLayout.ensureLineitem(spark, src) == loc) // now fresh
   }
 
+  test("z-order maintain: holds under the bloat bound, reclusters past it, both pinned") {
+    val src = freshSource("zmaint", base)
+    val loc = ZOrderLayout.ensureLineitem(spark, src)
+    val floor0 = graft.sources.LayoutMeta.probeFloor(loc)
+    assert(floor0.isDefined && floor0.get > 0,
+      "build must record the recluster floor")
+    // fresh layout: metric == floor → no fold at any sane k
+    assert(ZOrderLayout.maintain(spark, src).isEmpty)
+    // delta lands; its self-clustered files span ~the whole plane, so the
+    // point-probe metric reads floor + delta bytes
+    delta.write.mode("append").parquet(s"$src/lineitem.parquet")
+    Tables.clearCaches()
+    ZOrderLayout.appendDeltaLineitem(spark, src, delta)
+    val metric = StatsManifest.pointProbeBytes(
+      StatsManifest.read(loc).get, ZOrderLayout.StatsCols)
+    assert(metric > floor0.get, "appended deltas must bloat the metric")
+    val filesAppended = StatsManifest.read(loc).get.map(_.name).toSet
+    // under a generous bound the policy HOLDS (files untouched)…
+    spark.conf.set("graft.cluster.maxProbeBloat", "1000000")
+    try {
+      assert(ZOrderLayout.maintain(spark, src).isEmpty)
+      assert(StatsManifest.read(loc).get.map(_.name).toSet == filesAppended)
+      // …and past the bound it FOLDS: recluster, new floor, tight again
+      spark.conf.set("graft.cluster.maxProbeBloat", "1.0")
+      val fired = ZOrderLayout.maintain(spark, src)
+      assert(fired.isDefined, "bloat past k×floor must recluster")
+      val (m, f) = fired.get
+      assert(m == metric && f == floor0.get)
+      val floor1 = graft.sources.LayoutMeta.probeFloor(loc)
+      assert(floor1.isDefined, "recluster must re-record the floor")
+      // post-fold the metric sits AT the new floor → policy quiesces
+      assert(ZOrderLayout.maintain(spark, src).isEmpty)
+      // value fidelity through the fold
+      def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+      val got = spark.read.parquet(loc).collect().map(key).sorted.toSeq
+      val expect = base.union(delta).collect().map(key).sorted.toSeq
+      assert(got == expect)
+    } finally spark.conf.unset("graft.cluster.maxProbeBloat")
+  }
+
+  test("maintain backfills a pre-policy layout's floor instead of folding blind") {
+    val src = freshSource("zbackfill", base)
+    val loc = ZOrderLayout.ensureLineitem(spark, src)
+    // simulate a pre-r15 layout: meta carries stamp but no floor
+    graft.sources.LayoutMeta.write(loc, src, "lineitem",
+      graft.sources.LayoutMeta.stamp(loc).get)
+    assert(graft.sources.LayoutMeta.probeFloor(loc).isEmpty)
+    spark.conf.set("graft.cluster.maxProbeBloat", "1.0")
+    try {
+      val files = StatsManifest.read(loc).get.map(_.name).toSet
+      assert(ZOrderLayout.maintain(spark, src).isEmpty,
+        "first tick on a floor-less layout must record, not fold")
+      assert(StatsManifest.read(loc).get.map(_.name).toSet == files)
+      val backfilled = graft.sources.LayoutMeta.probeFloor(loc)
+      assert(backfilled.isDefined && backfilled.get > 0)
+      // the stamp must survive the backfill (no staleness regression)
+      assert(ZOrderLayout.ensureLineitem(spark, src) == loc)
+      assert(StatsManifest.read(loc).get.map(_.name).toSet == files)
+    } finally spark.conf.unset("graft.cluster.maxProbeBloat")
+  }
+
+  test("hilbert maintain: same policy on the 3-dim curve") {
+    val src = freshSource("hmaint", base)
+    val loc = HilbertLayout.ensureLineitem3(spark, src)
+    assert(graft.sources.LayoutMeta.probeFloor(loc).isDefined)
+    assert(HilbertLayout.maintain(spark, src).isEmpty)
+    delta.write.mode("append").parquet(s"$src/lineitem.parquet")
+    Tables.clearCaches()
+    HilbertLayout.appendDeltaLineitem3(spark, src, delta)
+    spark.conf.set("graft.cluster.maxProbeBloat", "1.0")
+    try {
+      assert(HilbertLayout.maintain(spark, src).isDefined)
+      assert(HilbertLayout.maintain(spark, src).isEmpty) // quiesced
+      def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+      val got = spark.read.parquet(loc).collect().map(key).sorted.toSeq
+      val expect = base.union(delta).collect().map(key).sorted.toSeq
+      assert(got == expect)
+    } finally spark.conf.unset("graft.cluster.maxProbeBloat")
+  }
+
   test("hilbert appendDelta: same contract on the 3-dim curve") {
     val src = freshSource("hmerge", base)
     val loc = HilbertLayout.ensureLineitem3(spark, src)
