@@ -89,6 +89,35 @@ object Bench {
   private lazy val sfBytes: Long = graft.Fs.dirBytes(
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
 
+  /** Mover selection for the storm self-adjudication (round 15) — pure
+    * and spec-pinned (BenchAdjudicateSpec). Two complementary signals,
+    * because a storm leaves two different fingerprints:
+    *  - DISAGREE: queries whose own passes disagree (median/min > 1.3
+    *    with min ≥ 0.3 s) — at most one pass was clean; top 5 by
+    *    absolute spread.
+    *  - HEAVY: the 3 largest mins ≥ 1 s — a storm spanning ALL of a
+    *    query's samples leaves median/min ≈ 1 and hides from the spread
+    *    signal (r14's q56); only a re-read can see it, and for a
+    *    genuinely-heavy query the re-read just re-confirms.
+    * Floor-class queries (min < 0.3 s) never qualify — their spread is
+    * scheduling noise. `riders` are shared-index incremental members
+    * whose in-suite accounting isolation cannot reproduce. */
+  private[graft] def adjudicationMovers(
+      samples: Map[String, Vector[Double]],
+      riders: Set[String]): Seq[String] = {
+    def stats(nm: String): (Double, Double) = {
+      val s = samples(nm).sorted; (s.head, s(s.size / 2))
+    }
+    val eligible = samples.keys.toSeq.sorted
+      .filter(nm => samples(nm).nonEmpty && !riders(nm))
+    val disagree = eligible.map(nm => (nm, stats(nm)))
+      .filter { case (_, (mn, md)) => mn >= 0.3 && md / mn > 1.3 }
+      .sortBy { case (nm, (mn, md)) => (-(md - mn), nm) }.take(5).map(_._1)
+    val heavy = eligible.filter(nm => stats(nm)._1 >= 1.0)
+      .sortBy(nm => (-stats(nm)._1, nm)).take(3)
+    (disagree ++ heavy).distinct
+  }
+
   /** Fixed single-thread CPU work, timed: the phase ruler. This box is a
     * shared VM whose effective CPU speed drifts (9.4% steal measured under
     * load in a CALM window; whole phases run ~2× slower) — the drift, not
@@ -388,14 +417,9 @@ object Bench {
       // per sample (caches dropped before EACH sample), which IS their
       // in-suite accounting.
       val riders = Set("q35_minhash_lsh", "q37_neardup_clusters", "q69_funnel")
-      val eligible = queries.map(_._1)
-        .filter(nm => !failed(nm) && samples(nm).nonEmpty && !riders(nm))
-      val disagree = eligible.map(nm => (nm, stats(nm)))
-        .filter { case (_, (mn, md)) => mn >= 0.3 && md / mn > 1.3 }
-        .sortBy { case (_, (mn, md)) => -(md - mn) }.take(5).map(_._1)
-      val heavy = eligible.filter(nm => stats(nm)._1 >= 1.0)
-        .sortBy(nm => -stats(nm)._1).take(3)
-      val movers = (disagree ++ heavy).distinct
+      val movers = adjudicationMovers(
+        queries.map(_._1).filterNot(failed)
+          .map(nm => nm -> samples(nm)).toMap, riders)
       movers.foreach { nm =>
         val fn = SparkEntry.queries(nm)
         val reread = (1 to 2).map { _ =>

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The storm self-adjudication's mover selection (round 15, VERDICT r14
+  * #4) — the pure half of the mechanism, pinned so the two signals and
+  * their exclusions can't drift: pass-disagreement movers (median/min >
+  * 1.3, min ≥ 0.3 s, top 5 by absolute spread), the heavy tail (top 3
+  * mins ≥ 1 s — the only reference-free way to see a storm that spans
+  * ALL of a query's samples), floor-class and rider exclusions. */
+class BenchAdjudicateSpec extends AnyFunSuite {
+
+  private def v(xs: Double*) = xs.toVector
+
+  test("disagreeing passes select; agreeing or floor-class do not") {
+    val s = Map(
+      "q_polluted"  -> v(0.5, 2.0, 2.1),   // min 0.5, median 2.0 → disagree
+      "q_steady"    -> v(0.5, 0.52, 0.55), // agrees → out
+      "q_floor"     -> v(0.05, 0.40, 0.42) // min < 0.3 → floor class, out
+    )
+    assert(Bench.adjudicationMovers(s, Set.empty) == Seq("q_polluted"))
+  }
+
+  test("the heavy tail qualifies even with agreeing passes (the all-passes-polluted case)") {
+    val s = Map(
+      "q_heavy"  -> v(5.0, 5.1, 5.2),   // median/min ≈ 1 — spread-blind
+      "q_small"  -> v(0.6, 0.61, 0.62)
+    )
+    assert(Bench.adjudicationMovers(s, Set.empty) == Seq("q_heavy"))
+  }
+
+  test("caps: top 5 by spread + top 3 by min, dedup, deterministic order") {
+    val disagree = (1 to 8).map(i =>
+      f"q_d$i%02d" -> v(0.5, 0.5 + i * 0.5, 0.6 + i * 0.5)).toMap
+    val heavy = (1 to 5).map(i =>
+      f"q_h$i%02d" -> v(10.0 + i, 10.1 + i, 10.2 + i)).toMap
+    val got = Bench.adjudicationMovers(disagree ++ heavy, Set.empty)
+    // 5 biggest spreads (d08..d04) then 3 biggest mins (h05..h03)
+    assert(got == Seq("q_d08", "q_d07", "q_d06", "q_d05", "q_d04",
+                      "q_h05", "q_h04", "q_h03"))
+    // a query qualifying through both signals appears once
+    val both = Map("q_x" -> v(2.0, 9.0, 9.1))
+    assert(Bench.adjudicationMovers(both, Set.empty) == Seq("q_x"))
+  }
+
+  test("riders are excluded from both signals") {
+    val s = Map(
+      "q35_minhash_lsh" -> v(0.5, 3.0, 3.1), // disagrees, but a rider
+      "q69_funnel"      -> v(9.0, 9.1, 9.2), // heavy, but a rider
+      "q_real"          -> v(1.5, 1.51, 1.52)
+    )
+    assert(Bench.adjudicationMovers(
+      s, Set("q35_minhash_lsh", "q69_funnel")) == Seq("q_real"))
+  }
+
+  test("empty and all-excluded inputs select nothing") {
+    assert(Bench.adjudicationMovers(Map.empty, Set.empty).isEmpty)
+    assert(Bench.adjudicationMovers(
+      Map("q" -> v(0.1, 0.1, 0.1)), Set.empty).isEmpty)
+  }
+}
