@@ -52,16 +52,34 @@ object LshLadder {
     val n = Tables.embeddingsCount(spark, sfDir)
     val derived = LshGate.derivedBits(n, LshGate.targetRows(spark))
 
-    def report(bits: Int, factor: Long, tag: String): Unit = {
+    def report(bits: Int, factor: Long, probes: Int, tag: String): Unit = {
       spark.conf.set("graft.lsh.bits", bits.toString)
       spark.conf.set("graft.lsh.splitFactor", factor.toString)
+      spark.conf.set("graft.lsh.probes", probes.toString)
       try {
         def coded = VectorOps.lshCodedScan(spark, sfDir, bits)
-        val h = coded.groupBy("bucket", "extc").count()
+        val cells = coded.groupBy("bucket", "ext", "extc").count()
+        val h = cells
           .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"),
                max(col("count")))
           .head
-        val (cand, maxCell) = (h.getLong(0), h.getLong(1))
+        // same-cell candidates; multi-probe adds the distance-1
+        // cell-pair mass (each unordered cell pair once — the join's
+        // d1<d2 keeps one orientation of every doc pair)
+        val sameCell = h.getLong(0)
+        val probeCand = if (probes <= 0) 0L else {
+          val a = cells.select(col("bucket"), col("ext"),
+            col("extc").as("ea"), col("count").as("na"))
+          val b = cells.select(col("bucket").as("bucket_b"),
+            col("extc").as("eb"), col("count").as("nb"))
+          val dx = col("ea").bitwiseXOR(col("eb"))
+          a.join(b, col("bucket") === col("bucket_b") &&
+              col("ea") < col("eb") && dx.bitwiseAND(dx - 1) === 0 &&
+              dx < expr(s"shiftleft(CAST(1 AS BIGINT), least($probes, ext))"))
+            .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).cast("long"))
+            .head.getLong(0)
+        }
+        val (cand, maxCell) = (sameCell + probeCand, h.getLong(1))
         val maxBucket = coded.groupBy("bucket").count()
           .agg(max(col("count"))).head.getLong(0)
         // SPARK_GRAFT_LSH_SKIPJOIN=mode,mode — skip EXECUTING the
@@ -77,13 +95,18 @@ object LshLadder {
           if (skipJoin) (-1L, -1.0)
           else timed { q42(spark, sfDir).count() }
         // probe-anchored sampled recall, both thresholds from one pass;
-        // CAUGHT == shares the probe's (bucket, extc) — the join grain
-        val probes = coded.filter(col("vec_id") < 200)
+        // CAUGHT == the operator's own candidate grain: shares the
+        // probe's (bucket, extc), or — under multi-probe — a cell at
+        // Hamming distance 1 within the probed low bits
+        val probeSet = coded.filter(col("vec_id") < 200)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
                   col("norm").as("qn"), col("bucket").as("qb"),
-                  col("extc").as("qe"))
-        val hit = col("bucket") === col("qb") && col("extc") === col("qe")
-        val r = coded.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+                  col("ext").as("qx"), col("extc").as("qe"))
+        val dxq = col("extc").bitwiseXOR(col("qe"))
+        val hit = col("bucket") === col("qb") && (col("extc") === col("qe") ||
+          (lit(probes > 0) && dxq.bitwiseAND(dxq - 1) === 0 &&
+            dxq < expr(s"shiftleft(CAST(1 AS BIGINT), least($probes, qx))")))
+        val r = coded.join(broadcast(probeSet), col("vec_id") =!= col("q_id"))
           .withColumn("cos",
             graft.functions.DotProduct.dot_product(col("qv"), col("v")) /
               (col("qn") * col("norm")))
@@ -98,7 +121,7 @@ object LshLadder {
           if (e == 0) 1.0 else math.rint(10000.0 * c / e) / 10000
         println(
           s"""{"sf_dir":"$sfDir","mode":"$tag","n":$n,"bits":$bits,""" +
-          s""""split_factor":$factor,""" +
+          s""""split_factor":$factor,"probes":$probes,""" +
           s""""cand_pairs":$cand,"cand_per_row":${math.rint(100.0 * cand / n) / 100},""" +
           s""""max_bucket":$maxBucket,"max_cell":$maxCell,""" +
           s""""out_rows":$rows,"wall_s":${math.rint(wall * 100) / 100},""" +
@@ -107,12 +130,15 @@ object LshLadder {
       } finally {
         spark.conf.unset("graft.lsh.bits")
         spark.conf.unset("graft.lsh.splitFactor")
+        spark.conf.unset("graft.lsh.probes")
       }
     }
 
-    report(derived, LshGate.splitFactor(spark), "derived_split")
-    report(derived, 0, "derived_nosplit")
-    if (derived != 8) report(8, 0, "fixed8")
+    report(derived, LshGate.splitFactor(spark), 0, "derived_split")
+    // the recall dial: distance-1 multi-probe over the low 4 suffix bits
+    report(derived, LshGate.splitFactor(spark), 4, "derived_split_p4")
+    report(derived, 0, 0, "derived_nosplit")
+    if (derived != 8) report(8, 0, 0, "fixed8")
     spark.stop()
   }
 }

@@ -137,10 +137,28 @@ object VectorOps {
     def side(i: Int): DataFrame =
       lshCodedScan(s, d, bits)
         .select(col("bucket").as(s"bucket$i"), col("extc").as(s"extc$i"),
+                col("ext").as(s"ext$i"),
                 col("vec_id").as(s"d$i"), col("v").as(s"v$i"),
                 col("norm").as(s"n$i"))
-    side(1).join(side(2),
-        col("bucket1") === col("bucket2") && col("extc1") === col("extc2"))
+    // multi-probe (round 15, the recall dial on the split — see
+    // LshGate.probes): side 1 expands each row into its own cell code
+    // plus the min(p, ext) single-bit neighbors, so the pair join STAYS
+    // an equi-join on (bucket, probe) — cell-local at corpus scale —
+    // while admitting distance-1 pairs. `ext` is a function of the
+    // bucket (both pair members share it), so each qualifying pair
+    // matches on exactly one probe code: no duplicate rows, no dedup
+    // pass. p = 0 (the default) probes nothing: bit-identical to the
+    // plain split.
+    val p = LshGate.probes(s)
+    val a =
+      if (p <= 0) side(1).withColumn("probe", col("extc1"))
+      else side(1)
+        .withColumn("j", explode(expr(s"sequence(0, least($p, ext1))")))
+        .withColumn("probe", expr(
+          "CASE WHEN j = 0 THEN extc1 " +
+          "ELSE extc1 ^ shiftleft(CAST(1 AS BIGINT), j - 1) END"))
+    a.join(side(2),
+        col("bucket1") === col("bucket2") && col("probe") === col("extc2"))
       .filter(col("d1") < col("d2"))
       .withColumn("cosine", dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= 0.2)
@@ -150,7 +168,7 @@ object VectorOps {
 
   /** One FRESH sign-coded scan of the corpus at `d` under resolution
     * `bits` and the session's split confs: (vec_id, v double-cast, norm,
-    * bucket, extc). Every call builds new relations (the q42 freshness
+    * bucket, ext, extc). Every call builds new relations (the q42 freshness
     * discipline); q42's two join sides and LshLadder's instrument share
     * exactly this construction so the measured candidate grain IS the
     * operator's. */
@@ -174,7 +192,7 @@ object VectorOps {
       .withColumn("ext", coalesce(col("ext"), lit(0)))
       .withColumn("extc", expr(LshGate.sparkExtCodeExpr("ext")))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
-      .select("vec_id", "v", "norm", "bucket", "extc")
+      .select("vec_id", "v", "norm", "bucket", "ext", "extc")
   }
 
   // ------------------------------------------------- kNN label vote
@@ -680,13 +698,15 @@ object VectorOps {
            SELECT bucket, ${LshGate.oracleExtSql("COUNT(*)")} AS ext
            FROM vecs GROUP BY bucket),
          ve AS (
-           SELECT v.vec_id, v.v, v.norm, v.bucket,
+           SELECT v.vec_id, v.v, v.norm, v.bucket, cen.ext,
              ${LshGate.duckExtCodeExpr("ext")} AS extc
            FROM vecs v JOIN cen USING (bucket))
          SELECT a.bucket, a.vec_id AS d1, b.vec_id AS d2,
            ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) AS cosine
          FROM ve a JOIN ve b
-           ON a.bucket = b.bucket AND a.extc = b.extc AND a.vec_id < b.vec_id
+           ON a.bucket = b.bucket
+           AND ${LshGate.duckProbePredSql("a.extc", "b.extc", "a.ext", LshGate.oracleProbes)}
+           AND a.vec_id < b.vec_id
          WHERE ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) >= 0.2
          ORDER BY a.bucket, d1, d2""",
 
