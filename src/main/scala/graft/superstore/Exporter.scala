@@ -243,11 +243,14 @@ object Exporter {
   def appendItemPartitioned(item: DataFrame, delta: DataFrame,
                             calendar: DataFrame, outDir: String): Unit = {
     val loc = s"$outDir/Item_by_year"
+    // heal BEFORE the existence check: a crash mid-swap leaves the live
+    // tree temporarily under .item_old/.item_compact_tmp — that state
+    // must heal into a serving tree, not read as "no layout"
+    healPendingItemCompact(outDir)
     require(new java.io.File(loc).isDirectory,
       s"appendItemPartitioned: no persisted layout at $loc — persist first " +
         "(appending into a missing layout would silently build from the " +
         "delta alone)")
-    healPendingItemCompact(outDir) // never append under a half-swapped fold
     delta
       .join(broadcast(calendar.select(col("calendar_id"), col("year_number"))),
             "calendar_id")

@@ -263,6 +263,40 @@ class ExporterSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.partitioned.maxFilesPerPartition")
   }
 
+  test("Item append heals an interrupted compaction swap instead of reading it as 'no layout'") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val wh = SuperstoreETL.build(spark, csv)
+    val item = wh("Item"); val cal = wh("Calendar")
+    val base = item.filter(col("calendar_id") % 10 =!= 0)
+    val delta = item.filter(col("calendar_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_item_heal").toString
+    Exporter.persistItemPartitioned(base, cal, dir)
+    val live = Paths.get(s"$dir/Item_by_year")
+    // manufacture the mid-swap crash state: a COMPLETE compaction temp
+    // (manifest present — the completion marker) with the live tree
+    // already moved aside to .item_old and not yet replaced
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyTree(live, Paths.get(s"$dir/.item_compact_tmp"))
+    Files.move(live, Paths.get(s"$dir/.item_old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(!Files.exists(live))
+    // the append must HEAL (promote the complete temp), then append
+    Exporter.appendItemPartitioned(base.unionByName(delta), delta, cal, dir)
+    assert(Files.exists(live))
+    assert(!Files.exists(Paths.get(s"$dir/.item_compact_tmp")))
+    assert(!Files.exists(Paths.get(s"$dir/.item_old")))
+    val got = spark.read.parquet(live.toString)
+      .select(item.columns.map(col).toIndexedSeq: _*)
+    assert(got.count() == item.count())
+    assert(got.exceptAll(item).isEmpty && item.exceptAll(got).isEmpty)
+  }
+
   test("Item append guard: an under-covering delta rebuilds, never a silent divergence") {
     val wh = SuperstoreETL.build(spark, csv)
     val item = wh("Item"); val cal = wh("Calendar")
