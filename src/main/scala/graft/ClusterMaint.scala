@@ -112,7 +112,10 @@ object ClusterMaint {
       val (folded, tMaintain) = timed { maintain(spark, srcA) }
       if (folded.nonEmpty && foldedDay < 0) foldedDay = day
       val entries = StatsManifest.read(loc).get
-      val metric = StatsManifest.pointProbeBytes(entries, cols)
+      // the policy's own metric: anchored to the domains recorded at the
+      // last (re)cluster (ADVICE r15 — live domains let outlier deltas
+      // shrink existing hull ratios and defer the fold)
+      val metric = LayoutMeta.anchoredProbeBytes(loc, entries, cols)
       val floor = LayoutMeta.probeFloor(loc).getOrElse(0.0)
       val must = StatsManifest.mustRead(entries, preds).toSet
       val probeBytes = entries.filter(e => must(e.name)).map(_.bytes).sum

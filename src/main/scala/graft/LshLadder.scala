@@ -70,7 +70,13 @@ object LshLadder {
         val probeCand = if (probes <= 0) 0L else {
           val a = cells.select(col("bucket"), col("ext"),
             col("extc").as("ea"), col("count").as("na"))
-          val b = cells.select(col("bucket").as("bucket_b"),
+          // side b from a SECOND groupBy over a fresh coded scan (`coded`
+          // is a def → fresh exprIds end to end) — the q42 fresh-relation
+          // discipline (ADVICE r15): two selects over the same `cells`
+          // subtree lean on DeduplicateRelations, which was observed to
+          // miss in long warm sessions (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+          val b = coded.groupBy("bucket", "ext", "extc").count()
+            .select(col("bucket").as("bucket_b"),
             col("extc").as("eb"), col("count").as("nb"))
           val dx = col("ea").bitwiseXOR(col("eb"))
           a.join(b, col("bucket") === col("bucket_b") &&

@@ -110,10 +110,14 @@ object HilbertLayout {
       if (Files.exists(dir)) graft.Fs.deleteTree(dir) // stale or partial
       writeHilbert(graft.Tables.lineitem(s, sfDir), dims3, loc, files)
       StatsManifest.write(s, loc, StatsCols)
-      // the freshly-clustered tightness IS the recluster policy's floor
-      val floor = StatsManifest.read(loc)
-        .map(StatsManifest.pointProbeBytes(_, StatsCols))
-      LayoutMeta.write(loc, sfDir, "lineitem", stamp, floor)
+      // the freshly-clustered tightness IS the recluster policy's floor;
+      // the domains recorded WITH it anchor the live metric's denominator
+      // so outlier deltas can't shrink existing hull ratios (ADVICE r15)
+      val fresh = StatsManifest.read(loc)
+      val doms = fresh.fold(Map.empty[String, (Long, Long)])(
+        StatsManifest.domainsOf(_, StatsCols))
+      val floor = fresh.map(StatsManifest.pointProbeBytes(_, StatsCols, doms))
+      LayoutMeta.write(loc, sfDir, "lineitem", stamp, floor, doms)
       Files.writeString(marker, "ok")
     }
     loc
@@ -159,7 +163,7 @@ object HilbertLayout {
         // ZOrderLayout.appendDeltaLineitem)
         LayoutMeta.write(loc, sfDir, "lineitem",
           graft.Tables.pathStamp(s"$sfDir/lineitem.parquet"),
-          LayoutMeta.probeFloor(loc))
+          LayoutMeta.probeFloor(loc), LayoutMeta.floorDomains(loc))
     }
 
   /** Recluster policy — ZOrderLayout.maintain's shape on the 3-dim curve
@@ -171,11 +175,15 @@ object HilbertLayout {
       StatsManifest.read(loc) match {
         case None => None
         case Some(entries) =>
-          val metric = StatsManifest.pointProbeBytes(entries, StatsCols)
+          // metric against the domains recorded at the last (re)cluster
+          // (pre-r16 meta: live domains until the next recluster records
+          // one — ADVICE r15, see LayoutMeta.anchoredProbeBytes)
+          val metric = LayoutMeta.anchoredProbeBytes(loc, entries, StatsCols)
           LayoutMeta.probeFloor(loc) match {
             case None =>
               LayoutMeta.write(loc, sfDir, "lineitem",
-                LayoutMeta.stamp(loc).getOrElse(0L), Some(metric))
+                LayoutMeta.stamp(loc).getOrElse(0L), Some(metric),
+                StatsManifest.domainsOf(entries, StatsCols))
               None
             case Some(floor) =>
               val k = s.conf.get("graft.cluster.maxProbeBloat", "3.0").toDouble

@@ -24,11 +24,16 @@ private[graft] object LayoutMeta {
     * Recorded at build/recluster, carried through by appendDelta's stamp
     * advance, absent on pre-policy layouts (maintain backfills). */
   def write(loc: String, sfDir: String, table: String, stamp: Long,
-            probeFloor: Option[Double] = None): Unit = {
+            probeFloor: Option[Double] = None,
+            floorDomains: Map[String, (Long, Long)] = Map.empty): Unit = {
     val tmp = Paths.get(s"$loc/.$FileName.tmp")
     val floorField = probeFloor.fold("")(f => s""","probeFloor":$f""")
+    val domField =
+      if (floorDomains.isEmpty) ""
+      else floorDomains.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s""""$c":[$mn,$mx]""" }.mkString(""","floorDomains":{""", ",", "}")
     Files.writeString(tmp,
-      s"""{"sfDir":"$sfDir","table":"$table","sourceStamp":$stamp$floorField}""")
+      s"""{"sfDir":"$sfDir","table":"$table","sourceStamp":$stamp$floorField$domField}""")
     Files.move(tmp, Paths.get(s"$loc/$FileName"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -45,6 +50,37 @@ private[graft] object LayoutMeta {
     val p = Paths.get(s"$loc/$FileName")
     if (!Files.exists(p)) None
     else floorRe.findFirstMatchIn(Files.readString(p)).map(_.group(1).toDouble)
+  }
+
+  /** The tracked-column domains recorded at the last (re)cluster — the
+    * fixed denominator the recluster policy normalizes floor AND live
+    * metric against (round 16, ADVICE r15: a live-recomputed domain lets
+    * an outlier delta widen the denominator and defer the fold). Empty on
+    * pre-r16 layouts — callers fall back to the live domain there, the
+    * documented pre-policy behavior until the next recluster records one. */
+  private val domRe = "\"([A-Za-z0-9_.]+)\":\\[(-?\\d+),(-?\\d+)\\]".r
+  def floorDomains(loc: String): Map[String, (Long, Long)] = {
+    val p = Paths.get(s"$loc/$FileName")
+    if (!Files.exists(p)) Map.empty
+    else {
+      val s = Files.readString(p)
+      s.indexOf("\"floorDomains\":") match {
+        case -1 => Map.empty
+        case i => domRe.findAllMatchIn(s.substring(i + 15)).map(m =>
+          m.group(1) -> ((m.group(2).toLong, m.group(3).toLong))).toMap
+      }
+    }
+  }
+
+  /** The recluster policy's metric: point-probe bytes against the
+    * RECORDED floor domains when the meta carries them, else the live
+    * domains (pre-r16 layouts, until their next recluster). One helper so
+    * maintain()s, the ladder, and the specs all read the same quantity. */
+  def anchoredProbeBytes(loc: String, entries: Seq[StatsManifest.Entry],
+                         cols: Seq[String]): Double = {
+    val doms = floorDomains(loc)
+    if (doms.nonEmpty) StatsManifest.pointProbeBytes(entries, cols, doms)
+    else StatsManifest.pointProbeBytes(entries, cols)
   }
 
   /** One-time vacuum of a layout family root: delete hash dirs whose

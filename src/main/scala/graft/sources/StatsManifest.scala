@@ -185,15 +185,34 @@ object StatsManifest {
     * Files lacking stats for a dim count their full bytes (conservative,
     * same as pruning keeps them). Degenerate domains (single value)
     * count as width 1. */
-  def pointProbeBytes(entries: Seq[Entry], cols: Seq[String]): Double = {
-    val domains = cols.map { c =>
+  def pointProbeBytes(entries: Seq[Entry], cols: Seq[String]): Double =
+    pointProbeBytes(entries, cols, domainsOf(entries, cols))
+
+  /** The tracked columns' data domains as the union of file hulls — the
+    * denominator [[pointProbeBytes]] normalizes against. Recorded into
+    * `_layout_meta` at (re)cluster time (round 16, ADVICE r15): computed
+    * LIVE, a delta file with outlier key values widens the domain and
+    * shrinks every existing file's hull ratio, so the metric is not
+    * monotone in appended deltas and such deltas can defer the recluster
+    * fold past the intended bloat bound. Anchoring floor AND live metric
+    * to the domain recorded at the last (re)cluster makes every appended
+    * file contribute ≥ 0 (hull ratios clamp at 1, so an outlier delta
+    * counts its full bytes — conservative, same direction as pruning). */
+  def domainsOf(entries: Seq[Entry], cols: Seq[String]): Map[String, (Long, Long)] =
+    cols.map { c =>
       val hulls = entries.flatMap(_.stats.get(c))
       c -> (if (hulls.isEmpty) (0L, 0L)
             else (hulls.map(_._1).min, hulls.map(_._2).max))
     }.toMap
+
+  /** [[pointProbeBytes]] against FIXED domains (see [[domainsOf]]): the
+    * recluster policy evaluates floor and live metric against the same
+    * denominator recorded at the last (re)cluster. */
+  def pointProbeBytes(entries: Seq[Entry], cols: Seq[String],
+                      domains: Map[String, (Long, Long)]): Double = {
     entries.map { e =>
       e.bytes * cols.map { c =>
-        val (dLo, dHi) = domains(c)
+        val (dLo, dHi) = domains.getOrElse(c, (0L, 0L))
         e.stats.get(c) match {
           case Some((mn, mx)) if dHi > dLo =>
             math.min(1.0, (mx - mn + 1).toDouble / (dHi - dLo + 1).toDouble)

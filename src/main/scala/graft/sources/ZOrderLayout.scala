@@ -141,10 +141,14 @@ object ZOrderLayout {
       writeZOrdered(graft.Tables.lineitem(s, sfDir),
         col("l_partkey"), dayOf(col("l_shipdate")), loc, files)
       StatsManifest.write(s, loc, StatsCols)
-      // the freshly-clustered tightness IS the recluster policy's floor
-      val floor = StatsManifest.read(loc)
-        .map(StatsManifest.pointProbeBytes(_, StatsCols))
-      LayoutMeta.write(loc, sfDir, "lineitem", stamp, floor)
+      // the freshly-clustered tightness IS the recluster policy's floor;
+      // the domains recorded WITH it anchor the live metric's denominator
+      // so outlier deltas can't shrink existing hull ratios (ADVICE r15)
+      val fresh = StatsManifest.read(loc)
+      val doms = fresh.fold(Map.empty[String, (Long, Long)])(
+        StatsManifest.domainsOf(_, StatsCols))
+      val floor = fresh.map(StatsManifest.pointProbeBytes(_, StatsCols, doms))
+      LayoutMeta.write(loc, sfDir, "lineitem", stamp, floor, doms)
       Files.writeString(marker, "ok")
     }
     loc
@@ -200,7 +204,7 @@ object ZOrderLayout {
         // bloat the live metric, never the baseline
         LayoutMeta.write(loc, sfDir, "lineitem",
           graft.Tables.pathStamp(s"$sfDir/lineitem.parquet"),
-          LayoutMeta.probeFloor(loc))
+          LayoutMeta.probeFloor(loc), LayoutMeta.floorDomains(loc))
     }
 
   /** Recluster POLICY (round 15, VERDICT r14 #2 — the exact symmetry of
@@ -223,11 +227,15 @@ object ZOrderLayout {
       StatsManifest.read(loc) match {
         case None => None // no manifest → nothing to decide from
         case Some(entries) =>
-          val metric = StatsManifest.pointProbeBytes(entries, StatsCols)
+          // metric against the domains recorded at the last (re)cluster
+          // (pre-r16 meta: live domains until the next recluster records
+          // one — ADVICE r15, see LayoutMeta.anchoredProbeBytes)
+          val metric = LayoutMeta.anchoredProbeBytes(loc, entries, StatsCols)
           LayoutMeta.probeFloor(loc) match {
             case None =>
               LayoutMeta.write(loc, sfDir, "lineitem",
-                LayoutMeta.stamp(loc).getOrElse(0L), Some(metric))
+                LayoutMeta.stamp(loc).getOrElse(0L), Some(metric),
+                StatsManifest.domainsOf(entries, StatsCols))
               None
             case Some(floor) =>
               val k = s.conf.get("graft.cluster.maxProbeBloat", "3.0").toDouble

@@ -239,9 +239,17 @@ object Exporter {
     * instead of serving a silently-diverged layout. A crash between the
     * data append and the manifest refresh leaves a census mismatch →
     * readItemPruned falls back to the full scan, loudly — every crash
-    * point degrades to correct. */
+    * point degrades to correct.
+    *
+    * The guard's source side costs metadata when the caller supplies
+    * `expectedSourceRows` (an ingest ledger knows how many rows it has
+    * shipped — the BucketedLayout memoized-count shape); absent, it falls
+    * back to `item.count()`, which re-runs the caller's whole source
+    * pipeline per append (ADVICE r15) — fine for a table-backed frame,
+    * O(source) for a full ETL expression. */
   def appendItemPartitioned(item: DataFrame, delta: DataFrame,
-                            calendar: DataFrame, outDir: String): Unit = {
+                            calendar: DataFrame, outDir: String,
+                            expectedSourceRows: Option[Long] = None): Unit = {
     val loc = s"$outDir/Item_by_year"
     // heal BEFORE the existence check: a crash mid-swap leaves the live
     // tree temporarily under .item_old/.item_compact_tmp — that state
@@ -261,7 +269,7 @@ object Exporter {
       .parquet(loc)
     StatsManifest.write(item.sparkSession, loc, Seq("calendar_id"))
     val layoutRows = StatsManifest.read(loc).map(_.map(_.rows).sum).getOrElse(-1L)
-    val sourceRows = item.count()
+    val sourceRows = expectedSourceRows.getOrElse(item.count())
     if (layoutRows != sourceRows) {
       System.err.println(
         s"[item-layout] append divergence: layout holds $layoutRows rows, " +
@@ -347,7 +355,12 @@ object Exporter {
         System.err.println(s"[item-layout] completing crashed compaction (temp complete) under $outDir")
         swapCompacted(outDir)
       }
-    } else if (Files.exists(old)) {
+    }
+    // NOT an else-branch (ADVICE r15): discarding an incomplete temp can
+    // itself expose the state {live missing, .item_old present} — the
+    // serving tree is under .item_old and must restore in the SAME pass,
+    // or the caller's existence check throws with a complete tree on disk
+    if (Files.exists(old)) {
       if (Files.exists(live)) graft.Fs.deleteTree(old) // swap done; drop leftover
       else Files.move(old, live, StandardCopyOption.ATOMIC_MOVE) // restore
     }

@@ -117,8 +117,9 @@ class ClusteredDeltaSpec extends AnyFunSuite {
     delta.write.mode("append").parquet(s"$src/lineitem.parquet")
     Tables.clearCaches()
     ZOrderLayout.appendDeltaLineitem(spark, src, delta)
-    val metric = StatsManifest.pointProbeBytes(
-      StatsManifest.read(loc).get, ZOrderLayout.StatsCols)
+    // the policy's own metric: anchored to the build-time domains (r16)
+    val metric = graft.sources.LayoutMeta.anchoredProbeBytes(
+      loc, StatsManifest.read(loc).get, ZOrderLayout.StatsCols)
     assert(metric > floor0.get, "appended deltas must bloat the metric")
     val filesAppended = StatsManifest.read(loc).get.map(_.name).toSet
     // under a generous bound the policy HOLDS (files untouched)…
@@ -182,6 +183,36 @@ class ClusteredDeltaSpec extends AnyFunSuite {
       val expect = base.union(delta).collect().map(key).sorted.toSeq
       assert(got == expect)
     } finally spark.conf.unset("graft.cluster.maxProbeBloat")
+  }
+
+  test("recluster metric anchors to the recorded domain: outlier deltas can't defer the fold") {
+    // ADVICE r15: pointProbeBytes recomputed the domain LIVE, so a delta
+    // with outlier keys widened the denominator and shrank every existing
+    // file's hull ratio — the metric was not monotone in appended deltas.
+    val src = freshSource("zanchor", base)
+    val loc = ZOrderLayout.ensureLineitem(spark, src)
+    val floor = graft.sources.LayoutMeta.probeFloor(loc).get
+    assert(graft.sources.LayoutMeta.floorDomains(loc).nonEmpty,
+      "build must record the floor domains next to the floor")
+    val maxPk = li.agg(max(col("l_partkey"))).head().getLong(0)
+    val outlier = delta.withColumn("l_partkey", col("l_partkey") + lit(100L * maxPk))
+    outlier.write.mode("append").parquet(s"$src/lineitem.parquet")
+    Tables.clearCaches()
+    ZOrderLayout.appendDeltaLineitem(spark, src, outlier)
+    val entries = StatsManifest.read(loc).get
+    val live = StatsManifest.pointProbeBytes(entries, ZOrderLayout.StatsCols)
+    val anchored = graft.sources.LayoutMeta.anchoredProbeBytes(
+      loc, entries, ZOrderLayout.StatsCols)
+    // the hazard, demonstrated: the outlier widens the live denominator
+    // ~101×, so the live metric reads BELOW the anchored one right after
+    // a bloating append; the anchored metric stays monotone
+    assert(live < anchored, "live-domain metric must show the drift the anchor fixes")
+    assert(anchored > floor, "anchored metric must be monotone in appended deltas")
+    // and the policy — which reads the anchored metric — still folds
+    spark.conf.set("graft.cluster.maxProbeBloat", "1.0")
+    try assert(ZOrderLayout.maintain(spark, src).isDefined,
+      "an outlier delta must not defer the fold")
+    finally spark.conf.unset("graft.cluster.maxProbeBloat")
   }
 
   test("hilbert appendDelta: same contract on the 3-dim curve") {

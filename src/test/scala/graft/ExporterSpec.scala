@@ -297,6 +297,63 @@ class ExporterSpec extends AnyFunSuite {
     assert(got.exceptAll(item).isEmpty && item.exceptAll(got).isEmpty)
   }
 
+  test("heal restores .item_old in the SAME pass after discarding an incomplete temp") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // ADVICE r15: in the state {tmp present but incomplete, live missing,
+    // .item_old present} the old heal discarded the temp and RETURNED —
+    // the .item_old restore lived in an else-branch, so the append's
+    // require() threw with a complete serving tree on disk.
+    val wh = SuperstoreETL.build(spark, csv)
+    val item = wh("Item"); val cal = wh("Calendar")
+    val base = item.filter(col("calendar_id") % 10 =!= 0)
+    val delta = item.filter(col("calendar_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_item_heal2").toString
+    Exporter.persistItemPartitioned(base, cal, dir)
+    val live = Paths.get(s"$dir/Item_by_year")
+    // manufacture the state: live moved aside, temp present WITHOUT its
+    // manifest (an interrupted compaction build) — the only complete tree
+    // is .item_old
+    Files.move(live, Paths.get(s"$dir/.item_old"), StandardCopyOption.ATOMIC_MOVE)
+    Files.createDirectories(Paths.get(s"$dir/.item_compact_tmp"))
+    Files.writeString(Paths.get(s"$dir/.item_compact_tmp/part-junk.parquet"), "x")
+    // one append must heal (discard temp, restore .item_old) and append
+    Exporter.appendItemPartitioned(base.unionByName(delta), delta, cal, dir)
+    assert(Files.exists(live))
+    assert(!Files.exists(Paths.get(s"$dir/.item_compact_tmp")))
+    assert(!Files.exists(Paths.get(s"$dir/.item_old")))
+    val got = spark.read.parquet(live.toString)
+      .select(item.columns.map(col).toIndexedSeq: _*)
+    assert(got.count() == item.count())
+    assert(got.exceptAll(item).isEmpty && item.exceptAll(got).isEmpty)
+  }
+
+  test("Item append guard accepts a caller-supplied source count (metadata, not a recount)") {
+    val wh = SuperstoreETL.build(spark, csv)
+    val item = wh("Item"); val cal = wh("Calendar")
+    val base = item.filter(col("calendar_id") % 10 =!= 0)
+    val delta = item.filter(col("calendar_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_item_meta").toString
+    Exporter.persistItemPartitioned(base, cal, dir)
+    // matched expected count: guard quiet, layout holds base+delta
+    Exporter.appendItemPartitioned(item, delta, cal, dir,
+      expectedSourceRows = Some(item.count()))
+    val got = spark.read.parquet(s"$dir/Item_by_year")
+      .select(item.columns.map(col).toIndexedSeq: _*)
+    assert(got.count() == item.count())
+    // a WRONG expected count must still trip the guard (loud rebuild from
+    // `item` — the ledger's number disagreeing with the layout is exactly
+    // the divergence the guard exists for)
+    val half = delta.filter(col("calendar_id") % 20 === 0)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_item_meta2").toString
+    Exporter.persistItemPartitioned(base, cal, dir2)
+    Exporter.appendItemPartitioned(item, half, cal, dir2,
+      expectedSourceRows = Some(item.count()))
+    val got2 = spark.read.parquet(s"$dir2/Item_by_year")
+      .select(item.columns.map(col).toIndexedSeq: _*)
+    assert(got2.count() == item.count())
+    assert(got2.exceptAll(item).isEmpty && item.exceptAll(got2).isEmpty)
+  }
+
   test("Item append guard: an under-covering delta rebuilds, never a silent divergence") {
     val wh = SuperstoreETL.build(spark, csv)
     val item = wh("Item"); val cal = wh("Calendar")
