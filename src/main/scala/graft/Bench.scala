@@ -118,6 +118,38 @@ object Bench {
     (disagree ++ heavy).distinct
   }
 
+  /** The stdout-artifact adjudication field (round 16, VERDICT r15 #3) —
+    * pure and spec-pinned like [[adjudicationMovers]]. The stderr
+    * [bench-adjudicate] line can fall outside the driver's ~2000-char
+    * stdout tail, leaving a drifted total with no verdict attached
+    * (BENCH_r15: +10% with the evidence lost); the parsed JSON line now
+    * ALWAYS carries the trigger inputs — the phase rulers (read against
+    * the 0.2 storm mark) and the over-15%-spread query count — and, when
+    * the adjudication fired, each mover's [suite-min, re-read-min] pair:
+    * a fold is re-read < suite; a slower re-read published here is the
+    * documented refusal to fold. Head-token keys + 2-decimal values, the
+    * queries-map line-budget discipline (~30 chars idle, ~25/mover). */
+  private[graft] def adjudicationJson(
+      calibBefore: Double, calibAfter: Double, spreadCount: Int,
+      movers: Seq[String], suiteMins: Map[String, Double],
+      rereads: Map[String, Double]): String = {
+    def rd2(x: Double): String = {
+      val r = math.rint(x * 100) / 100
+      if (r == r.toLong) r.toLong.toString else {
+        val t = f"$r%.2f"
+        if (t.endsWith("0")) t.dropRight(1) else t
+      }
+    }
+    val base = s""""st":[${rd2(calibBefore)},${rd2(calibAfter)}],"sp":$spreadCount"""
+    val m =
+      if (movers.isEmpty) ""
+      else movers.flatMap { nm =>
+        rereads.get(nm).map(r =>
+          s""""${nm.split("_").head}":[${rd2(suiteMins(nm))},${rd2(r)}]""")
+      }.mkString(""","m":{""", ",", "}")
+    s""","adj":{$base$m}"""
+  }
+
   /** Fixed single-thread CPU work, timed: the phase ruler. This box is a
     * shared VM whose effective CPU speed drifts (9.4% steal measured under
     * load in a CALM window; whole phases run ~2× slower) — the drift, not
@@ -404,6 +436,7 @@ object Bench {
         (queries.nonEmpty && spreadCount * 4 > queries.size))
     }
     val adjudicated = scala.collection.mutable.Map[String, Double]()
+    var adjMovers: Seq[String] = Nil
     if (stormy) {
       def stats(nm: String): (Double, Double) = {
         val s = samples(nm).sorted; (s.head, s(s.size / 2))
@@ -420,6 +453,7 @@ object Bench {
       val movers = adjudicationMovers(
         queries.map(_._1).filterNot(failed)
           .map(nm => nm -> samples(nm)).toMap, riders)
+      adjMovers = movers
       movers.foreach { nm =>
         val fn = SparkEntry.queries(nm)
         val reread = (1 to 2).map { _ =>
@@ -612,6 +646,19 @@ object Bench {
     // saying nothing the basename doesn't; the driver records its own sf
     // field anyway. Bought the room for q65's map entry.
     val sfTag = new java.io.File(sfDir).getName
+    // Adjudication evidence IN the parsed artifact (round 16, VERDICT r15
+    // #3): the stderr [bench-adjudicate] line can fall outside the
+    // driver's ~2000-char stdout tail, leaving a drifted total with no
+    // verdict attached (BENCH_r15: +10% with the mechanism's evidence
+    // lost). The stdout JSON now always carries the trigger inputs —
+    // rulers (vs the 0.2 storm mark) and the spread count — and, when the
+    // adjudication fired, each mover's [suite-min, re-read-min] pair
+    // (fold == re-read < suite; a slower re-read published here is the
+    // documented refusal to fold). Head-token keys + 2 decimals, same
+    // line-budget discipline as the queries map.
+    val adjJson = adjudicationJson(calibBefore, calibAfter, spreadCount,
+      adjMovers, adjMovers.map(nm => nm -> samples(nm).min).toMap,
+      adjudicated.toMap)
     // Head-token keys on the stdout line (round 9): "q34", not
     // "q34_ngram_jaccard". The 73-entry full-name map sat 14 chars under
     // the driver's ~1924-char tail-capture cap — every added query forced
@@ -628,7 +675,7 @@ object Bench {
     if (!headsUnique)
       System.err.println("[bench] WARNING head-token key collision — stdout 'queries' map falls back to FULL-NAME keys this run")
     val outMap = if (headsUnique) heads else gated
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt2s(outMap)}$attest,"sf":"$sfTag"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt2s(outMap)}$adjJson$attest,"sf":"$sfTag"}"""
     // hard budget: the driver tails the last 2000 chars and sbt appends a
     // ~90-char [success] trailer after this line
     if (line.length > 1900)

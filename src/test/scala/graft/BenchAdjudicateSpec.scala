@@ -58,4 +58,28 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(Bench.adjudicationMovers(
       Map("q" -> v(0.1, 0.1, 0.1)), Set.empty).isEmpty)
   }
+
+  // ---- the stdout-artifact adjudication field (round 16, VERDICT r15 #3)
+
+  test("adj field: idle run carries rulers + spread, no movers block") {
+    assert(Bench.adjudicationJson(0.176, 0.18, 5, Nil, Map.empty, Map.empty)
+      == ""","adj":{"st":[0.18,0.18],"sp":5}""")
+  }
+
+  test("adj field: fired run carries [suite-min, re-read] per mover, head-token keys") {
+    val got = Bench.adjudicationJson(0.31, 0.19, 26,
+      Seq("q38_decontamination", "q28_avg_price"),
+      Map("q38_decontamination" -> 9.754, "q28_avg_price" -> 4.67),
+      Map("q38_decontamination" -> 8.34, "q28_avg_price" -> 5.1))
+    // q38 folded (re-read < suite), q28's re-read was slower — both pairs
+    // published so the artifact shows the fold AND the refusal
+    assert(got ==
+      ""","adj":{"st":[0.31,0.19],"sp":26,"m":{"q38":[9.75,8.34],"q28":[4.67,5.1]}}""")
+  }
+
+  test("adj field: a mover whose re-reads all failed is omitted from the map") {
+    val got = Bench.adjudicationJson(0.25, 0.25, 30,
+      Seq("q2_dedup_merge"), Map("q2_dedup_merge" -> 3.0), Map.empty)
+    assert(got == ""","adj":{"st":[0.25,0.25],"sp":30,"m":{}}""")
+  }
 }
