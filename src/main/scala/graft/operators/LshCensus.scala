@@ -51,8 +51,16 @@ object LshCensus {
       .digest(s"$d|lshcensus".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
 
-  def dirFor(d: String, bits: Int): String =
-    s"$Root/${corpusHash(d)}/bits=$bits"
+  /** off = the code's first dimension: 0 for the prefix code (q42), a
+    * band window's start for the banded family (q78) — each (resolution,
+    * offset) is its own artifact. */
+  def dirFor(d: String, bits: Int, off: Int = 0): String =
+    if (off == 0) s"$Root/${corpusHash(d)}/bits=$bits"
+    else s"$Root/${corpusHash(d)}/bits=$bits.off=$off"
+
+  private def bucketExpr(off: Int, bits: Int): String =
+    if (off == 0) LshGate.sparkBucketExpr(bits)
+    else LshGate.sparkBandBucketExpr(off, bits)
 
   // ---- meta ------------------------------------------------------------
 
@@ -84,10 +92,10 @@ object LshCensus {
   def histogram(s: SparkSession, loc: String): DataFrame =
     s.read.parquet(s"$loc/hist.parquet")
 
-  private def buildHist(s: SparkSession, d: String, bits: Int,
+  private def buildHist(s: SparkSession, d: String, bits: Int, off: Int,
                         loc: String): Long = {
     val hist = s.read.parquet(s"$d/embeddings.parquet")
-      .select(expr(LshGate.sparkBucketExpr(bits)).as("bucket"))
+      .select(expr(bucketExpr(off, bits)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
     // tiny by construction (≤ 2^bits rows, bits ≤ 24 only when forced;
     // derived bits keep it ≤ ~N/target·2) — one file reads in one task
@@ -110,8 +118,8 @@ object LshCensus {
     * fresh; returns its directory. Fresh = meta stamp matches the live
     * corpus stamp AND the artifact's Σn equals the corpus row count
     * (memoized — Tables.tableRows); any mismatch rebuilds loudly. */
-  def ensure(s: SparkSession, d: String, bits: Int): String = synchronized {
-    val loc = dirFor(d, bits)
+  def ensure(s: SparkSession, d: String, bits: Int, off: Int = 0): String = synchronized {
+    val loc = dirFor(d, bits, off)
     val stamp = graft.Tables.pathStamp(s"$d/embeddings.parquet")
     if (validated.contains((s, loc, stamp))) return loc
     val n = graft.Tables.embeddingsCount(s, d)
@@ -130,7 +138,7 @@ object LshCensus {
     }
     if (!fresh) {
       Files.createDirectories(Paths.get(loc))
-      val total = buildHist(s, d, bits, loc)
+      val total = buildHist(s, d, bits, off, loc)
       require(total == n,
         s"lsh-census build wrote $total rows of mass for a $n-row corpus")
       writeMeta(loc, stamp, n, bits) // meta LAST: crash ⇒ stale ⇒ rebuild
@@ -148,13 +156,14 @@ object LshCensus {
     * resolution has stepped past this artifact's bits, the next ensure at
     * the new resolution builds its own artifact — this verb never
     * re-derives. */
-  def append(s: SparkSession, d: String, bits: Int, delta: DataFrame): Unit =
+  def append(s: SparkSession, d: String, bits: Int, delta: DataFrame,
+             off: Int = 0): Unit =
     synchronized {
-      val loc = dirFor(d, bits)
+      val loc = dirFor(d, bits, off)
       require(meta(loc).isDefined,
         s"lsh-census append: no artifact at $loc — ensure first")
       val deltaHist = delta
-        .select(expr(LshGate.sparkBucketExpr(bits)).as("bucket"))
+        .select(expr(bucketExpr(off, bits)).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("dn"))
       val merged = histogram(s, loc)
         .join(deltaHist, Seq("bucket"), "full_outer")
@@ -177,7 +186,7 @@ object LshCensus {
         System.err.println(s"[lsh-census] append divergence under $loc: " +
           s"merged artifact sums $total rows, corpus holds $n — the delta " +
           "was not exactly the appended rows. Rebuilding from source.")
-        val rebuilt = buildHist(s, d, bits, loc)
+        val rebuilt = buildHist(s, d, bits, off, loc)
         require(rebuilt == n)
       }
       writeMeta(loc, graft.Tables.pathStamp(s"$d/embeddings.parquet"), n, bits)

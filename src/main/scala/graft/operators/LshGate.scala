@@ -184,6 +184,66 @@ object LshGate {
                      THEN (CAST(1 AS BIGINT) << (i - (64 - $extRef)))
                      ELSE CAST(0 AS BIGINT) END), (acc, v) -> acc + v) END"""
 
+  // ---- banded codes (round 16) -----------------------------------------
+
+  /** Band count / window width for the BANDED sign-LSH family (q78,
+    * round 16, VERDICT r15 #1): the 64 dims split into [[Bands]] disjoint
+    * windows of [[BandWidth]] dims; band j's base code reads the sign
+    * bits of window j, so a pair colliding in ANY band is a candidate —
+    * the classic multi-band recall amplification (1 − Π(1 − p_j)), which
+    * the r15 multi-probe negative showed is the ONLY structural way to
+    * buy back the recall the overflow split costs on concentrated
+    * corpora. Each band is split-bounded independently: its census runs
+    * at the band's own code, and its extension bits come from the NEXT
+    * window (cyclic) — disjoint from the band's base dims by
+    * construction, so concentrated mass is discriminated by dims the
+    * concentration never touched, exactly the suffix-dim argument at
+    * band grain. Per-band resolution = min(gate bits, BandWidth): a
+    * 16-dim window caps at 16 base bits; past N ≈ target·2^16 per-band
+    * occupancy grows with N and the overflow split carries the
+    * discrimination (up to 16 ext bits — 32 bits/band total). */
+  val Bands = 4
+  val BandWidth = 16
+
+  /** Per-band base resolution under gate resolution `bits`. */
+  def bandBits(bits: Int): Int = math.min(bits, BandWidth)
+
+  /** Spark-SQL sign code over dims [off, off+bb) — [[sparkBucketExpr]] is
+    * the off=0 instance. */
+  def sparkBandBucketExpr(off: Int, bb: Int): String =
+    s"""aggregate(sequence($off, ${off + bb - 1}),
+         0, (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > CAST(0 AS FLOAT)
+                                   THEN CAST(shiftleft(1, i - $off) AS INT) ELSE 0 END)"""
+
+  /** DuckDB twin of [[sparkBandBucketExpr]]; `bbRef` is a SQL reference
+    * holding the band's resolution (the window offset is a literal). */
+  def duckBandBucketExpr(off: Int, bbRef: String): String =
+    s"""list_reduce(list_prepend(0, list_transform(generate_series($off, $off + $bbRef - 1),
+         i -> CASE WHEN embedding[i + 1] > 0 THEN (1 << (i - $off)) ELSE 0 END)), (acc, v) -> acc + v)"""
+
+  /** Spark-SQL extension code for band `j`: `ext` sign bits from the
+    * START of the next window (cyclic) — dims [extOff, extOff+ext),
+    * ext ≤ BandWidth, disjoint from band j's base dims. */
+  def sparkBandExtCodeExpr(extOff: Int, extRef: String): String =
+    s"""CASE WHEN $extRef <= 0 THEN CAST(0 AS BIGINT)
+         ELSE aggregate(sequence($extOff, $extOff + $extRef - 1),
+           CAST(0 AS BIGINT),
+           (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > CAST(0 AS FLOAT)
+                                  THEN shiftleft(CAST(1 AS BIGINT), i - $extOff)
+                                  ELSE CAST(0 AS BIGINT) END) END"""
+
+  /** DuckDB twin of [[sparkBandExtCodeExpr]]. */
+  def duckBandExtCodeExpr(extOff: Int, extRef: String): String =
+    s"""CASE WHEN $extRef <= 0 THEN CAST(0 AS BIGINT)
+         ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series($extOff, $extOff + $extRef - 1),
+           i -> CASE WHEN embedding[i + 1] > 0
+                     THEN (CAST(1 AS BIGINT) << (i - $extOff))
+                     ELSE CAST(0 AS BIGINT) END)), (acc, v) -> acc + v) END"""
+
+  /** The next window's start — band j's extension dims (cyclic). */
+  def bandExtOff(j: Int): Int = ((j + 1) % Bands) * BandWidth
+
   // ---- oracle-side derivation ------------------------------------------
 
   // The oracle SQL is rendered in the same JVM that runs the Spark
@@ -226,6 +286,17 @@ object LshGate {
     val factor = envConf.get("graft.lsh.splitFactor")
       .map(_.toLong).getOrElse(DefaultSplitFactor)
     extLadderSql(nRef, target, factor, maxExt.toString)
+  }
+
+  /** Band-grain twin of [[oracleExtSql]]: the same env-conf ladder with
+    * the extension clamped to the band window width — a band's extension
+    * dims are exactly the next window's [[BandWidth]] dims. */
+  def oracleBandExtSql(nRef: String): String = {
+    val target = envConf.get("graft.lsh.targetBucketRows")
+      .map(_.toLong).getOrElse(DefaultTargetRows)
+    val factor = envConf.get("graft.lsh.splitFactor")
+      .map(_.toLong).getOrElse(DefaultSplitFactor)
+    extLadderSql(nRef, target, factor, BandWidth.toString)
   }
 
   /** The multi-probe width the oracle renders with — same env-conf hook

@@ -211,6 +211,89 @@ object VectorOps {
       .select("vec_id", "v", "norm", "bucket", "ext", "extc")
   }
 
+  // ------------------------------------------------ banded sign-LSH
+  /** One FRESH band-coded scan under band `j` of the gate resolution
+    * `bits` (round 16, VERDICT r15 #1): base code over window j's dims,
+    * overflow split over the NEXT window's dims (cyclic — disjoint from
+    * the base by construction; see LshGate's band scaladoc), census from
+    * the persisted per-(band, resolution) histogram. The q42 freshness
+    * discipline: every call builds new relations. */
+  def lshBandedScan(s: SparkSession, d: String, bits: Int, j: Int): DataFrame = {
+    register(s)
+    val bb = LshGate.bandBits(bits)
+    val off = j * LshGate.BandWidth
+    val extOff = LshGate.bandExtOff(j)
+    val bucketExpr = LshGate.sparkBandBucketExpr(off, bb)
+    val factor = LshGate.splitFactor(s)
+    val base = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), expr(VECD).as("v"),
+              expr(bucketExpr).as("bucket"))
+    val coded =
+      if (factor <= 0)
+        base.withColumn("ext", lit(0)).withColumn("extc", lit(0L))
+      else {
+        val ladder = LshGate.extLadderSql("n", LshGate.targetRows(s),
+          factor, LshGate.BandWidth.toString)
+        val census = LshCensus.histogram(s, LshCensus.ensure(s, d, bb, off))
+          .select(col("bucket"), expr(ladder).as("ext"))
+          .filter(col("ext") > 0)
+        val cj = if (bb <= 20) broadcast(census) else census
+        base.join(cj, Seq("bucket"), "left")
+          .withColumn("ext", coalesce(col("ext"), lit(0)))
+          .withColumn("extc", expr(LshGate.sparkBandExtCodeExpr(extOff, "ext")))
+      }
+    coded
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+      .select("vec_id", "v", "norm", "bucket", "ext", "extc")
+  }
+
+  /** Banded near-dup candidate generation + verification — the
+    * recall-critical member of the sign-LSH family (round 16, VERDICT r15
+    * #1). q42's overflow split bounds candidates on concentrated corpora
+    * but costs single-band recall (0.74 → 0.31 @0.4 on the skew ladder,
+    * and the r15 multi-probe experiment measured that probing cannot buy
+    * it back); the structural fix is MULTI-BAND: [[LshGate.Bands]]
+    * independent sign codes over disjoint 16-dim windows, each
+    * split-bounded on its own census, candidates = pairs colliding in ANY
+    * band. A prefix-concentrated pair that the band-0 split separates
+    * still collides in bands 1–3 (the concentration never constrained
+    * those dims), so union recall recovers what the split drops while
+    * every band's worst CELL stays bounded — the skew ladder measures
+    * both sides per rung.
+    *
+    * Shape at scale: per band the pair join is cell-local on
+    * (bucket, extc) — the q42 plan ×Bands, linear candidate mass per
+    * band; cosine is computed and thresholded INSIDE each band before the
+    * union, so the dedup shuffle carries (d1, d2, cosine) triples, never
+    * vectors; the groupBy dedups across bands and counts the catching
+    * bands (`n_bands` — the per-pair recall evidence). Cosine doubles are
+    * identical across bands (same fold over the same vectors), so MIN is
+    * a deterministic representative. */
+  val q78_lsh_banded: Q = (s, d) => {
+    register(s)
+    val bits = LshGate.bits(s, d)
+    val perBand = (0 until LshGate.Bands).map { j =>
+      def side(i: Int): DataFrame =
+        lshBandedScan(s, d, bits, j)
+          .select(col("bucket").as(s"bucket$i"), col("extc").as(s"extc$i"),
+                  col("vec_id").as(s"d$i"), col("v").as(s"v$i"),
+                  col("norm").as(s"n$i"))
+      side(1).join(side(2),
+          col("bucket1") === col("bucket2") && col("extc1") === col("extc2"))
+        .filter(col("d1") < col("d2"))
+        .withColumn("cosine",
+          dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
+        .filter(col("cosine") >= 0.2)
+        .select(col("d1"), col("d2"), col("cosine"))
+    }
+    perBand.reduce(_ union _)
+      .groupBy("d1", "d2")
+      .agg(min(col("cosine")).as("cosine"),
+           count(lit(1)).cast(IntegerType).as("n_bands"))
+      .select(col("d1"), col("d2"), col("cosine"), col("n_bands"))
+      .orderBy("d1", "d2")
+  }
+
   // ------------------------------------------------- kNN label vote
   /** 5-NN majority-vote label accuracy for probes (vec_id < 50): the
     * standard embedding-quality probe. Vote ties break toward the smaller
@@ -483,6 +566,7 @@ object VectorOps {
     "q41_lsh_buckets"  -> q41_lsh_buckets,
     "q42_lsh_neardup"  -> q42_lsh_neardup,
     "q43_knn_accuracy" -> q43_knn_accuracy,
+    "q78_lsh_banded"   -> q78_lsh_banded,
   )
 
   private val VECD_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -725,6 +809,47 @@ object VectorOps {
            AND a.vec_id < b.vec_id
          WHERE ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) >= 0.2
          ORDER BY a.bucket, d1, d2""",
+
+    // q78: each band's census → ladder → next-window ext code replayed in
+    // plain SQL (the q42 oracle ×Bands), pairs unioned, deduped with the
+    // catching-band count — same integer-arithmetic discipline throughout
+    "q78_lsh_banded" -> {
+      val bandCtes = (0 until LshGate.Bands).map { j =>
+        val off = j * LshGate.BandWidth
+        val extOff = LshGate.bandExtOff(j)
+        s"""vb$j AS (
+             SELECT vec_id, embedding, v, norm,
+               ${LshGate.duckBandBucketExpr(off, "bb")} AS bucket
+             FROM vecs, res),
+           cen$j AS (
+             SELECT bucket, ${LshGate.oracleBandExtSql("COUNT(*)")} AS ext
+             FROM vb$j GROUP BY bucket),
+           ve$j AS (
+             SELECT v.vec_id, v.v, v.norm, v.bucket,
+               ${LshGate.duckBandExtCodeExpr(extOff, "ext")} AS extc
+             FROM vb$j v JOIN cen$j USING (bucket)),
+           p$j AS (
+             SELECT a.vec_id AS d1, b.vec_id AS d2,
+               ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) AS cosine
+             FROM ve$j a JOIN ve$j b
+               ON a.bucket = b.bucket AND a.extc = b.extc
+               AND a.vec_id < b.vec_id
+             WHERE ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) >= 0.2)"""
+      }.mkString(",\n         ")
+      val unions = (0 until LshGate.Bands)
+        .map(j => s"SELECT * FROM p$j").mkString(" UNION ALL ")
+      s"""WITH res AS (
+           SELECT LEAST(${LshGate.oracleBitsSql}, ${LshGate.BandWidth}) AS bb
+           FROM (SELECT COUNT(*) AS c FROM embeddings)),
+         vecs AS (
+           SELECT vec_id, embedding, $VECD_SQL AS v,
+             sqrt(${dotDuck("v0", "v0").replace("v0", VECD_SQL)}) AS norm
+           FROM embeddings),
+         $bandCtes
+         SELECT d1, d2, MIN(cosine) AS cosine,
+           CAST(COUNT(*) AS INTEGER) AS n_bands
+         FROM ($unions) GROUP BY 1, 2 ORDER BY d1, d2"""
+    },
 
     "q43_knn_accuracy" ->
       s"""WITH vecs AS (

@@ -209,6 +209,75 @@ class LshGateSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.lsh.splitFactor")
   }
 
+  test("q78 banded under a forced split == pure-Scala oracle (per-band census, next-window ext)") {
+    val d = sf
+    val (bits, target, factor) = (4, 4L, 2L)
+    spark.conf.set("graft.lsh.bits", bits.toString)
+    spark.conf.set("graft.lsh.targetBucketRows", target.toString)
+    spark.conf.set("graft.lsh.splitFactor", factor.toString)
+    try {
+      val got = SparkEntry.queries("q78_lsh_banded")(spark, d)
+        .select(col("d1"), col("d2"), col("n_bands")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // independent oracle: all four bands re-derived in plain Scala —
+      // band j's base code over dims [16j, 16j+bb), census per band,
+      // extension over the NEXT window's dims
+      val vecs = Tables.embeddings(spark, d).select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val bb = LshGate.bandBits(bits)
+      def dot(a: Array[Float], b: Array[Float]): Double =
+        (0 until 64).foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+      def bucketOf(v: Array[Float], off: Int): Int =
+        (off until off + bb).map(i => if (v(i) > 0f) 1 << (i - off) else 0).sum
+      val caught = scala.collection.mutable.Map[(Long, Long), Int]()
+      for (j <- 0 until LshGate.Bands) {
+        val off = j * LshGate.BandWidth
+        val extOff = LshGate.bandExtOff(j)
+        val ext = vecs.groupBy(x => bucketOf(x._2, off)).map { case (b, xs) =>
+          b -> LshGate.extBits(xs.length, target, factor, LshGate.BandWidth) }
+        def extcOf(v: Array[Float], e: Int): Long =
+          if (e <= 0) 0L
+          else (extOff until extOff + e).map(i =>
+            if (v(i) > 0f) 1L << (i - extOff) else 0L).sum
+        val keyed = vecs.map { case (id, v) =>
+          val b = bucketOf(v, off); (id, v, b, extcOf(v, ext(b))) }
+        for {
+          (i1, v1, b1, e1) <- keyed.toSeq
+          (i2, v2, b2, e2) <- keyed.toSeq
+          if i1 < i2 && b1 == b2 && e1 == e2
+          if dot(v1, v2) / (math.sqrt(dot(v1, v1)) * math.sqrt(dot(v2, v2))) >= 0.2
+        } caught((i1, i2)) = caught.getOrElse((i1, i2), 0) + 1
+      }
+      val expect = caught.map { case ((i1, i2), n) => (i1, i2, n) }.toSet
+      assert(got == expect, "q78 under forced split != pure-Scala banded oracle")
+      assert(got.nonEmpty)
+      assert(got.exists(_._3 > 1), "no pair caught by >1 band — union dedup untested")
+    } finally {
+      spark.conf.unset("graft.lsh.bits")
+      spark.conf.unset("graft.lsh.targetBucketRows")
+      spark.conf.unset("graft.lsh.splitFactor")
+    }
+  }
+
+  test("q78 ⊇ q42 when the split is off and bits ≤ band width (band 0 IS the prefix code)") {
+    val d = sf
+    spark.conf.set("graft.lsh.splitFactor", "0")
+    try {
+      // derived bits at sf0.001 = 8 ≤ 16: band 0's code over dims [0,8)
+      // is exactly q42's prefix code, so with no split every q42 pair
+      // must appear in the banded union
+      val q42 = SparkEntry.queries("q42_lsh_neardup")(spark, d)
+        .select(col("d1"), col("d2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val q78 = SparkEntry.queries("q78_lsh_banded")(spark, d)
+        .select(col("d1"), col("d2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(q42.subsetOf(q78), "banded union lost a band-0 (prefix) pair")
+      assert(q78.size > q42.size,
+        "bands 1-3 caught nothing beyond band 0 — recall amplification untested")
+    } finally spark.conf.unset("graft.lsh.splitFactor")
+  }
+
   test("derived resolution is the default path and matches forcing the same bits") {
     val d = sf
     val derived = LshGate.bits(spark, d)
