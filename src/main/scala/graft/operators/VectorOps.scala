@@ -556,6 +556,63 @@ object VectorOps {
       .boundedOrderBy("cid")
   }
 
+  // ------------------------------------------ multi-assignment SemDeDup
+  /** q68's recall dial (round 16, VERDICT r15 #1 — the composed-recall
+    * answer): every vector joins its [[SemDedupNp]] NEAREST cells (the
+    * nprobe idea applied to curation), so pairs that STRADDLE a cell
+    * boundary — exactly the mass single-assignment loses — are caught by
+    * the shared second cell. The round-16 recall ladder measures the
+    * composed stack on the skew corpora: single-assignment q68 reads
+    * 0.55 recall@cosine 0.4, np=2 reads 0.81 — past the unsplit
+    * single-band LSH's 0.74 — with the worst cell bounded by k-means
+    * balance (~4× CellTarget) and candidate mass per row CONSTANT in N
+    * (K ∝ N), vs the unsplit quadratic's 12,129 candidates/row at the
+    * 600 k rung. Sign-LSH codes are data-INDEPENDENT, so template mass
+    * lands in one bucket and bounded-cost recall caps at per-bit
+    * agreement (~0.63/bit at cosine 0.4 — the banded frontier rungs);
+    * k-means ADAPTS: template mass gets its own centroids, and
+    * multi-assignment covers the boundaries. This is the engine's
+    * recall-critical semantic-dedup operator; q42/q78 remain the cheap
+    * candidate GENERATORS at the ≥0.2 bar.
+    *
+    * Output: one row per duplicate vector — its canonical survivor
+    * (`dup_of` = the SMALLEST qualifying earlier id across all shared
+    * cells, the q33/q37/q68 min-id election) and that pair's cosine.
+    * Persisted centroids are the oracle boundary (q46/q68 discipline):
+    * DuckDB replays np-nearest assignment, cell-local pairing, and the
+    * election from the same centroid doubles — hash-checked. */
+  val SemDedupNp = 2
+
+  val q79_semdedup_np: Q = (s, d) => {
+    register(s)
+    val idx = IvfIndex.ensure(s, d)
+    // np-nearest memberships via the bounded map-side top-k (q40's
+    // TopKByScore — no corpus-wide window shuffle); each side derives
+    // from an INDEPENDENTLY RESOLVED scan (fresh exprIds end to end, the
+    // q42/q68 self-join freshness discipline)
+    def members(i: Int): DataFrame =
+      s.read.parquet(s"$idx/assignments")
+        .select(col("vec_id"), col("v"), col("norm"))
+        .crossJoin(broadcast(IvfIndex.centroids(s, idx)))
+        .withColumn("d2", graft.functions.SqDist.sq_dist(col("v"), col("cv")))
+        .groupBy("vec_id", "v", "norm")
+        .agg(top_k_by_score(SemDedupNp)(-col("d2"), col("cid"), lit(0)).as("top"))
+        .select(col("vec_id").as(s"d$i"), col("v").as(s"v$i"),
+                col("norm").as(s"n$i"), explode(col("top._2")).as(s"cid$i"))
+    members(1).join(members(2),
+        col("cid1") === col("cid2") && col("d1") < col("d2"))
+      .withColumn("cos",
+        dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= SemDedupTau)
+      // a pair sharing BOTH cells appears twice with the same cosine;
+      // the min-by-(candidate id) struct election dedups and elects in
+      // one map-side-combinable aggregate
+      .groupBy(col("d2").as("vec_id"))
+      .agg(min(struct(col("d1"), col("cos"))).as("m"))
+      .select(col("vec_id"), col("m.d1").as("dup_of"), col("m.cos").as("cosine"))
+      .orderBy("vec_id")
+  }
+
   // ===================================================================
   val queries: Map[String, Q] = Map(
     "q68_semdedup"     -> q68_semdedup,
@@ -567,6 +624,7 @@ object VectorOps {
     "q42_lsh_neardup"  -> q42_lsh_neardup,
     "q43_knn_accuracy" -> q43_knn_accuracy,
     "q78_lsh_banded"   -> q78_lsh_banded,
+    "q79_semdedup_np"  -> q79_semdedup_np,
   )
 
   private val VECD_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -608,6 +666,35 @@ object VectorOps {
            m.n_members - COALESCE(d.n_dups, 0) AS n_kept
          FROM mem m LEFT JOIN dupc d USING (cid)
          ORDER BY m.cid""",
+
+    // q79: np-nearest assignment replayed from the persisted centroids
+    // (ROW_NUMBER ≤ np over the same (d2, cid) order as TopKByScore),
+    // cell-local pairs over the expanded membership, min-id election —
+    // the straddling-pair dedup falls out of the rn=1 cut (a both-cells
+    // pair carries the same cosine twice)
+    "q79_semdedup_np" ->
+      s"""WITH cent AS (
+           SELECT cid, cv FROM read_parquet('__IVF__/centroids.parquet/*.parquet')),
+         vecs AS (
+           SELECT vec_id, $VECD_SQL AS v, sqrt(${dotDuck("v0", "v0").replace("v0", VECD_SQL)}) AS norm
+           FROM embeddings),
+         mem AS (
+           SELECT vec_id, v, norm, cid FROM (
+             SELECT vec_id, v, norm, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM (SELECT vec_id, v, norm, cid, ${sqDuck("v", "cv")} AS d2 FROM vecs, cent))
+           WHERE rn <= $SemDedupNp),
+         pairs AS (
+           SELECT b.vec_id AS vec_id, a.vec_id AS cand,
+             ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) AS cos
+           FROM mem a JOIN mem b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) >= $SemDedupTau)
+         SELECT vec_id, cand AS dup_of, cos AS cosine FROM (
+           SELECT vec_id, cand, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cand, cos) AS rn
+           FROM pairs) WHERE rn = 1
+         ORDER BY vec_id""",
 
     // replays the SEARCH from the persisted centroids (the oracle
     // boundary — see IvfIndex scaladoc): assignment to nearest centroid,

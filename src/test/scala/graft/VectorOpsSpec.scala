@@ -143,4 +143,52 @@ class VectorOpsSpec extends AnyFunSuite {
     // every vector is in exactly one cell ⇒ members sum to the corpus
     assert(got.values.map(_._1).sum == Tables.embeddings(spark, sf).count())
   }
+
+  test("q79 multi-assign semdedup == driver-side recompute; dup set ⊇ q68's") {
+    import graft.operators.IvfIndex
+    val idx = IvfIndex.ensure(spark, sf)
+    val asg = spark.read.parquet(s"$idx/assignments")
+      .select("cid", "vec_id", "v", "norm").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Long]("vec_id"),
+                 r.getSeq[Double](2).toArray, r.getAs[Double]("norm")))
+    val cent = spark.read.parquet(s"$idx/centroids.parquet")
+      .select("cid", "cv").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Double](1).toArray))
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // np-nearest memberships, (d2, cid)-ordered like TopKByScore/the SQL
+    val mem = asg.map { case (_, id, v, n) =>
+      id -> ((v, n, cent.map { case (c, cv) => (sq(v, cv), c) }
+        .sortBy(identity).take(VectorOps.SemDedupNp).map(_._2).toSet))
+    }.toMap
+    val expected = (for {
+      (id2, (v2, n2, c2)) <- mem.toSeq
+      cands = mem.toSeq.filter { case (id1, (v1, n1, c1)) =>
+        id1 < id2 && c1.intersect(c2).nonEmpty &&
+          dot(v1, v2) / (n1 * n2) >= VectorOps.SemDedupTau }
+      if cands.nonEmpty
+      (d1, (v1, n1, _)) = cands.minBy(_._1)
+    } yield id2 -> ((d1, dot(v1, v2) / (n1 * n2)))).toMap
+    val got = VectorOps.q79_semdedup_np(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected, "q79 != driver-side multi-assign recompute")
+    assert(got.nonEmpty)
+    // containment: a q68 pair shares the rank-1 cell, which both members
+    // also hold in their np-membership — so q68's dup set is a subset
+    val singleDups = (for {
+      (id2, (v2, n2, c2)) <- mem.toSeq
+      r1b = asg.find(_._2 == id2).get._1
+      if mem.exists { case (id1, (v1, n1, _)) =>
+        id1 < id2 && asg.find(_._2 == id1).get._1 == r1b &&
+          dot(v1, v2) / (n1 * n2) >= VectorOps.SemDedupTau }
+    } yield id2).toSet
+    assert(singleDups.subsetOf(got.keySet),
+      "multi-assignment lost a single-assignment duplicate")
+  }
 }
