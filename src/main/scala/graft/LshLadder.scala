@@ -140,9 +140,241 @@ object LshLadder {
       }
     }
 
+    /** The composed-recall rung (round 16, VERDICT r15 #1): q78's banded
+      * union measured at the operator's own candidate grain. Reports the
+      * SUM of per-band candidate masses (the work all four joins
+      * evaluate — the cost side), the worst cell across bands (the bound
+      * the per-band splits hold), q78's wall + output, and the
+      * probe-anchored UNION recall: a partner counts as caught when it
+      * shares (bucket, extc) with the probe in ANY band. The claim under
+      * test: union recall@0.4 on the skew corpora ≥ the unsplit
+      * single-band 0.74, with every band's worst cell still bounded. */
+    def reportBanded(bits: Int, factor: Long, tag: String): Unit = {
+      spark.conf.set("graft.lsh.bits", bits.toString)
+      spark.conf.set("graft.lsh.splitFactor", factor.toString)
+      spark.conf.set("graft.lsh.probes", "0")
+      try {
+        val bands = 0 until LshGate.Bands
+        val perBand = bands.map { j =>
+          val cells = VectorOps.lshBandedScan(spark, sfDir, bits, j)
+            .groupBy("bucket", "extc").count()
+          val h = cells.agg(
+            sum(col("count") * (col("count") - 1) / 2).cast("long"),
+            max(col("count"))).head
+          (h.getLong(0), h.getLong(1))
+        }
+        val cand = perBand.map(_._1).sum
+        val maxCell = perBand.map(_._2).max
+        val skipJoin = sys.env.get("SPARK_GRAFT_LSH_SKIPJOIN").toSeq
+          .flatMap(_.split(",")).map(_.trim).contains(tag)
+        val q78 = SparkEntry.queries("q78_lsh_banded")
+        val (rows, wall) =
+          if (skipJoin) (-1L, -1.0)
+          else timed { q78(spark, sfDir).count() }
+        // union recall: exact cosine pairs for 200 probe anchors (from
+        // band 0's scan — v/norm are band-independent), caught = shares
+        // the probe's (bucket, extc) in ANY band
+        val exact = {
+          val coded = VectorOps.lshBandedScan(spark, sfDir, bits, 0)
+          val probeSet = VectorOps.lshBandedScan(spark, sfDir, bits, 0)
+            .filter(col("vec_id") < 200)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"),
+                    col("norm").as("qn"))
+          coded.join(broadcast(probeSet), col("vec_id") =!= col("q_id"))
+            .withColumn("cos",
+              graft.functions.DotProduct.dot_product(col("qv"), col("v")) /
+                (col("qn") * col("norm")))
+            .filter(col("cos") >= 0.2)
+            .select(col("q_id"), col("vec_id"), col("cos"))
+        }
+        val caught = bands.map { j =>
+          val coded = VectorOps.lshBandedScan(spark, sfDir, bits, j)
+          val probeSet = VectorOps.lshBandedScan(spark, sfDir, bits, j)
+            .filter(col("vec_id") < 200)
+            .select(col("vec_id").as("q_id"), col("bucket").as("qb"),
+                    col("extc").as("qe"))
+          coded.join(broadcast(probeSet),
+              col("vec_id") =!= col("q_id") &&
+              col("bucket") === col("qb") && col("extc") === col("qe"))
+            .select(col("q_id"), col("vec_id"))
+        }.reduce(_ union _).distinct()
+          .withColumn("hit", lit(1))
+        val r = exact.join(caught, Seq("q_id", "vec_id"), "left")
+          .agg(
+            count(lit(1)).as("ex02"),
+            sum(coalesce(col("hit"), lit(0))).as("c02"),
+            sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("ex04"),
+            sum(when(col("cos") >= 0.4 && col("hit").isNotNull, 1L)
+              .otherwise(0L)).as("c04"))
+          .head
+        def ratio(c: Long, e: Long) =
+          if (e == 0) 1.0 else math.rint(10000.0 * c / e) / 10000
+        println(
+          s"""{"sf_dir":"$sfDir","mode":"$tag","n":$n,"bits":${LshGate.bandBits(bits)},""" +
+          s""""bands":${LshGate.Bands},"split_factor":$factor,""" +
+          s""""cand_pairs":$cand,"cand_per_row":${math.rint(100.0 * cand / n) / 100},""" +
+          s""""max_cell":$maxCell,""" +
+          s""""out_rows":$rows,"wall_s":${math.rint(wall * 100) / 100},""" +
+          s""""recall02":${ratio(r.getLong(1), r.getLong(0))},""" +
+          s""""recall04":${ratio(r.getLong(3), r.getLong(2))}}""")
+      } finally {
+        spark.conf.unset("graft.lsh.bits")
+        spark.conf.unset("graft.lsh.splitFactor")
+        spark.conf.unset("graft.lsh.probes")
+      }
+    }
+
+    /** The DATA-ADAPTIVE rung (round 16): q68 SemDeDup's cluster-local
+      * pairing measured at the same grain as the LSH modes — candidate
+      * mass (Σ nC2 over IVF cells), worst cell, q68 wall, probe-anchored
+      * recall with caught == shares the probe's IVF cell. Sign-LSH codes
+      * are DATA-INDEPENDENT, so template mass lands in one bucket and
+      * bounded-cost recall is capped by per-bit agreement (~0.63 at
+      * cosine 0.4); k-means ADAPTS — template mass gets its own
+      * centroids, so template near-dups co-locate in bounded cells. The
+      * ladder measures whether that structural argument holds. */
+    def reportIvf(tag: String): Unit = {
+      val idx = graft.operators.IvfIndex.ensure(spark, sfDir)
+      def asg = graft.operators.IvfIndex.assignments(spark, idx)
+      val h = asg.groupBy("cid").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"),
+             max(col("count"))).head
+      val (cand, maxCell) = (h.getLong(0), h.getLong(1))
+      val skipJoin = sys.env.get("SPARK_GRAFT_LSH_SKIPJOIN").toSeq
+        .flatMap(_.split(",")).map(_.trim).contains(tag)
+      val q68 = SparkEntry.queries("q68_semdedup")
+      val (rows, wall) =
+        if (skipJoin) (-1L, -1.0)
+        else timed { q68(spark, sfDir).count() }
+      val probeSet = asg.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+                col("norm").as("qn"), col("cid").as("qc"))
+      val hit = col("cid") === col("qc")
+      val r = asg.join(broadcast(probeSet), col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          graft.functions.DotProduct.dot_product(col("qv"), col("v")) /
+            (col("qn") * col("norm")))
+        .filter(col("cos") >= 0.2)
+        .agg(
+          count(lit(1)).as("ex02"),
+          sum(when(hit, 1L).otherwise(0L)).as("c02"),
+          sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("ex04"),
+          sum(when(col("cos") >= 0.4 && hit, 1L).otherwise(0L)).as("c04"))
+        .head
+      def ratio(c: Long, e: Long) =
+        if (e == 0) 1.0 else math.rint(10000.0 * c / e) / 10000
+      println(
+        s"""{"sf_dir":"$sfDir","mode":"$tag","n":$n,""" +
+        s""""k":${graft.operators.IvfIndex.kFor(spark, sfDir)},""" +
+        s""""cand_pairs":$cand,"cand_per_row":${math.rint(100.0 * cand / n) / 100},""" +
+        s""""max_cell":$maxCell,""" +
+        s""""out_rows":$rows,"wall_s":${math.rint(wall * 100) / 100},""" +
+        s""""recall02":${ratio(r.getLong(1), r.getLong(0))},""" +
+        s""""recall04":${ratio(r.getLong(3), r.getLong(2))}}""")
+    }
+
+    /** The recall DIAL on the adaptive rung: multi-assignment — every
+      * vector joins its `np` nearest cells (the nprobe idea applied to
+      * dedup; FAISS deployments do exactly this for IVF-based near-dup).
+      * Candidates grow ≤ np²× (memberships np×, a pair can share ≤ np
+      * cells); recall adds the pairs that straddle adjacent cells —
+      * exactly the mass single-assignment loses at cell boundaries.
+      * Membership selection is the bounded map-side top-k (no corpus
+      * window shuffle); caught == the probe and partner share ≥ 1
+      * assigned cell. */
+    def reportIvfNp(np: Int, tag: String): Unit = {
+      val idx = graft.operators.IvfIndex.ensure(spark, sfDir)
+      val cent = broadcast(graft.operators.IvfIndex.centroids(spark, idx))
+      def asgN = {
+        val a = graft.operators.IvfIndex.assignments(spark, idx)
+          .select("vec_id", "v", "norm")
+        a.crossJoin(cent)
+          .withColumn("d2", graft.functions.SqDist.sq_dist(col("v"), col("cv")))
+          .groupBy("vec_id", "v", "norm")
+          .agg(graft.functions.TopKByScore.top_k_by_score(np)(
+            -col("d2"), col("cid"), lit(0)).as("top"))
+          .select(col("vec_id"), col("v"), col("norm"),
+                  explode(col("top._2")).as("cid"))
+      }
+      val h = asgN.groupBy("cid").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"),
+             max(col("count"))).head
+      val (cand, maxCell) = (h.getLong(0), h.getLong(1))
+      val skipJoin = sys.env.get("SPARK_GRAFT_LSH_SKIPJOIN").toSeq
+        .flatMap(_.split(",")).map(_.trim).contains(tag)
+      // the would-be operator: cell-local pairs over the expanded
+      // membership, deduped, verified at cosine ≥ 0.2 — timed end to end
+      val (rows, wall) =
+        if (skipJoin) (-1L, -1.0)
+        else timed {
+          val a = asgN.select(col("cid"), col("vec_id").as("d1"),
+            col("v").as("v1"), col("norm").as("n1"))
+          val b = asgN.select(col("cid").as("cid_b"), col("vec_id").as("d2"),
+            col("v").as("v2"), col("norm").as("n2"))
+          a.join(b, col("cid") === col("cid_b") && col("d1") < col("d2"))
+            .withColumn("cos",
+              graft.functions.DotProduct.dot_product(col("v1"), col("v2")) /
+                (col("n1") * col("n2")))
+            .filter(col("cos") >= 0.2)
+            .select("d1", "d2").distinct().count()
+        }
+      val probeSet = asgN.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("q_id"), col("cid").as("qc"))
+      val caught = asgN.select(col("vec_id"), col("cid"))
+        .join(broadcast(probeSet),
+          col("vec_id") =!= col("q_id") && col("cid") === col("qc"))
+        .select("q_id", "vec_id").distinct()
+        .withColumn("hit", lit(1))
+      val exact = {
+        val asg = graft.operators.IvfIndex.assignments(spark, idx)
+        val ps = graft.operators.IvfIndex.assignments(spark, idx)
+          .filter(col("vec_id") < 200)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+                  col("norm").as("qn"))
+        asg.join(broadcast(ps), col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            graft.functions.DotProduct.dot_product(col("qv"), col("v")) /
+              (col("qn") * col("norm")))
+          .filter(col("cos") >= 0.2)
+          .select(col("q_id"), col("vec_id"), col("cos"))
+      }
+      val r = exact.join(caught, Seq("q_id", "vec_id"), "left")
+        .agg(
+          count(lit(1)).as("ex02"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("c02"),
+          sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("ex04"),
+          sum(when(col("cos") >= 0.4 && col("hit").isNotNull, 1L)
+            .otherwise(0L)).as("c04"))
+        .head
+      def ratio(c: Long, e: Long) =
+        if (e == 0) 1.0 else math.rint(10000.0 * c / e) / 10000
+      println(
+        s"""{"sf_dir":"$sfDir","mode":"$tag","n":$n,""" +
+        s""""k":${graft.operators.IvfIndex.kFor(spark, sfDir)},"np":$np,""" +
+        s""""cand_pairs":$cand,"cand_per_row":${math.rint(100.0 * cand / n) / 100},""" +
+        s""""max_cell":$maxCell,""" +
+        s""""out_rows":$rows,"wall_s":${math.rint(wall * 100) / 100},""" +
+        s""""recall02":${ratio(r.getLong(1), r.getLong(0))},""" +
+        s""""recall04":${ratio(r.getLong(3), r.getLong(2))}}""")
+    }
+
     report(derived, LshGate.splitFactor(spark), 0, "derived_split")
     // the recall dial: distance-1 multi-probe over the low 4 suffix bits
     report(derived, LshGate.splitFactor(spark), 4, "derived_split_p4")
+    // the composed-recall answer (round 16): the banded union, split live
+    reportBanded(derived, LshGate.splitFactor(spark), "derived_banded")
+    // the recall/candidates FRONTIER: shorter bands trade candidate mass
+    // for per-band collision probability (p ≈ 0.63^bb at cosine 0.4) —
+    // the rungs quantify what recall ≥ the unsplit 0.74 would cost
+    if (derived > 7)
+      reportBanded(derived - 3, LshGate.splitFactor(spark), "banded_bb-3")
+    if (derived > 10)
+      reportBanded(derived - 6, LshGate.splitFactor(spark), "banded_bb-6")
+    // the data-ADAPTIVE alternative: k-means cells (q68 SemDeDup), then
+    // the multi-assignment recall dial on top
+    reportIvf("ivf_semdedup")
+    reportIvfNp(2, "ivf_semdedup_np2")
+    reportIvfNp(4, "ivf_semdedup_np4")
     report(derived, 0, 0, "derived_nosplit")
     if (derived != 8) report(8, 0, 0, "fixed8")
     spark.stop()

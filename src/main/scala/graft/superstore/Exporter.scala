@@ -247,6 +247,35 @@ object Exporter {
     * back to `item.count()`, which re-runs the caller's whole source
     * pipeline per append (ADVICE r15) — fine for a table-backed frame,
     * O(source) for a full ETL expression. */
+  /** The live tree's partition grain, read from the directory names: a
+    * year-grain tree holds `order_year=Y/part-*.parquet`; an EVOLVED tree
+    * (see [[maintainItemPartitioned]]) holds
+    * `order_year=Y/order_month=M/part-*.parquet`. Self-describing — no
+    * meta file to desync from the layout. */
+  private[superstore] def itemGrain(outDir: String): Seq[String] = {
+    val loc = new java.io.File(s"$outDir/Item_by_year")
+    val evolved = Option(loc.listFiles).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("order_year="))
+      .exists(y => Option(y.listFiles).toSeq.flatten
+        .exists(m => m.isDirectory && m.getName.startsWith("order_month=")))
+    if (evolved) Seq("order_year", "order_month") else Seq("order_year")
+  }
+
+  /** Delta (or source) rows decorated with the tree's partition columns
+    * at the given grain — the calendar lookup both the build and the
+    * append share. */
+  private def withGrainCols(rows: DataFrame, calendar: DataFrame,
+                            grain: Seq[String]): DataFrame = {
+    val calCols = Seq(col("calendar_id"), col("year_number")) ++
+      (if (grain.contains("order_month")) Seq(col("month_number")) else Nil)
+    val joined = rows
+      .join(broadcast(calendar.select(calCols: _*)), "calendar_id")
+      .withColumnRenamed("year_number", "order_year")
+    if (grain.contains("order_month"))
+      joined.withColumnRenamed("month_number", "order_month")
+    else joined
+  }
+
   def appendItemPartitioned(item: DataFrame, delta: DataFrame,
                             calendar: DataFrame, outDir: String,
                             expectedSourceRows: Option[Long] = None): Unit = {
@@ -259,13 +288,12 @@ object Exporter {
       s"appendItemPartitioned: no persisted layout at $loc — persist first " +
         "(appending into a missing layout would silently build from the " +
         "delta alone)")
-    delta
-      .join(broadcast(calendar.select(col("calendar_id"), col("year_number"))),
-            "calendar_id")
-      .withColumnRenamed("year_number", "order_year")
-      .sortWithinPartitions("order_year", "calendar_id")
+    // append at the LIVE tree's grain (year, or year-month post-evolution)
+    val grain = itemGrain(outDir)
+    withGrainCols(delta, calendar, grain)
+      .sortWithinPartitions((grain :+ "calendar_id").map(col): _*)
       .write.mode("append")
-      .partitionBy("order_year")
+      .partitionBy(grain: _*)
       .parquet(loc)
     StatsManifest.write(item.sparkSession, loc, Seq("calendar_id"))
     val layoutRows = StatsManifest.read(loc).map(_.map(_.rows).sum).getOrElse(-1L)
@@ -292,7 +320,8 @@ object Exporter {
     * are value-correct in EVERY crash state: the live dir always holds a
     * complete tree (pre- or post-fold — compaction is value-neutral).
     * Returns Some((filesBefore, filesAfter)) when a fold ran. */
-  def maintainItemPartitioned(s: SparkSession, outDir: String): Option[(Int, Int)] = {
+  def maintainItemPartitioned(s: SparkSession, outDir: String,
+                              calendar: Option[DataFrame] = None): Option[(Int, Int)] = {
     healPendingItemCompact(outDir)
     val loc = s"$outDir/Item_by_year"
     val bound = s.conf.getOption("graft.partitioned.maxFilesPerPartition")
@@ -303,12 +332,43 @@ object Exporter {
         else if (f.isDirectory) walk(f)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
       }
-    val perPartition = walk(new java.io.File(loc))
+    val files = walk(new java.io.File(loc))
+    val grain = itemGrain(outDir)
+    // ---- partition EVOLUTION (round 16, VERDICT r15 #5): year →
+    // year-month when any year partition outgrows the bytes bound.
+    // The whole tree evolves in one crash-forward rewrite — Spark's
+    // partition discovery requires a UNIFORM leaf depth, so a mixed-grain
+    // tree is not servable from plain parquet (it would need a custom
+    // FileIndex; table formats exist for exactly that). Uniform evolution
+    // keeps every reader transparent: readItemPruned's manifest carries
+    // relative paths at any depth, and the scan gains an order_month
+    // partition column. Month is the terminal grain — a month partition
+    // past the bound compacts (files policy) but does not split further.
+    // Opt-in: the bound defaults to "never" and evolution needs the
+    // calendar (the month lookup); the divergence rebuild resets to year
+    // grain and the policy re-evolves on the next tick.
+    val bytesBound = s.conf.getOption("graft.partitioned.maxPartitionBytes")
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    val perPartitionBytes = files
+      .groupBy(_.getParentFile.getName).view.mapValues(_.map(_.length).sum)
+    if (grain == Seq("order_year") && calendar.isDefined &&
+        perPartitionBytes.nonEmpty && perPartitionBytes.values.max > bytesBound) {
+      val tmp = s"$outDir/$CompactTmp"
+      graft.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+      val monthGrain = Seq("order_year", "order_month")
+      val src = withGrainCols(
+        s.read.parquet(loc).drop("order_year"), calendar.get, monthGrain)
+      val counts = compactFrame(s, src, files, tmp, monthGrain,
+        Seq("calendar_id"))
+      swapCompacted(outDir)
+      return Some(counts)
+    }
+    val perPartition = files
       .groupBy(_.getParentFile.getName).view.mapValues(_.size)
     if (perPartition.nonEmpty && perPartition.values.max > bound) {
       val tmp = s"$outDir/$CompactTmp"
       graft.Fs.deleteTree(java.nio.file.Paths.get(tmp))
-      val counts = compactPartitioned(s, loc, tmp, "order_year",
+      val counts = compactPartitioned(s, loc, tmp, grain,
         Seq("calendar_id"))
       swapCompacted(outDir) // temp is complete (manifest written) → swap
       Some(counts)
@@ -378,25 +438,38 @@ object Exporter {
     * scatter it and destroy stats selectivity. Returns (files before,
     * files after). */
   def compactPartitioned(s: SparkSession, srcDir: String, dstDir: String,
-                         partCol: String, sortCols: Seq[String],
-                         targetBytes: Long = 128L << 20): (Int, Int) = {
-    def dataFiles(d: java.io.File): Seq[java.io.File] =
-      Option(d.listFiles).toSeq.flatten.flatMap { f =>
-        if (f.isDirectory) dataFiles(f)
-        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      }
-    val before = dataFiles(new java.io.File(srcDir))
+                         partCols: Seq[String], sortCols: Seq[String],
+                         targetBytes: Long = 128L << 20): (Int, Int) =
+    compactFrame(s, s.read.parquet(srcDir),
+      itemDataFiles(new java.io.File(srcDir)), dstDir, partCols, sortCols,
+      targetBytes)
+
+  private def itemDataFiles(d: java.io.File): Seq[java.io.File] =
+    Option(d.listFiles).toSeq.flatten.flatMap { f =>
+      if (f.isDirectory) itemDataFiles(f)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    }
+
+  /** The shared rewrite both the compaction fold and the grain evolution
+    * use: range-partitioned output tasks sized to the source bytes,
+    * sorted by (partition, sort cols) for tight row-group stats, one
+    * manifest over the result. `before` = the source's data files (task
+    * sizing + the returned before-count). */
+  private def compactFrame(s: SparkSession, src: DataFrame,
+                           before: Seq[java.io.File], dstDir: String,
+                           partCols: Seq[String], sortCols: Seq[String],
+                           targetBytes: Long = 128L << 20): (Int, Int) = {
     val totalBytes = before.map(_.length).sum
     val outTasks = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val keys = (partCol +: sortCols).map(col)
-    s.read.parquet(srcDir)
+    val keys = (partCols ++ sortCols).map(col)
+    src
       .repartitionByRange(outTasks, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .write.mode("overwrite").partitionBy(partCol).parquet(dstDir)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(dstDir)
     // compaction is a (re)build: the compacted tree gets its own manifest
     // so readItemPruned-style readers stay O(1)-read pruned post-compact
     StatsManifest.write(s, dstDir, sortCols)
-    (before.size, dataFiles(new java.io.File(dstDir)).size)
+    (before.size, itemDataFiles(new java.io.File(dstDir)).size)
   }
 
   /** Persist rejects (the Errors.txt analog) and return the count —

@@ -60,7 +60,7 @@ class ExporterSpec extends AnyFunSuite {
     val dst = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val (nBefore, nAfter) = Exporter.compactPartitioned(
       spark, s"$frag/Item_by_year", s"$dst/Item_by_year",
-      "order_year", Seq("calendar_id"))
+      Seq("order_year"), Seq("calendar_id"))
     assert(nBefore > nAfter, s"compaction did not shrink: $nBefore -> $nAfter")
     assert(nAfter <= 8, s"still fragmented: $nAfter files")
     // scan task count follows file count
@@ -295,6 +295,62 @@ class ExporterSpec extends AnyFunSuite {
       .select(item.columns.map(col).toIndexedSeq: _*)
     assert(got.count() == item.count())
     assert(got.exceptAll(item).isEmpty && item.exceptAll(got).isEmpty)
+  }
+
+  test("Item partition evolution: year → year-month past the bytes bound, readers transparent") {
+    val wh = SuperstoreETL.build(spark, csv)
+    val item = wh("Item"); val cal = wh("Calendar")
+    val base = item.filter(col("calendar_id") % 10 =!= 0)
+    val delta = item.filter(col("calendar_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_item_evo").toString
+    Exporter.persistItemPartitioned(base, cal, dir)
+    val loc = s"$dir/Item_by_year"
+    val itemCols = item.columns.map(col).toIndexedSeq
+    def values() = spark.read.parquet(loc).select(itemCols: _*)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    // normalize the fresh build under the files policy first (the many-
+    // task ETL write legitimately trips it), then the tree is quiesced
+    Exporter.maintainItemPartitioned(spark, dir)
+    assert(Exporter.maintainItemPartitioned(spark, dir).isEmpty)
+    val before = values()
+    spark.conf.set("graft.partitioned.maxPartitionBytes", "1")
+    try {
+      assert(Exporter.maintainItemPartitioned(spark, dir).isEmpty,
+        "evolution must not fire without the calendar (no month lookup)")
+      val evolved = Exporter.maintainItemPartitioned(spark, dir, Some(cal))
+      assert(evolved.isDefined, "a year partition past the bytes bound must evolve")
+      // the tree is UNIFORMLY (year, month) now — every year dir holds
+      // only month subdirs (Spark partition discovery needs one depth)
+      val years = Option(new java.io.File(loc).listFiles).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("order_year="))
+      assert(years.nonEmpty)
+      assert(years.forall(y => Option(y.listFiles).toSeq.flatten
+        .filter(_.isDirectory).forall(_.getName.startsWith("order_month="))))
+      assert(spark.read.parquet(loc).columns.contains("order_month"))
+      // pre/post-evolve parity: same rows, by value
+      assert(values() == before, "evolution changed values")
+      // month is the TERMINAL grain: the same bound does not re-fire
+      assert(Exporter.maintainItemPartitioned(spark, dir, Some(cal)).isEmpty,
+        "an evolved tree must quiesce under the same bytes bound")
+      // appends land at the NEW grain, conservation intact
+      Exporter.appendItemPartitioned(base.unionByName(delta), delta, cal, dir,
+        expectedSourceRows = Some(base.count() + delta.count()))
+      val entries = graft.sources.StatsManifest.read(loc).get
+      assert(entries.map(_.rows).sum == base.count() + delta.count())
+      assert(entries.exists(e => e.name.matches(
+        "order_year=\\d+/order_month=\\d+/.*\\.parquet")),
+        s"append did not land under month partitions: ${entries.map(_.name).take(3)}")
+      // manifest-routed pruned read stays value-correct across the grain
+      val mm = spark.read.parquet(loc)
+        .agg(min(col("calendar_id")), max(col("calendar_id"))).head
+      val (dLo, dHi) = (mm.get(0).asInstanceOf[Number].longValue,
+                        mm.get(1).asInstanceOf[Number].longValue)
+      val (lo, hi) = (dLo + (dHi - dLo) / 3, dLo + 2 * (dHi - dLo) / 3)
+      val pruned = Exporter.readItemPruned(spark, dir, Some(lo), Some(hi))
+        .filter(col("calendar_id").between(lo, hi))
+      val full = spark.read.parquet(loc).filter(col("calendar_id").between(lo, hi))
+      assert(pruned.count() == full.count() && pruned.exceptAll(full).isEmpty)
+    } finally spark.conf.unset("graft.partitioned.maxPartitionBytes")
   }
 
   test("heal restores .item_old in the SAME pass after discarding an incomplete temp") {
