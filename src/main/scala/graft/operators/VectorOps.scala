@@ -590,15 +590,24 @@ object VectorOps {
     // TopKByScore — no corpus-wide window shuffle); each side derives
     // from an INDEPENDENTLY RESOLVED scan (fresh exprIds end to end, the
     // q42/q68 self-join freshness discipline)
-    def members(i: Int): DataFrame =
-      s.read.parquet(s"$idx/assignments")
-        .select(col("vec_id"), col("v"), col("norm"))
+    def members(i: Int): DataFrame = {
+      // group by the ID ALONE: putting the 512-byte vector inside the
+      // aggregate's grouping key defeats the hash map's fast path and
+      // GC-storms at corpus scale (the sf30 warmup OOM'd there); the
+      // vector/norm rejoin on vec_id is a 1:np equi-join of narrow rows
+      val tops = s.read.parquet(s"$idx/assignments")
+        .select(col("vec_id"), col("v"))
         .crossJoin(broadcast(IvfIndex.centroids(s, idx)))
         .withColumn("d2", graft.functions.SqDist.sq_dist(col("v"), col("cv")))
-        .groupBy("vec_id", "v", "norm")
+        .groupBy("vec_id")
         .agg(top_k_by_score(SemDedupNp)(-col("d2"), col("cid"), lit(0)).as("top"))
+        .select(col("vec_id"), explode(col("top._2")).as(s"cid$i"))
+      s.read.parquet(s"$idx/assignments")
+        .select(col("vec_id"), col("v"), col("norm"))
+        .join(tops, Seq("vec_id"))
         .select(col("vec_id").as(s"d$i"), col("v").as(s"v$i"),
-                col("norm").as(s"n$i"), explode(col("top._2")).as(s"cid$i"))
+                col("norm").as(s"n$i"), col(s"cid$i"))
+    }
     members(1).join(members(2),
         col("cid1") === col("cid2") && col("d1") < col("d2"))
       .withColumn("cos",
