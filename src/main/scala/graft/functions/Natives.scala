@@ -48,5 +48,6 @@ object Natives {
     BitmapAgg.register(s)
     BoundedDocSetAgg.register(s)
     HilbertIdx.register(s)
+    SignCode.register(s)
   }
 }

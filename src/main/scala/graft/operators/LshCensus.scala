@@ -58,9 +58,16 @@ object LshCensus {
     if (off == 0) s"$Root/${corpusHash(d)}/bits=$bits"
     else s"$Root/${corpusHash(d)}/bits=$bits.off=$off"
 
-  private def bucketExpr(off: Int, bits: Int): String =
-    if (off == 0) LshGate.sparkBucketExpr(bits)
-    else LshGate.sparkBandBucketExpr(off, bits)
+  /** Bucket code column — the native codegen'd sign code (values
+    * bit-identical to the composed SQL forms, see SignCode's scaladoc),
+    * cast to INT to keep the persisted histogram's schema (existing
+    * artifacts stay readable and conservation-checkable). */
+  private def bucketCol(s: SparkSession, off: Int, bits: Int)
+      : org.apache.spark.sql.Column = {
+    graft.functions.Natives.registerAll(s)
+    graft.functions.SignCode.sign_code(col("embedding"), lit(off), lit(bits))
+      .cast(org.apache.spark.sql.types.IntegerType)
+  }
 
   // ---- meta ------------------------------------------------------------
 
@@ -95,7 +102,7 @@ object LshCensus {
   private def buildHist(s: SparkSession, d: String, bits: Int, off: Int,
                         loc: String): Long = {
     val hist = s.read.parquet(s"$d/embeddings.parquet")
-      .select(expr(bucketExpr(off, bits)).as("bucket"))
+      .select(bucketCol(s, off, bits).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
     // tiny by construction (≤ 2^bits rows, bits ≤ 24 only when forced;
     // derived bits keep it ≤ ~N/target·2) — one file reads in one task
@@ -163,7 +170,7 @@ object LshCensus {
       require(meta(loc).isDefined,
         s"lsh-census append: no artifact at $loc — ensure first")
       val deltaHist = delta
-        .select(expr(bucketExpr(off, bits)).as("bucket"))
+        .select(bucketCol(s, off, bits).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("dn"))
       val merged = histogram(s, loc)
         .join(deltaHist, Seq("bucket"), "full_outer")

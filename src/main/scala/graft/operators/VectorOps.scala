@@ -174,11 +174,16 @@ object VectorOps {
     * operator's. */
   def lshCodedScan(s: SparkSession, d: String, bits: Int): DataFrame = {
     register(s)
-    val bucketExpr = LshGate.sparkBucketExpr(bits)
+    // native codegen'd sign code (functions.SignCode) — the composed
+    // aggregate()-lambda form ran INTERPRETED per row and was the scan's
+    // hot loop; values bit-identical (SignCode scaladoc), base code cast
+    // back to INT so the historical bucket schema (and the persisted
+    // census artifacts) are unchanged
     val factor = LshGate.splitFactor(s)
     val base = s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding"), expr(VECD).as("v"),
-              expr(bucketExpr).as("bucket"))
+              graft.functions.SignCode.sign_code(col("embedding"), lit(0), lit(bits))
+                .cast(IntegerType).as("bucket"))
     val coded =
       if (factor <= 0)
         // split disabled: no census at all — ext/extc are the same
@@ -204,7 +209,10 @@ object VectorOps {
         val cj = if (bits <= 20) broadcast(census) else census
         base.join(cj, Seq("bucket"), "left")
           .withColumn("ext", coalesce(col("ext"), lit(0)))
-          .withColumn("extc", expr(LshGate.sparkExtCodeExpr("ext")))
+          .withColumn("extc",
+            when(col("ext") <= 0, lit(0L)).otherwise(
+              graft.functions.SignCode.sign_code(
+                col("embedding"), lit(64) - col("ext"), col("ext"))))
       }
     coded
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
@@ -223,11 +231,12 @@ object VectorOps {
     val bb = LshGate.bandBits(bits)
     val off = j * LshGate.BandWidth
     val extOff = LshGate.bandExtOff(j)
-    val bucketExpr = LshGate.sparkBandBucketExpr(off, bb)
     val factor = LshGate.splitFactor(s)
+    // native sign code — see lshCodedScan's note
     val base = s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding"), expr(VECD).as("v"),
-              expr(bucketExpr).as("bucket"))
+              graft.functions.SignCode.sign_code(col("embedding"), lit(off), lit(bb))
+                .cast(IntegerType).as("bucket"))
     val coded =
       if (factor <= 0)
         base.withColumn("ext", lit(0)).withColumn("extc", lit(0L))
@@ -240,7 +249,10 @@ object VectorOps {
         val cj = if (bb <= 20) broadcast(census) else census
         base.join(cj, Seq("bucket"), "left")
           .withColumn("ext", coalesce(col("ext"), lit(0)))
-          .withColumn("extc", expr(LshGate.sparkBandExtCodeExpr(extOff, "ext")))
+          .withColumn("extc",
+            when(col("ext") <= 0, lit(0L)).otherwise(
+              graft.functions.SignCode.sign_code(
+                col("embedding"), lit(extOff), col("ext"))))
       }
     coded
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
@@ -269,24 +281,74 @@ object VectorOps {
     * bands (`n_bands` — the per-pair recall evidence). Cosine doubles are
     * identical across bands (same fold over the same vectors), so MIN is
     * a deterministic representative. */
+  /** One FRESH scan carrying ALL band cells (round 16 rework): the four
+    * band codes + census extensions compute in ONE pass over the corpus,
+    * then explode to (band, bucket, extc) rows — so q78 plans 2 scans and
+    * ONE cell-local join instead of 8 scans and 4 joins + a union. Total
+    * shuffle volume is unchanged (the explode carries each vector once
+    * per band, exactly what the per-band joins shuffled), but the corpus
+    * is read once per side and the join is a single exchange AQE can
+    * skew-handle as one unit. */
+  def lshAllBandsScan(s: SparkSession, d: String, bits: Int): DataFrame = {
+    register(s)
+    val bb = LshGate.bandBits(bits)
+    val factor = LshGate.splitFactor(s)
+    val bands = 0 until LshGate.Bands
+    val base = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), expr(VECD).as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+    val withBuckets = bands.foldLeft(base) { (df, j) =>
+      df.withColumn(s"bkt$j",
+        graft.functions.SignCode.sign_code(
+          col("embedding"), lit(j * LshGate.BandWidth), lit(bb))
+          .cast(IntegerType))
+    }
+    val withCells =
+      if (factor <= 0)
+        bands.foldLeft(withBuckets) { (df, j) =>
+          df.withColumn(s"cell$j", struct(lit(j).as("band"),
+            col(s"bkt$j").as("bucket"), lit(0L).as("extc")))
+        }
+      else {
+        val ladder = LshGate.extLadderSql("n", LshGate.targetRows(s),
+          factor, LshGate.BandWidth.toString)
+        bands.foldLeft(withBuckets) { (df, j) =>
+          val census = LshCensus.histogram(s,
+              LshCensus.ensure(s, d, bb, j * LshGate.BandWidth))
+            .select(col("bucket").as(s"bkt$j"), expr(ladder).as(s"ext$j"))
+            .filter(col(s"ext$j") > 0)
+          df.join(broadcast(census), Seq(s"bkt$j"), "left")
+            .withColumn(s"cell$j", struct(lit(j).as("band"),
+              col(s"bkt$j").as("bucket"),
+              when(col(s"ext$j").isNull || col(s"ext$j") <= 0, lit(0L))
+                .otherwise(graft.functions.SignCode.sign_code(
+                  col("embedding"), lit(LshGate.bandExtOff(j)), col(s"ext$j")))
+                .as("extc")))
+        }
+      }
+    withCells
+      .select(col("vec_id"), col("v"), col("norm"),
+        explode(array(bands.map(j => col(s"cell$j")): _*)).as("cell"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("cell.band").as("band"), col("cell.bucket").as("bucket"),
+        col("cell.extc").as("extc"))
+  }
+
   val q78_lsh_banded: Q = (s, d) => {
     register(s)
     val bits = LshGate.bits(s, d)
-    val perBand = (0 until LshGate.Bands).map { j =>
-      def side(i: Int): DataFrame =
-        lshBandedScan(s, d, bits, j)
-          .select(col("bucket").as(s"bucket$i"), col("extc").as(s"extc$i"),
-                  col("vec_id").as(s"d$i"), col("v").as(s"v$i"),
-                  col("norm").as(s"n$i"))
-      side(1).join(side(2),
-          col("bucket1") === col("bucket2") && col("extc1") === col("extc2"))
-        .filter(col("d1") < col("d2"))
-        .withColumn("cosine",
-          dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
-        .filter(col("cosine") >= 0.2)
-        .select(col("d1"), col("d2"), col("cosine"))
-    }
-    perBand.reduce(_ union _)
+    def side(i: Int): DataFrame =
+      lshAllBandsScan(s, d, bits)
+        .select(col("band").as(s"band$i"), col("bucket").as(s"bucket$i"),
+                col("extc").as(s"extc$i"), col("vec_id").as(s"d$i"),
+                col("v").as(s"v$i"), col("norm").as(s"n$i"))
+    side(1).join(side(2),
+        col("band1") === col("band2") && col("bucket1") === col("bucket2") &&
+          col("extc1") === col("extc2"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("cosine",
+        dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") >= 0.2)
       .groupBy("d1", "d2")
       .agg(min(col("cosine")).as("cosine"),
            count(lit(1)).cast(IntegerType).as("n_bands"))

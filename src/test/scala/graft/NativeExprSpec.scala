@@ -349,4 +349,40 @@ class NativeExprSpec extends AnyFunSuite {
     }
     assert(err.getMessage != null)
   }
+
+  test("sign_code equals the aggregate/CASE composition at every offset/width; column widths too") {
+    val s = registered
+    import graft.functions.SignCode.sign_code
+    import graft.operators.LshGate
+    val emb = Tables.embeddings(s, sf).select("vec_id", "embedding")
+    // fixed (offset, width) pairs covering the operators' uses: q42 base
+    // (0, bits), suffix extensions (64−e, e), band codes (16j, bb), band
+    // extensions (next window, e)
+    val cases = Seq((0, 8), (0, 15), (0, 24), (48, 16), (16, 16), (40, 24),
+                    (56, 8), (63, 1))
+    cases.foreach { case (off, w) =>
+      val composed =
+        if (off == 0) LshGate.sparkBucketExpr(w)
+        else LshGate.sparkBandBucketExpr(off, w)
+      val bad = emb.select(
+          sign_code(col("embedding"), lit(off), lit(w)).as("native"),
+          expr(composed).cast("long").as("composed"))
+        .filter(col("native") =!= col("composed"))
+      assert(bad.count() == 0, s"sign_code ($off, $w) diverges from the composed form")
+    }
+    // per-ROW width column (the overflow split's shape): suffix code at
+    // width e = (vec_id % 12) + 1, native vs the CASE/aggregate text
+    val withE = emb.withColumn("e", (col("vec_id") % 12 + 1).cast("int"))
+    val bad = withE.select(
+        sign_code(col("embedding"), lit(64) - col("e"), col("e")).as("native"),
+        expr(LshGate.sparkExtCodeExpr("e")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(bad.count() == 0, "sign_code with a column width diverges from sparkExtCodeExpr")
+    // e = 0 → code 0 via the operators' when(ext<=0) guard semantics
+    val z = emb.limit(5).select(
+      org.apache.spark.sql.functions.when(lit(0) <= 0, lit(0L))
+        .otherwise(sign_code(col("embedding"), lit(64), lit(0))).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z.forall(_ == 0L))
+  }
 }
