@@ -246,6 +246,39 @@ object IvfIndex {
       assign(vecs, cent.toDF("cid", "cv"))
     } else assignPruned(vecs, cent)
 
+  // ---------------------- top-np cell membership (round 16, q79's core)
+
+  /** Top-`np` nearest-cell memberships as exploded (vec_id, cid) rows —
+    * multi-assignment's expansion (q79): bounded map-side top-k over the
+    * N×K distance rows, ordered (d2 asc, cid asc) exactly like the
+    * oracle's ROW_NUMBER replay. Deliberately EXHAUSTIVE: a top-np
+    * generalization of [[assignPruned]]'s centroid-space prune (ub_np =
+    * np-th smallest super d+r) was built, spec-pinned selection-identical,
+    * and MEASURED SLOWER at the 600k/K=1172 rung — 97.7 s vs 88.5 s for
+    * the whole q79 — because the prune's per-row machinery (a 35-element
+    * transform lambda of super distances + array_sort + filter + explode
+    * + a survivors join) runs interpreted while the exhaustive N×K pass
+    * is one native codegen'd sq_dist loop, and replica-corpus template
+    * mass keeps super radii wide (weak pruning). The negative is recorded
+    * here so the next scale push re-measures instead of assuming; the
+    * rank-1 build prune (assignPruned) remains measured-positive and in
+    * use. */
+  private[graft] def topCells(vecs: DataFrame, cent: DataFrame,
+                              np: Int): DataFrame = {
+    graft.functions.Natives.registerAll(vecs.sparkSession)
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("d2", sqdist)
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKByScore.top_k_by_score(np)(
+        -col("d2"), col("cid"), org.apache.spark.sql.functions.lit(0)).as("top"))
+      // the aggregator's id slot is LONG — cast back to the cid INT
+      // contract the assignments/centroids tables carry (explode first:
+      // generators can't nest inside expressions)
+      .select(col("vec_id"), explode(col("top._2")).as("cidL"))
+      .select(col("vec_id"),
+        col("cidL").cast(org.apache.spark.sql.types.IntegerType).as("cid"))
+  }
+
   /** Train + persist the index for `sfDir` into `indexDir`. */
   def build(s: SparkSession, sfDir: String, indexDir: String,
             k: Int, iters: Int = Iters): Unit = {

@@ -653,17 +653,18 @@ object VectorOps {
     // from an INDEPENDENTLY RESOLVED scan (fresh exprIds end to end, the
     // q42/q68 self-join freshness discipline)
     def members(i: Int): DataFrame = {
-      // group by the ID ALONE: putting the 512-byte vector inside the
-      // aggregate's grouping key defeats the hash map's fast path and
-      // GC-storms at corpus scale (the sf30 warmup OOM'd there); the
-      // vector/norm rejoin on vec_id is a 1:np equi-join of narrow rows
-      val tops = s.read.parquet(s"$idx/assignments")
-        .select(col("vec_id"), col("v"))
-        .crossJoin(broadcast(IvfIndex.centroids(s, idx)))
-        .withColumn("d2", graft.functions.SqDist.sq_dist(col("v"), col("cv")))
-        .groupBy("vec_id")
-        .agg(top_k_by_score(SemDedupNp)(-col("d2"), col("cid"), lit(0)).as("top"))
-        .select(col("vec_id"), explode(col("top._2")).as(s"cid$i"))
+      // membership through IvfIndex.topCells — the EXHAUSTIVE bounded
+      // map-side top-k (a centroid-space-pruned variant was built and
+      // measured SLOWER; the negative is recorded in topCells' scaladoc).
+      // Grouping stays keyed by the ID ALONE: putting the 512-byte
+      // vector inside the aggregate's key defeats the hash map's fast
+      // path and GC-storms at corpus scale (the first sf30 run OOM'd
+      // there); the vector/norm rejoin is a 1:np equi-join of narrow
+      // rows.
+      val tops = IvfIndex.topCells(
+        s.read.parquet(s"$idx/assignments").select(col("vec_id"), col("v")),
+        IvfIndex.centroids(s, idx), SemDedupNp)
+        .withColumnRenamed("cid", s"cid$i")
       s.read.parquet(s"$idx/assignments")
         .select(col("vec_id"), col("v"), col("norm"))
         .join(tops, Seq("vec_id"))

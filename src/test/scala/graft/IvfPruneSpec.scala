@@ -58,4 +58,22 @@ class IvfPruneSpec extends AnyFunSuite {
     val b = rows(IvfIndex.assignVia(vecs, cent))
     assert(a == b)
   }
+
+  // ---- top-np membership (round 16, q79's expansion) -------------------
+
+  private def cells(df: org.apache.spark.sql.DataFrame) =
+    df.select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("topCells: np memberships contain the rank-1 assignment; sizes exact") {
+    import spark.implicits._
+    val cent = centsFrom(col("vec_id") % 6 === 0)
+    val m = cells(IvfIndex.topCells(vecs, cent.toDF("cid", "cv"), 2))
+    assert(m.nonEmpty && m.values.forall(_.size == 2))
+    val r1 = IvfIndex.assign(vecs, cent.toDF("cid", "cv"))
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r1.forall { case (id, cid) => m(id).contains(cid) })
+  }
 }
