@@ -141,11 +141,17 @@ object Bench {
       }
     }
     val base = s""""st":[${rd2(calibBefore)},${rd2(calibAfter)}],"sp":$spreadCount"""
+    // head-token keys with the queries-map collision guard (ADVICE r16):
+    // two movers sharing a head token would silently overwrite each
+    // other's [suite, reread] evidence — fall back to full names then
+    val heads = movers.map(_.split("_").head)
+    val headsUnique = heads.distinct.size == heads.size
+    def key(nm: String): String = if (headsUnique) nm.split("_").head else nm
     val m =
       if (movers.isEmpty) ""
       else movers.flatMap { nm =>
         rereads.get(nm).map(r =>
-          s""""${nm.split("_").head}":[${rd2(suiteMins(nm))},${rd2(r)}]""")
+          s""""${key(nm)}":[${rd2(suiteMins(nm))},${rd2(r)}]""")
       }.mkString(""","m":{""", ",", "}")
     s""","adj":{$base$m}"""
   }

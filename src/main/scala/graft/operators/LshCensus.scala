@@ -126,6 +126,11 @@ object LshCensus {
     * corpus stamp AND the artifact's Σn equals the corpus row count
     * (memoized — Tables.tableRows); any mismatch rebuilds loudly. */
   def ensure(s: SparkSession, d: String, bits: Int, off: Int = 0): String = synchronized {
+    // prune memo entries for stopped sessions (ADVICE r16 — the
+    // Tables.rowCounts removeIf discipline): without it the set grows,
+    // and RETAINS dead SparkSessions, across a long-lived multi-session
+    // JVM such as the test harness
+    validated.removeIf { case (ses, _, _) => ses.sparkContext.isStopped }
     val loc = dirFor(d, bits, off)
     val stamp = graft.Tables.pathStamp(s"$d/embeddings.parquet")
     if (validated.contains((s, loc, stamp))) return loc

@@ -333,6 +333,17 @@ object Exporter {
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
       }
     val files = walk(new java.io.File(loc))
+    // Partition identity = path RELATIVE to the tree root, not the leaf
+    // dir's NAME (ADVICE r16): after year→month evolution the leaves are
+    // order_month=M, which COLLIDE across years — a name-keyed census
+    // sums files over every year sharing a month, so with more years
+    // than the file bound the max exceeds it at one file per partition
+    // and compaction refires a full-tree rewrite on EVERY tick. The
+    // relative path (order_year=Y/order_month=M) keys each leaf once at
+    // any grain depth.
+    val locPath = java.nio.file.Paths.get(loc)
+    def leafKey(f: java.io.File): String =
+      locPath.relativize(f.getParentFile.toPath).toString
     val grain = itemGrain(outDir)
     // ---- partition EVOLUTION (round 16, VERDICT r15 #5): year →
     // year-month when any year partition outgrows the bytes bound.
@@ -350,7 +361,7 @@ object Exporter {
     val bytesBound = s.conf.getOption("graft.partitioned.maxPartitionBytes")
       .map(_.toLong).getOrElse(Long.MaxValue)
     val perPartitionBytes = files
-      .groupBy(_.getParentFile.getName).view.mapValues(_.map(_.length).sum)
+      .groupBy(leafKey).view.mapValues(_.map(_.length).sum)
     if (grain == Seq("order_year") && calendar.isDefined &&
         perPartitionBytes.nonEmpty && perPartitionBytes.values.max > bytesBound) {
       val tmp = s"$outDir/$CompactTmp"
@@ -364,7 +375,7 @@ object Exporter {
       return Some(counts)
     }
     val perPartition = files
-      .groupBy(_.getParentFile.getName).view.mapValues(_.size)
+      .groupBy(leafKey).view.mapValues(_.size)
     if (perPartition.nonEmpty && perPartition.values.max > bound) {
       val tmp = s"$outDir/$CompactTmp"
       graft.Fs.deleteTree(java.nio.file.Paths.get(tmp))

@@ -77,6 +77,22 @@ class BenchAdjudicateSpec extends AnyFunSuite {
       ""","adj":{"st":[0.31,0.19],"sp":26,"m":{"q38":[9.75,8.34],"q28":[4.67,5.1]}}""")
   }
 
+  test("adj field: head-token collision falls back to full-name keys (ADVICE r16)") {
+    val got = Bench.adjudicationJson(0.2, 0.2, 10,
+      Seq("q34_ngram_jaccard", "q34b_ngram_variant"),
+      Map("q34_ngram_jaccard" -> 2.0, "q34b_ngram_variant" -> 1.5),
+      Map("q34_ngram_jaccard" -> 1.8, "q34b_ngram_variant" -> 1.4))
+    // both movers head-tokenize to distinct q34/q34b here — force a true
+    // collision with two movers sharing the SAME head token
+    assert(got.contains(""""q34":[2,1.8]""") && got.contains(""""q34b":[1.5,1.4]"""))
+    val collided = Bench.adjudicationJson(0.2, 0.2, 10,
+      Seq("q34_ngram_jaccard", "q34_other_family"),
+      Map("q34_ngram_jaccard" -> 2.0, "q34_other_family" -> 1.5),
+      Map("q34_ngram_jaccard" -> 1.8, "q34_other_family" -> 1.4))
+    assert(collided ==
+      ""","adj":{"st":[0.2,0.2],"sp":10,"m":{"q34_ngram_jaccard":[2,1.8],"q34_other_family":[1.5,1.4]}}""")
+  }
+
   test("adj field: a mover whose re-reads all failed is omitted from the map") {
     val got = Bench.adjudicationJson(0.25, 0.25, 30,
       Seq("q2_dedup_merge"), Map("q2_dedup_merge" -> 3.0), Map.empty)

@@ -332,6 +332,33 @@ class ExporterSpec extends AnyFunSuite {
       // month is the TERMINAL grain: the same bound does not re-fire
       assert(Exporter.maintainItemPartitioned(spark, dir, Some(cal)).isEmpty,
         "an evolved tree must quiesce under the same bytes bound")
+      // ADVICE r16: month leaves collide across years under a leaf-NAME
+      // census (order_month=M repeats per year) — with more years than
+      // the file bound, the name-summed count refires a full-tree
+      // rewrite on EVERY tick. Census must key by the (year, month)
+      // RELATIVE path: bound = the true per-leaf max quiesces, even
+      // though the name-keyed sum across years exceeds it.
+      locally {
+        def leafFiles(d: java.io.File, rel: String = ""): Seq[(String, String)] =
+          Option(d.listFiles).toSeq.flatten.flatMap { f =>
+            if (f.getName.startsWith(".") || f.getName.startsWith("_")) Nil
+            else if (f.isDirectory)
+              leafFiles(f, if (rel.isEmpty) f.getName else s"$rel/${f.getName}")
+            else if (f.getName.endsWith(".parquet")) Seq((rel, f.getName))
+            else Nil
+          }
+        val perLeaf = leafFiles(new java.io.File(loc))
+          .groupBy(_._1).view.mapValues(_.size).toMap
+        val leafMax = perLeaf.values.max
+        val nameMax = perLeaf.groupBy(_._1.split("/").last)
+          .view.mapValues(_.values.sum).values.max
+        assert(nameMax > leafMax,
+          "fixture must actually collide month names across years")
+        spark.conf.set("graft.partitioned.maxFilesPerPartition", leafMax.toString)
+        try assert(Exporter.maintainItemPartitioned(spark, dir, Some(cal)).isEmpty,
+          "post-evolution files census must key per (year, month) leaf, not leaf NAME")
+        finally spark.conf.unset("graft.partitioned.maxFilesPerPartition")
+      }
       // appends land at the NEW grain, conservation intact
       Exporter.appendItemPartitioned(base.unionByName(delta), delta, cal, dir,
         expectedSourceRows = Some(base.count() + delta.count()))
