@@ -45,13 +45,21 @@ case class SignCode(arr: Expression, off: Expression, width: Expression)
   override def nullable: Boolean =
     arr.nullable || off.nullable || width.nullable
 
+  // array<double> joined the accepted input types in round 17: q79's
+  // pre-filter codes sign the assignments' DOUBLE vectors (the cast of
+  // the same embedding — identical signs, so the code is the same bits)
+  private def isDouble: Boolean = arr.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (arr.dataType, off.dataType, width.dataType) match {
-      case (ArrayType(FloatType, _), IntegerType, IntegerType) =>
+      case (ArrayType(FloatType | DoubleType, _), IntegerType, IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
       case _ =>
         TypeCheckResult.TypeCheckFailure(
-          s"sign_code requires (array<float>, int, int), got " +
+          s"sign_code requires (array<float|double>, int, int), got " +
             s"(${arr.dataType.simpleString}, ${off.dataType.simpleString}, " +
             s"${width.dataType.simpleString})")
     }
@@ -61,13 +69,19 @@ case class SignCode(arr: Expression, off: Expression, width: Expression)
     val base = o.asInstanceOf[Int]
     val wd = w.asInstanceOf[Int]
     val n = x.numElements()
+    val dbl = isDouble
     var s = 0L
     var i = 0
     while (i < wd) {
       val idx = base + i
       if (idx >= 0 && idx < n && !x.isNullAt(idx)) {
-        val f = x.getFloat(idx)
-        if (java.lang.Float.isNaN(f) || f > 0f) s |= 1L << i
+        if (dbl) {
+          val d = x.getDouble(idx)
+          if (java.lang.Double.isNaN(d) || d > 0d) s |= 1L << i
+        } else {
+          val f = x.getFloat(idx)
+          if (java.lang.Float.isNaN(f) || f > 0f) s |= 1L << i
+        }
       }
       i += 1
     }
@@ -81,14 +95,16 @@ case class SignCode(arr: Expression, off: Expression, width: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val f = ctx.freshName("f")
+      val (jt, get, box) =
+        if (isDouble) ("double", "getDouble", "Double") else ("float", "getFloat", "Float")
       s"""
          |int $n = $a.numElements();
          |long $s = 0L;
          |for (int $i = 0; $i < $w; $i++) {
          |  int $idx = $o + $i;
          |  if ($idx >= 0 && $idx < $n && !$a.isNullAt($idx)) {
-         |    float $f = $a.getFloat($idx);
-         |    if (Float.isNaN($f) || $f > 0f) $s |= 1L << $i;
+         |    $jt $f = $a.$get($idx);
+         |    if ($box.isNaN($f) || $f > 0) $s |= 1L << $i;
          |  }
          |}
          |${ev.value} = $s;

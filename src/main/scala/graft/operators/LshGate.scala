@@ -254,6 +254,12 @@ object LshGate {
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
       .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }.toMap
 
+  /** Env-rendered conf for oracle-side derivations OUTSIDE the gate —
+    * the same SPARK_GRAFT_CONF hook, shared so every dial that must keep
+    * its DuckDB oracle in sync (q79's np and pre-filter) reads the one
+    * map the Spark side's forced run was launched with. */
+  def envConfGet(k: String): Option[String] = envConf.get(k)
+
   /** SQL expression for the resolution, given `c` = corpus row count in
     * scope: a forced `graft.lsh.bits` renders as a literal; otherwise the
     * derivation's integer CASE ladder (bit-identical thresholds to

@@ -643,11 +643,53 @@ object VectorOps {
     * Persisted centroids are the oracle boundary (q46/q68 discipline):
     * DuckDB replays np-nearest assignment, cell-local pairing, and the
     * election from the same centroid doubles — hash-checked. */
-  val SemDedupNp = 2
+  val SemDedupNpDefault = 2
+
+  /** The np recall dial as a CONF (round 17, VERDICT r16 #2): the ladder
+    * measured np4 as the recall winner (0.81 recall@0.4 at f300) but the
+    * r16 operating point was compile-time — unreachable without a
+    * rebuild. `graft.semdedup.np` selects it per session; the oracle
+    * renders the SAME value through the SPARK_GRAFT_CONF env hook
+    * (LshGate.envConfGet), so a forced run stays hash-checked. */
+  def semDedupNp(s: SparkSession): Int =
+    s.conf.getOption("graft.semdedup.np").map(_.toInt)
+      .getOrElse(SemDedupNpDefault)
+  private def oracleNp: Int =
+    LshGate.envConfGet("graft.semdedup.np").map(_.toInt)
+      .getOrElse(SemDedupNpDefault)
+
+  /** q79's in-cell PRE-FILTER dial (round 17, VERDICT r16 #1): gate each
+    * cell-local candidate on sign-code agreement BEFORE the full-width
+    * dot. `graft.semdedup.prefilterBits` = B (default 0 = off) signs the
+    * first B dims once per MEMBERSHIP ROW (8 bytes carried through the
+    * pair join); a pair proceeds to the dot only when its codes disagree
+    * in ≤ [[prefilterMaxHamming]](B) bits. The gate is PROBABILISTIC —
+    * a true pair at cosine c disagrees per-bit w.p. acos(c)/π, so any
+    * finite bound drops some tail mass — which is why it is a dial with
+    * its recall delta published on the LSH_RECALL ladder, never a silent
+    * default. The oracle replays the same gate (composed list_reduce
+    * sign + xor + bit_count), so forced-dial Verify stays hash-matched. */
+  def semDedupPrefilterBits(s: SparkSession): Int =
+    s.conf.getOption("graft.semdedup.prefilterBits").map(_.toInt).getOrElse(0)
+  private def oraclePrefilterBits: Int =
+    LshGate.envConfGet("graft.semdedup.prefilterBits").map(_.toInt).getOrElse(0)
+
+  /** Max admissible sign-code Hamming distance for a B-bit pre-filter at
+    * duplicate bar `tau`: mean disagreement of a pair AT the bar
+    * (B·acos(tau)/π) plus two standard deviations — keeps ≥ ~97.7% of
+    * bar pairs per the normal approximation, prunes only mass well below
+    * the bar. Pure and spec-pinned (VectorOpsSpec) so the Spark plan and
+    * the rendered oracle can never disagree on the bound. */
+  def prefilterMaxHamming(bits: Int, tau: Double = SemDedupTau): Int = {
+    val p = math.acos(tau) / math.Pi
+    math.floor(bits * p + 2.0 * math.sqrt(bits * p * (1.0 - p))).toInt
+  }
 
   val q79_semdedup_np: Q = (s, d) => {
     register(s)
     val idx = IvfIndex.ensure(s, d)
+    val np = semDedupNp(s)
+    val pfBits = semDedupPrefilterBits(s)
     // np-nearest memberships via the bounded map-side top-k (q40's
     // TopKByScore — no corpus-wide window shuffle); each side derives
     // from an INDEPENDENTLY RESOLVED scan (fresh exprIds end to end, the
@@ -663,16 +705,29 @@ object VectorOps {
       // rows.
       val tops = IvfIndex.topCells(
         s.read.parquet(s"$idx/assignments").select(col("vec_id"), col("v")),
-        IvfIndex.centroids(s, idx), SemDedupNp)
+        IvfIndex.centroids(s, idx), np)
         .withColumnRenamed("cid", s"cid$i")
-      s.read.parquet(s"$idx/assignments")
+      val base = s.read.parquet(s"$idx/assignments")
         .select(col("vec_id"), col("v"), col("norm"))
-        .join(tops, Seq("vec_id"))
-        .select(col("vec_id").as(s"d$i"), col("v").as(s"v$i"),
-                col("norm").as(s"n$i"), col(s"cid$i"))
+      // pre-filter code signed ONCE per membership row (8 bytes through
+      // the rejoin), never per pair — the gate's whole point is that the
+      // per-pair test touches two longs, not two 64-double arrays
+      val coded = if (pfBits <= 0) base
+        else base.withColumn(s"sc$i", graft.functions.SignCode.sign_code(
+          col("v"), lit(0), lit(pfBits)))
+      coded.join(tops, Seq("vec_id"))
+        .select(Seq(col("vec_id").as(s"d$i"), col("v").as(s"v$i"),
+                col("norm").as(s"n$i"), col(s"cid$i")) ++
+          (if (pfBits > 0) Seq(col(s"sc$i")) else Nil): _*)
     }
-    members(1).join(members(2),
-        col("cid1") === col("cid2") && col("d1") < col("d2"))
+    val cellLocal = col("cid1") === col("cid2") && col("d1") < col("d2")
+    // the gate lives IN the join condition: hash-join probe rows that
+    // fail it are dropped before the joined row (with its two 512-byte
+    // vectors) is ever assembled for the dot/filter stage
+    val joinCond = if (pfBits <= 0) cellLocal
+      else cellLocal &&
+        expr(s"bit_count(sc1 ^ sc2)") <= lit(prefilterMaxHamming(pfBits))
+    members(1).join(members(2), joinCond)
       .withColumn("cos",
         dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= SemDedupTau)
@@ -708,6 +763,38 @@ object VectorOps {
 
   private def sqDuck(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)"
+
+  /** Composed sign code over the first `bits` dims of a DOUBLE list —
+    * the DuckDB replay of [[graft.functions.SignCode]] on `v` (same
+    * bits: v is the float embedding cast to double, sign-preserving;
+    * `x > 0` reads NaN as TRUE in DuckDB's ordering, same as the
+    * native expression — unreachable on real data, matched anyway). */
+  private def signDuck(vref: String, bits: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, $bits),
+         i -> CASE WHEN $vref[i] <= 0 THEN CAST(0 AS BIGINT)
+                   WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+                   ELSE (CAST(1 AS BIGINT) << (i - 1)) END)),
+         (acc, x) -> acc + x)"""
+  // bit 63 can't render as 1<<63 — DuckDB's BIGINT shift RAISES on
+  // overflow — so it adds as the two's-complement literal (-2^63), the
+  // same raw bits Spark's `1L << 63` produces; the sum never overflows
+  // (the other 63 bits total at most 2^63 − 1). NaN still reads as set:
+  // `x <= 0` is false for NaN in DuckDB's ordering, falling to the shift
+  // arm — matching the native expression's isNaN || > 0.
+
+  // q79's dials, env-rendered ONCE at oracle construction (env is
+  // immutable per JVM — the same SPARK_GRAFT_CONF the forced Spark run
+  // was launched with): the membership cut renders oracleNp, and a live
+  // pre-filter adds the sign-gate columns + predicate. Dial off renders
+  // the exact r16 oracle text, so the default hash gate is untouched.
+  private val q79PfBits = oraclePrefilterBits
+  private val q79ScSel =
+    if (q79PfBits <= 0) ""
+    else s", ${signDuck(VECD_SQL, q79PfBits)} AS sc"
+  private val q79ScThrough = if (q79PfBits <= 0) "" else ", sc"
+  private val q79PfPred =
+    if (q79PfBits <= 0) ""
+    else s" AND bit_count(xor(a.sc, b.sc)) <= ${prefilterMaxHamming(q79PfBits)}"
 
   val oracles: Map[String, String] = Map(
     // q68: assignment replayed from the persisted IVF centroids (q46's
@@ -748,19 +835,19 @@ object VectorOps {
       s"""WITH cent AS (
            SELECT cid, cv FROM read_parquet('__IVF__/centroids.parquet/*.parquet')),
          vecs AS (
-           SELECT vec_id, $VECD_SQL AS v, sqrt(${dotDuck("v0", "v0").replace("v0", VECD_SQL)}) AS norm
+           SELECT vec_id, $VECD_SQL AS v, sqrt(${dotDuck("v0", "v0").replace("v0", VECD_SQL)}) AS norm$q79ScSel
            FROM embeddings),
          mem AS (
-           SELECT vec_id, v, norm, cid FROM (
-             SELECT vec_id, v, norm, cid,
+           SELECT vec_id, v, norm, cid$q79ScThrough FROM (
+             SELECT vec_id, v, norm, cid$q79ScThrough,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-             FROM (SELECT vec_id, v, norm, cid, ${sqDuck("v", "cv")} AS d2 FROM vecs, cent))
-           WHERE rn <= $SemDedupNp),
+             FROM (SELECT vec_id, v, norm, cid$q79ScThrough, ${sqDuck("v", "cv")} AS d2 FROM vecs, cent))
+           WHERE rn <= $oracleNp),
          pairs AS (
            SELECT b.vec_id AS vec_id, a.vec_id AS cand,
              ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) AS cos
            FROM mem a JOIN mem b
-             ON a.cid = b.cid AND a.vec_id < b.vec_id
+             ON a.cid = b.cid AND a.vec_id < b.vec_id$q79PfPred
            WHERE ${dotDuck("a.v", "b.v")} / (a.norm * b.norm) >= $SemDedupTau)
          SELECT vec_id, cand AS dup_of, cos AS cosine FROM (
            SELECT vec_id, cand, cos,

@@ -384,5 +384,19 @@ class NativeExprSpec extends AnyFunSuite {
         .otherwise(sign_code(col("embedding"), lit(64), lit(0))).as("c"))
       .collect().map(_.getLong(0)).toSeq
     assert(z.forall(_ == 0L))
+    // array<double> input (round 17 — q79's pre-filter signs the
+    // assignments' DOUBLE vectors): same bits as the float embedding
+    // (the cast is sign-preserving), and same bits as the composed CASE
+    // form over the double list
+    val dbl = emb.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val badD = dbl.select(
+        sign_code(col("v"), lit(0), lit(64)).as("d"),
+        sign_code(col("embedding"), lit(0), lit(64)).as("f"),
+        expr("""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+                 (acc, i) -> acc + CASE WHEN element_at(v, i + 1) > CAST(0 AS DOUBLE)
+                   THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)""")
+          .as("composed"))
+      .filter(col("d") =!= col("f") || col("d") =!= col("composed"))
+    assert(badD.count() == 0, "sign_code over array<double> diverges")
   }
 }

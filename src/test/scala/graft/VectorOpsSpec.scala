@@ -165,7 +165,7 @@ class VectorOpsSpec extends AnyFunSuite {
     // np-nearest memberships, (d2, cid)-ordered like TopKByScore/the SQL
     val mem = asg.map { case (_, id, v, n) =>
       id -> ((v, n, cent.map { case (c, cv) => (sq(v, cv), c) }
-        .sortBy(identity).take(VectorOps.SemDedupNp).map(_._2).toSet))
+        .sortBy(identity).take(VectorOps.semDedupNp(spark)).map(_._2).toSet))
     }.toMap
     val expected = (for {
       (id2, (v2, n2, c2)) <- mem.toSeq
@@ -190,5 +190,61 @@ class VectorOpsSpec extends AnyFunSuite {
     } yield id2).toSet
     assert(singleDups.subsetOf(got.keySet),
       "multi-assignment lost a single-assignment duplicate")
+  }
+
+  test("q79 at np=1 reproduces q68's single-assignment pairing (the conf dial's floor)") {
+    import graft.operators.IvfIndex
+    val idx = IvfIndex.ensure(spark, sf)
+    val asg = spark.read.parquet(s"$idx/assignments")
+      .select("cid", "vec_id", "v", "norm").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Long]("vec_id"),
+                 r.getSeq[Double](2).toArray, r.getAs[Double]("norm")))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // expected = q68's semantics re-expressed at q79's output grain:
+    // rank-1 cell-local candidates, min-id election, cosine carried
+    val expected = (for {
+      (c2, id2, v2, n2) <- asg.toSeq
+      cands = asg.toSeq.filter { case (c1, id1, v1, n1) =>
+        c1 == c2 && id1 < id2 && dot(v1, v2) / (n1 * n2) >= VectorOps.SemDedupTau }
+      if cands.nonEmpty
+      (_, d1, v1, n1) = cands.minBy(_._2)
+    } yield id2 -> ((d1, dot(v1, v2) / (n1 * n2)))).toMap
+    spark.conf.set("graft.semdedup.np", "1")
+    try {
+      val got = VectorOps.q79_semdedup_np(spark, sf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == expected, "q79@np=1 != single-assignment pairing")
+      assert(got.nonEmpty)
+    } finally spark.conf.unset("graft.semdedup.np")
+  }
+
+  test("prefilterMaxHamming is pinned: mean-at-bar + 2σ, floored") {
+    // bar tau=0.2 ⇒ per-bit disagreement p = acos(0.2)/π ≈ 0.4359
+    assert(VectorOps.prefilterMaxHamming(8) == 6)
+    assert(VectorOps.prefilterMaxHamming(16) == 10)
+    assert(VectorOps.prefilterMaxHamming(32) == 19)
+    assert(VectorOps.prefilterMaxHamming(64) == 35)
+    // a tighter bar admits fewer disagreements at the same width
+    assert(VectorOps.prefilterMaxHamming(64, 0.6) <
+           VectorOps.prefilterMaxHamming(64, 0.2))
+  }
+
+  test("q79 pre-filter dial: survivors are a value-identical subset of dial-off") {
+    val off = VectorOps.q79_semdedup_np(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    spark.conf.set("graft.semdedup.prefilterBits", "64")
+    try {
+      val on = VectorOps.q79_semdedup_np(spark, sf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // the gate only REMOVES candidate pairs; a removed non-winning
+      // candidate can shift a survivor's elected dup_of, so containment
+      // is on the duplicate SET; rows whose election is unchanged match
+      assert(on.keySet.subsetOf(off.keySet),
+        "pre-filter must never ADD a duplicate")
+      assert(on.nonEmpty, "64-bit gate at 2σ should keep most true pairs")
+    } finally spark.conf.unset("graft.semdedup.prefilterBits")
   }
 }
