@@ -19,6 +19,17 @@ import graft.sources.{BucketedLayout, HilbertLayout, ZOrderLayout}
   * | partitioned Item tree (opt-in via `itemDir`) | `graft.partitioned.maxFilesPerPartition` | 4 | any partition's file count > bound | compactPartitioned + crash-forward swap |
   * | Item partition EVOLUTION (needs `itemCalendar`) | `graft.partitioned.maxPartitionBytes` | never (Long.MaxValue) | any year partition's bytes > bound | whole-tree year → year-month rewrite (same swap) |
   *
+  * Month is the evolution's TERMINAL grain by design: a month partition
+  * past the bytes bound compacts under the files policy but never splits
+  * further (Exporter.maintainItemPartitioned gates the rewrite to
+  * year-grain trees). The escape hatch when a deployment outgrows month
+  * partitions is a re-ensure at a NEW root — persistItemPartitioned into
+  * a fresh directory with a day-bearing grain column, then swap the
+  * serving path — i.e. a planned migration, not a tick policy: a grain
+  * change below month multiplies leaf count ~30× and deserves an
+  * operator decision, and the divergence-rebuild path already proves the
+  * from-source rebuild is value-neutral at any grain.
+  *
   * Design rules the tick inherits from its members:
   *  - MAINTAIN, never create: a family whose layout is absent (not
   *    ensured for this corpus, or gated off at this SF) is a safe no-op —
