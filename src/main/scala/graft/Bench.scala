@@ -129,17 +129,18 @@ object Bench {
     * a fold is re-read < suite; a slower re-read published here is the
     * documented refusal to fold. Head-token keys + 2-decimal values, the
     * queries-map line-budget discipline (~30 chars idle, ~25/mover). */
+  private def rd2(x: Double): String = {
+    val r = math.rint(x * 100) / 100
+    if (r == r.toLong) r.toLong.toString else {
+      val t = f"$r%.2f"
+      if (t.endsWith("0")) t.dropRight(1) else t
+    }
+  }
+
   private[graft] def adjudicationJson(
       calibBefore: Double, calibAfter: Double, spreadCount: Int,
       movers: Seq[String], suiteMins: Map[String, Double],
-      rereads: Map[String, Double]): String = {
-    def rd2(x: Double): String = {
-      val r = math.rint(x * 100) / 100
-      if (r == r.toLong) r.toLong.toString else {
-        val t = f"$r%.2f"
-        if (t.endsWith("0")) t.dropRight(1) else t
-      }
-    }
+      rereads: Map[String, Double], priorBlock: String = ""): String = {
     val base = s""""st":[${rd2(calibBefore)},${rd2(calibAfter)}],"sp":$spreadCount"""
     // head-token keys with the queries-map collision guard (ADVICE r16):
     // two movers sharing a head token would silently overwrite each
@@ -153,7 +154,72 @@ object Bench {
         rereads.get(nm).map(r =>
           s""""${key(nm)}":[${rd2(suiteMins(nm))},${rd2(r)}]""")
       }.mkString(""","m":{""", ",", "}")
-    s""","adj":{$base$m}"""
+    s""","adj":{$base$m$priorBlock}"""
+  }
+
+  // ---- cross-round drift check (round 17, VERDICT r16 #6) --------------
+  /** The in-run spread trigger keys on a query's own passes DISAGREEING —
+    * it cannot see a query that drifted between rounds but reads steady
+    * within the run (BENCH_r16's q2 0.47→0.84 shipped with no mover
+    * entry). This selector compares this run's suite mins against the
+    * PREVIOUS round's parsed artifact: top-`n` absolute deltas among
+    * queries that moved both ≥ [[PriorMinDelta]] seconds and ≥ 1.3×
+    * relatively (either direction — an unexplained speedup is as much a
+    * measurement question as a slowdown). Keys are whatever key format
+    * both artifacts share (head tokens in practice). Pure and spec-pinned
+    * like [[adjudicationMovers]]; the IO half is [[loadPriorQueries]]. */
+  val PriorMinDelta = 0.25
+  private[graft] def priorMovers(prior: Map[String, Double],
+      suite: Map[String, Double], n: Int = 3): Seq[String] =
+    suite.keys.toSeq.sorted
+      .flatMap(nm => prior.get(nm).map(p => (nm, p, suite(nm))))
+      .filter { case (_, p, s) => p > 0 && s > 0 &&
+        math.abs(s - p) >= PriorMinDelta &&
+        math.max(s, p) / math.min(s, p) > 1.3 }
+      .sortBy { case (nm, p, s) => (-math.abs(s - p), nm) }
+      .take(n).map(_._1)
+
+  /** Renders the `prior` block inside `adj`: per drifted query
+    * [prior-round min, this-suite min, re-read min] — the re-read is the
+    * verdict (≈ suite ⇒ the drift is real/code; ≈ prior ⇒ weather the
+    * min-of-3 didn't dodge). A mover whose re-reads all failed keeps the
+    * 2-element form — disclosed, just unadjudicated. */
+  private[graft] def priorJson(movers: Seq[String],
+      prior: Map[String, Double], suite: Map[String, Double],
+      rereads: Map[String, Double]): String =
+    if (movers.isEmpty) ""
+    else movers.map { nm =>
+      val rr = rereads.get(nm).map("," + rd2(_)).getOrElse("")
+      s""""$nm":[${rd2(prior(nm))},${rd2(suite(nm))}$rr]"""
+    }.mkString(""","prior":{""", ",", "}")
+
+  /** Latest same-sf `BENCH_r*.json` in the working directory with a
+    * parsed stdout line → its per-query map (head-token keys). The driver
+    * writes these artifacts into the repo root it runs Bench from, so the
+    * previous round's numbers are just THERE — no side channel. Env
+    * `SPARK_GRAFT_PRIOR` overrides: a path to a specific artifact, or `0`
+    * to disable (A/B runs that deliberately change the workload). */
+  private def loadPriorQueries(sfTag: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val files: Seq[java.io.File] = sys.env.get("SPARK_GRAFT_PRIOR") match {
+      case Some("0") => Nil
+      case Some(p)   => Seq(new java.io.File(p))
+      case None =>
+        Option(new java.io.File(".").getAbsoluteFile.getParentFile.listFiles())
+          .getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(f => -f.getName.replaceAll("\\D", "").toInt)
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    files.iterator.map { f =>
+      try {
+        val parsed = om.readTree(f).get("parsed")
+        if (parsed == null || parsed.isNull ||
+            parsed.path("sf").asText("") != sfTag) Map.empty[String, Double]
+        else parsed.path("queries").fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.find(_.nonEmpty).getOrElse(Map.empty)
   }
 
   /** Fixed single-thread CPU work, timed: the phase ruler. This box is a
@@ -443,36 +509,42 @@ object Bench {
     }
     val adjudicated = scala.collection.mutable.Map[String, Double]()
     var adjMovers: Seq[String] = Nil
+    // shared-index RIDERS measure their INCREMENTAL cost in-suite (the
+    // build is attributed to the family head in sort order); isolation
+    // cannot reproduce that accounting — with the caches dropped they
+    // over-pay the build, with them warm they under-pay it (a stale
+    // index from the last pass made a q34 re-read read 0.04 s in the
+    // shakedown run — an invalid fold). Heads re-pay their own build
+    // per sample (caches dropped before EACH sample), which IS their
+    // in-suite accounting. (Shared by the storm adjudication AND the
+    // cross-round drift check below.)
+    val riders = Set("q35_minhash_lsh", "q37_neardup_clusters", "q69_funnel")
+    // one isolated re-read, the SPARK_GRAFT_ONLY mechanism folded in-run:
+    // 2 sequential post-GC samples, min — shared by both adjudicators
+    def isolatedReread(nm: String): Option[Double] = {
+      val fn = SparkEntry.queries(nm)
+      val rs = (1 to 2).flatMap { _ =>
+        System.gc()
+        graft.operators.TextOps.invalidateSharedIndex()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count()
+              Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] adjudication re-read of $nm FAILED: ${e.getMessage}")
+          None }
+      }
+      rs.minOption
+    }
     if (stormy) {
       def stats(nm: String): (Double, Double) = {
         val s = samples(nm).sorted; (s.head, s(s.size / 2))
       }
-      // shared-index RIDERS measure their INCREMENTAL cost in-suite (the
-      // build is attributed to the family head in sort order); isolation
-      // cannot reproduce that accounting — with the caches dropped they
-      // over-pay the build, with them warm they under-pay it (a stale
-      // index from the last pass made a q34 re-read read 0.04 s in the
-      // shakedown run — an invalid fold). Heads re-pay their own build
-      // per sample (caches dropped before EACH sample), which IS their
-      // in-suite accounting.
-      val riders = Set("q35_minhash_lsh", "q37_neardup_clusters", "q69_funnel")
       val movers = adjudicationMovers(
         queries.map(_._1).filterNot(failed)
           .map(nm => nm -> samples(nm)).toMap, riders)
       adjMovers = movers
       movers.foreach { nm =>
-        val fn = SparkEntry.queries(nm)
-        val reread = (1 to 2).map { _ =>
-          System.gc()
-          graft.operators.TextOps.invalidateSharedIndex()
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count()
-                Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] adjudication re-read of $nm FAILED: ${e.getMessage}")
-            None }
-        }.flatten
-        if (reread.nonEmpty) adjudicated(nm) = reread.min
+        isolatedReread(nm).foreach(adjudicated(nm) = _)
       }
       val cells = movers.flatMap { nm =>
         adjudicated.get(nm).map { r =>
@@ -482,6 +554,39 @@ object Bench {
         f""""st_post":${calibrate()}%.3f,"spread_over_1p15":$spreadCount,""" +
         s""""movers":{${cells.mkString(",")}}}""")
     }
+
+    // ---- cross-round drift check (round 17, VERDICT r16 #6) ------------
+    // Independent of storminess by design: the case it exists for (q2
+    // 0.47→0.84 between r15 and r16) had clean rulers and agreeing
+    // passes — only a cross-round reference can see it. Selection
+    // (priorMovers) and rendering (priorJson) are pure + spec-pinned;
+    // keys use the stdout artifact's own format so the two rounds'
+    // artifacts compare without a mapping table.
+    val okNames = queries.map(_._1).filterNot(failed).filter(samples(_).nonEmpty)
+    val okHeads = okNames.map(_.split("_").head)
+    val artKeyed = okHeads.distinct.size == okHeads.size
+    def artKey(nm: String): String = if (artKeyed) nm.split("_").head else nm
+    val priorMap = if (only.nonEmpty) Map.empty[String, Double]
+                   else loadPriorQueries(new java.io.File(sfDir).getName)
+    val suiteByKey = okNames.map(nm => artKey(nm) -> samples(nm).min).toMap
+    val pMovers = if (priorMap.isEmpty) Nil else priorMovers(priorMap, suiteByKey)
+    val keyToFull = okNames.map(nm => artKey(nm) -> nm).toMap
+    val priorRereads = scala.collection.mutable.Map[String, Double]()
+    pMovers.foreach { k =>
+      val nm = keyToFull(k)
+      // riders drift is disclosed WITHOUT a re-read element (isolation
+      // can't reproduce their in-suite accounting — see `riders`)
+      if (!riders(nm)) {
+        val r = adjudicated.get(nm).orElse(isolatedReread(nm))
+        r.foreach { rr =>
+          priorRereads(k) = rr
+          // fold as an extra sample of the same min-of-k estimator —
+          // a min can only improve, never switch metric
+          adjudicated(nm) = math.min(adjudicated.getOrElse(nm, rr), rr)
+        }
+      }
+    }
+    val priorBlock = priorJson(pMovers, priorMap, suiteByKey, priorRereads.toMap)
 
     def fmt(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -664,7 +769,7 @@ object Bench {
     // line-budget discipline as the queries map.
     val adjJson = adjudicationJson(calibBefore, calibAfter, spreadCount,
       adjMovers, adjMovers.map(nm => nm -> samples(nm).min).toMap,
-      adjudicated.toMap)
+      adjudicated.toMap, priorBlock)
     // Head-token keys on the stdout line (round 9): "q34", not
     // "q34_ngram_jaccard". The 73-entry full-name map sat 14 chars under
     // the driver's ~1924-char tail-capture cap — every added query forced

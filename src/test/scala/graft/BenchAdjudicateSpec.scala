@@ -98,4 +98,47 @@ class BenchAdjudicateSpec extends AnyFunSuite {
       Seq("q2_dedup_merge"), Map("q2_dedup_merge" -> 3.0), Map.empty)
     assert(got == ""","adj":{"st":[0.25,0.25],"sp":30,"m":{}}""")
   }
+
+  // ---- cross-round drift selection + rendering (round 17, VERDICT r16 #6)
+
+  test("prior movers: both absolute and relative thresholds must fire, either direction") {
+    val prior = Map("q2" -> 0.47, "qslow" -> 2.0, "qsmall" -> 0.1,
+                    "qbig" -> 10.0, "qgone" -> 1.0)
+    val suite = Map("q2" -> 0.84,   // +0.37, 1.79× → selects (the r16 case)
+                    "qslow" -> 1.2, // −0.8, 1.67× → selects (speedups too)
+                    "qsmall" -> 0.2, // 2× but Δ=0.1 < 0.25 → out
+                    "qbig" -> 11.0, // Δ=1.0 but 1.1× < 1.3 → out
+                    "qnew" -> 5.0)  // no prior entry → out
+    assert(Bench.priorMovers(prior, suite) == Seq("qslow", "q2"))
+  }
+
+  test("prior movers: top-3 by absolute delta, name-tiebroken, deterministic") {
+    val prior = (1 to 5).map(i => f"q$i%02d" -> 1.0).toMap
+    val suite = Map("q01" -> 2.0, "q02" -> 2.5, "q03" -> 3.0,
+                    "q04" -> 2.0, "q05" -> 1.1)
+    // deltas 1.0/1.5/2.0/1.0/0.1 → top3 = q03, q02, then q01 before q04
+    assert(Bench.priorMovers(prior, suite) == Seq("q03", "q02", "q01"))
+    assert(Bench.priorMovers(Map.empty, suite).isEmpty)
+    // -1 (failed-query marker) on either side never qualifies
+    assert(Bench.priorMovers(Map("qf" -> -1.0), Map("qf" -> 3.0)).isEmpty)
+    assert(Bench.priorMovers(Map("qf" -> 3.0), Map("qf" -> -1.0)).isEmpty)
+  }
+
+  test("prior block: [prior, suite, reread] triples; no-reread movers keep the pair form") {
+    val got = Bench.priorJson(Seq("q2", "q35"),
+      Map("q2" -> 0.47, "q35" -> 1.7), Map("q2" -> 0.84, "q35" -> 0.92),
+      Map("q2" -> 0.8))
+    // q35 is a rider — drift disclosed, no re-read verdict element
+    assert(got == ""","prior":{"q2":[0.47,0.84,0.8],"q35":[1.7,0.92]}""")
+    assert(Bench.priorJson(Nil, Map.empty, Map.empty, Map.empty) == "")
+  }
+
+  test("adj field carries the prior block after the movers map") {
+    val pb = Bench.priorJson(Seq("q2"), Map("q2" -> 0.47),
+      Map("q2" -> 0.84), Map("q2" -> 0.8))
+    val got = Bench.adjudicationJson(0.18, 0.18, 5, Nil, Map.empty,
+      Map.empty, pb)
+    assert(got ==
+      ""","adj":{"st":[0.18,0.18],"sp":5,"prior":{"q2":[0.47,0.84,0.8]}}""")
+  }
 }
