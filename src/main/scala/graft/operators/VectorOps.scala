@@ -334,26 +334,70 @@ object VectorOps {
         col("cell.extc").as("extc"))
   }
 
+  /** q78 plan A/B dial (round 17, VERDICT r16 #3): the default plan pays
+    * one dot per CATCHING BAND per pair (up to [[LshGate.Bands]]×
+    * redundant dot work) but ships only verified narrow triples into the
+    * cross-band dedup shuffle; `graft.lsh.bandedDedupFirst=1` dedups the
+    * colliding pairs on the narrow exploded keys FIRST (the band join
+    * carries no vectors at all), then one vector rejoin + exactly ONE dot
+    * per distinct pair. The trade: ≤4× less dot work vs shuffling ALL
+    * colliding pairs (pre-verify — including the sub-bar mass the default
+    * filters map-side) plus two narrow equi-joins to re-attach vectors.
+    * Output identical by construction (the cosine is band-independent, so
+    * the default's MIN is the same double; n_bands counts collisions
+    * either way) — VectorOpsSpec pins plan-B ≡ plan-A, and the oracle
+    * text never changes. Measured at sf30 (NOTES_r17): keep whichever
+    * wins as the default, record the loser here. */
+  def lshBandedDedupFirst(s: SparkSession): Boolean =
+    s.conf.getOption("graft.lsh.bandedDedupFirst")
+      .exists(v => v == "1" || v == "true")
+
   val q78_lsh_banded: Q = (s, d) => {
     register(s)
     val bits = LshGate.bits(s, d)
-    def side(i: Int): DataFrame =
-      lshAllBandsScan(s, d, bits)
-        .select(col("band").as(s"band$i"), col("bucket").as(s"bucket$i"),
-                col("extc").as(s"extc$i"), col("vec_id").as(s"d$i"),
-                col("v").as(s"v$i"), col("norm").as(s"n$i"))
-    side(1).join(side(2),
-        col("band1") === col("band2") && col("bucket1") === col("bucket2") &&
-          col("extc1") === col("extc2"))
-      .filter(col("d1") < col("d2"))
-      .withColumn("cosine",
-        dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
-      .filter(col("cosine") >= 0.2)
-      .groupBy("d1", "d2")
-      .agg(min(col("cosine")).as("cosine"),
-           count(lit(1)).cast(IntegerType).as("n_bands"))
-      .select(col("d1"), col("d2"), col("cosine"), col("n_bands"))
-      .orderBy("d1", "d2")
+    if (!lshBandedDedupFirst(s)) {
+      def side(i: Int): DataFrame =
+        lshAllBandsScan(s, d, bits)
+          .select(col("band").as(s"band$i"), col("bucket").as(s"bucket$i"),
+                  col("extc").as(s"extc$i"), col("vec_id").as(s"d$i"),
+                  col("v").as(s"v$i"), col("norm").as(s"n$i"))
+      side(1).join(side(2),
+          col("band1") === col("band2") && col("bucket1") === col("bucket2") &&
+            col("extc1") === col("extc2"))
+        .filter(col("d1") < col("d2"))
+        .withColumn("cosine",
+          dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
+        .filter(col("cosine") >= 0.2)
+        .groupBy("d1", "d2")
+        .agg(min(col("cosine")).as("cosine"),
+             count(lit(1)).cast(IntegerType).as("n_bands"))
+        .select(col("d1"), col("d2"), col("cosine"), col("n_bands"))
+        .orderBy("d1", "d2")
+    } else {
+      // plan B: narrow band join (vec_id + cell keys only — column
+      // pruning drops v/norm from the exploded scan), pair dedup BEFORE
+      // any dot, then a 1-per-pair vector rejoin
+      def narrow(i: Int): DataFrame =
+        lshAllBandsScan(s, d, bits)
+          .select(col("band").as(s"band$i"), col("bucket").as(s"bucket$i"),
+                  col("extc").as(s"extc$i"), col("vec_id").as(s"d$i"))
+      val pairs = narrow(1).join(narrow(2),
+          col("band1") === col("band2") && col("bucket1") === col("bucket2") &&
+            col("extc1") === col("extc2"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).cast(IntegerType).as("n_bands"))
+      def vecs(i: Int): DataFrame =
+        s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id").as(s"d$i"), expr(VECD).as(s"v$i"))
+          .withColumn(s"n$i", sqrt(dot_product(col(s"v$i"), col(s"v$i"))))
+      pairs.join(vecs(1), Seq("d1")).join(vecs(2), Seq("d2"))
+        .withColumn("cosine",
+          dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
+        .filter(col("cosine") >= 0.2)
+        .select(col("d1"), col("d2"), col("cosine"), col("n_bands"))
+        .orderBy("d1", "d2")
+    }
   }
 
   // ------------------------------------------------- kNN label vote

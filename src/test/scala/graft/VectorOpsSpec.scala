@@ -221,6 +221,18 @@ class VectorOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.semdedup.np")
   }
 
+  test("q78 dedup-first plan (bandedDedupFirst=1) is value-identical to the default plan") {
+    val a = VectorOps.q78_lsh_banded(spark, sf).collect()
+    spark.conf.set("graft.lsh.bandedDedupFirst", "1")
+    try {
+      val b = VectorOps.q78_lsh_banded(spark, sf).collect()
+      assert(a.length == b.length && a.nonEmpty)
+      // bit-identical rows in identical (d1, d2) order — same dot fold,
+      // same n_bands census, so the oracle hash can never see the dial
+      a.zip(b).foreach { case (x, y) => assert(x == y) }
+    } finally spark.conf.unset("graft.lsh.bandedDedupFirst")
+  }
+
   test("prefilterMaxHamming is pinned: mean-at-bar + 2σ, floored") {
     // bar tau=0.2 ⇒ per-bit disagreement p = acos(0.2)/π ≈ 0.4359
     assert(VectorOps.prefilterMaxHamming(8) == 6)
