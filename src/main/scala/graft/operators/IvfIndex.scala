@@ -81,9 +81,41 @@ object IvfIndex {
     * must not share a directory with the old form). */
   val BuildTag = "b4" // b4: scale-aware prune ε (margin covers expanded-dot float error)
 
-  def indexDir(sfDir: String, k: Int, iters: Int = Iters): String = {
+  /** Two-level centroid-tree build mode (round 17, VERDICT r16 #4): the
+    * flat build's lineage cut collects K×dim doubles to the driver per
+    * Lloyd iteration and broadcasts them for assignment — LINEAR in N at
+    * K = N/CellTarget (IvfProbe measures 2.39 KB of boxed driver heap
+    * per centroid at sf30, 4.7× the 512-byte raw floor ⇒ the ~1 GiB
+    * comfort line crosses near N ≈ 2×10⁸ vectors, and a 100 TB corpus
+    * of 64-dim floats extrapolates to ~1.7 TB of driver heap — the
+    * probe artifact IVF_PROBE_r17.jsonl). Tree mode bounds the driver
+    * and the broadcast at O(√K): train ⌈√K⌉ COARSE centroids (the only
+    * driver-resident set), then per-coarse-cell sub-quantizers trained
+    * DISTRIBUTED (each cell's sample fits a task), assignment = two
+    * bounded top-1s (broadcast coarse → min_by ccid; shuffle-join the
+    * ccid-keyed sub-centroids → min_by (d2, cid)). The persisted index
+    * gains `coarse.parquet` and a `ccid` column on centroids; the oracle
+    * replays the SAME two-stage argmin from the persisted tree (env-
+    * rendered, the np/prefilter discipline), so forced runs stay
+    * hash-checked. EXPLICIT-ONLY dial (`graft.ivf.tree=1`): default off
+    * at every test scale so standard artifacts are unchanged; a 100 TB
+    * deployment flips it when K×dim×8 approaches its broadcast budget.
+    * Tree assignment ≠ flat assignment near coarse-cell boundaries (a
+    * vector's nearest sub-centroid can live in a non-nearest coarse
+    * cell) — that is IVF-tree semantics, not an approximation bug, and
+    * IvfTreeSpec pins the two-stage selection identity exactly. */
+  def treeOn(s: SparkSession): Boolean =
+    s.conf.getOption("graft.ivf.tree").exists(v => v == "1" || v == "true")
+  /** Oracle-side render of the same dial (LshGate.envConf pattern). */
+  def oracleTreeOn: Boolean =
+    LshGate.envConfGet("graft.ivf.tree").exists(v => v == "1" || v == "true")
+  def kcFor(k: Int): Int = math.ceil(math.sqrt(k.toDouble)).toInt
+
+  def indexDir(sfDir: String, k: Int, iters: Int = Iters,
+               tree: Boolean = false): String = {
+    val tag = if (tree) s"$BuildTag|tree" else BuildTag
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|$k|$iters|$BuildTag".getBytes("UTF-8"))
+      .digest(s"$sfDir|$k|$iters|$tag".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     s"/root/repo/target/ivf_index/$h"
   }
@@ -92,7 +124,7 @@ object IvfIndex {
     * data, so callers (Verify's `__IVF__` substitution) agree with the
     * build without carrying K around. */
   def indexDirFor(s: SparkSession, sfDir: String): String =
-    indexDir(sfDir, kFor(s, sfDir))
+    indexDir(sfDir, kFor(s, sfDir), Iters, treeOn(s))
 
   private val VECD = "transform(embedding, x -> CAST(x AS DOUBLE))"
   /** Native codegen'd sqdist (functions.SqDist) — bit-identical left fold
@@ -279,52 +311,103 @@ object IvfIndex {
         col("cidL").cast(org.apache.spark.sql.types.IntegerType).as("cid"))
   }
 
-  /** Train + persist the index for `sfDir` into `indexDir`. */
-  def build(s: SparkSession, sfDir: String, indexDir: String,
-            k: Int, iters: Int = Iters): Unit = {
-    register(s)
-    import s.implicits._
+  /** Deterministic in-memory Lloyd over one cell's sample rows (the tree
+    * build's distributed half — runs INSIDE a task, one cell per group):
+    * init = the `k` lowest-id rows (caller pre-sorts by vec_id), strict-<
+    * assignment (ties to the smaller centroid index), per-component mean
+    * recompute, empty cells keep their previous center — the same
+    * discipline as [[superCluster]], pinned in IvfTreeSpec. */
+  private[graft] def localKMeans(pts: Array[Array[Double]], k: Int,
+                                 iters: Int): Array[Array[Double]] = {
+    val dim = pts.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    var cv = Array.tabulate(k)(j => pts(j).clone())
+    val member = new Array[Int](pts.length)
+    def assignAll(): Unit = {
+      var p = 0
+      while (p < pts.length) {
+        var best = 0; var bestD = d2(pts(p), cv(0)); var j = 1
+        while (j < k) {
+          val dj = d2(pts(p), cv(j))
+          if (dj < bestD) { bestD = dj; best = j }
+          j += 1
+        }
+        member(p) = best; p += 1
+      }
+    }
+    for (_ <- 1 to iters) {
+      assignAll()
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Int](k)
+      for (p <- pts.indices) {
+        val j = member(p); cnts(j) += 1
+        var i = 0; while (i < dim) { sums(j)(i) += pts(p)(i); i += 1 }
+      }
+      cv = Array.tabulate(k)(j =>
+        if (cnts(j) == 0) cv(j)
+        else { val m = sums(j); var i = 0
+               while (i < dim) { m(i) /= cnts(j); i += 1 }; m })
+    }
+    cv
+  }
+
+  /** Corpus prep + deterministic training sample, shared by both builds.
+    *
+    * The O(N·K) assignment stage must parallelize by CPU budget, not by
+    * input file layout: a compacted corpus (few large parquet files ⇒ few
+    * splits) otherwise serializes the dominant stage onto a handful of
+    * tasks (observed at sf30: 101 MB in 5 files ⇒ ≤5 tasks busy on a
+    * 32-thread box for a 703M-distance-row stage). One corpus shuffle —
+    * O(N) rows, amortized against O(N·K) distance work — buys full
+    * parallelism; skipped when the scan already splits wide enough.
+    *
+    * Training sample: ~1/stride of vec_ids selected by HASH, not raw
+    * modulo — `vec_id % stride === 0` assumes ids are dense from 0 (an id
+    * space all ≡ 1 mod stride would yield an EMPTY sample); hashing
+    * decorrelates selection from any id-assignment pattern while staying
+    * a pure function of vec_id (same sample at any partitioning).
+    * xxhash64 never reaches an oracle-checked output here: it only picks
+    * WHICH vectors train the quantizer, and the oracle replays from the
+    * persisted centroids regardless. (stride = 1 below ~SamplePerCell·k
+    * vectors ⇒ sample = corpus, today's test sfs.) The sample is
+    * PERSISTED: init + every Lloyd iteration is an ACTION, and without
+    * the cache each one re-pays the corpus scan AND the widening shuffle
+    * (measured at sf30: the scan/shuffle replays, not the distance math,
+    * dominated training). Caller unpersists after training. */
+  private def corpusAndSample(s: SparkSession, sfDir: String,
+                              k: Int): (DataFrame, DataFrame, Long) = {
     val n = graft.Tables.embeddingsCount(s, sfDir)
-    // The O(N·K) assignment stage must parallelize by CPU budget, not by
-    // input file layout: a compacted corpus (few large parquet files ⇒ few
-    // splits) otherwise serializes the dominant stage onto a handful of
-    // tasks (observed at sf30: 101 MB in 5 files ⇒ ≤5 tasks busy on a
-    // 32-thread box for a 703M-distance-row stage). One corpus shuffle —
-    // O(N) rows, amortized against O(N·K) distance work — buys full
-    // parallelism; skipped when the scan already splits wide enough.
     val raw = embeddings(s, sfDir).select(col("vec_id"), expr(VECD).as("v"))
     val para = s.sparkContext.defaultParallelism
     val vecs =
       if (raw.rdd.getNumPartitions >= para) raw else raw.repartition(para * 2)
-    // deterministic training sample: ~1/stride of vec_ids selected by HASH,
-    // not raw modulo — `vec_id % stride === 0` assumes ids are dense from 0
-    // (an id space all ≡ 1 mod stride would yield an EMPTY sample); hashing
-    // decorrelates selection from any id-assignment pattern while staying a
-    // pure function of vec_id (same sample at any partitioning). xxhash64
-    // never reaches an oracle-checked output here: it only picks WHICH
-    // vectors train the quantizer, and the oracle replays from the
-    // persisted centroids regardless. (stride = 1 below ~SamplePerCell·k
-    // vectors ⇒ sample = corpus, today's test sfs.)
     val stride = math.max(1L, n / (k.toLong * SamplePerCell))
-    // persist the sample: init + every Lloyd iteration is an ACTION, and
-    // without the cache each one re-pays the corpus scan AND the widening
-    // shuffle above (measured at sf30: the scan/shuffle replays, not the
-    // distance math, dominated the training phase). The sample is N/8 at
-    // K∝N (K·SamplePerCell rows) — memory-first, disk-backed past the
-    // executor budget, never recomputed; released after training.
     val trainVecs =
       (if (stride == 1L) vecs
        else vecs.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // init = k lowest-id training vectors; k×dim doubles — the bounded
-    // lineage cut (see scaladoc)
+    (vecs, trainVecs, stride)
+  }
+
+  /** The driver-anchored Lloyd loop — the flat build at k = K, the tree
+    * build's COARSE stage at k = Kc: init = the k lowest-id training
+    * vectors, fixed iterations, ties to the smaller centroid id; the
+    * per-iteration centroid collect is k×dim doubles — the lineage cut
+    * whose growth at K ∝ N is exactly what [[treeOn]] bounds to √K. */
+  private def lloyd(s: SparkSession, trainVecs: DataFrame, k: Int,
+                    iters: Int): Seq[(Int, Seq[Double])] = {
+    import s.implicits._
     val init = trainVecs.orderBy("vec_id").limit(k)
       .select(col("v")).as[Seq[Double]].collect()
     // A sparse/skewed id space could still undersize the sample; fail loud
     // rather than silently training fewer centroids than _meta records.
     require(init.length == k,
       s"IVF init needs $k training vectors, sample yielded ${init.length} " +
-        s"(n=$n stride=$stride) — corpus too small for k or sampling skewed")
+        "— corpus too small for k or sampling skewed")
     var centArr: Seq[(Int, Seq[Double])] = init.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq
     val dim = init.head.length
@@ -341,11 +424,120 @@ object IvfIndex {
         .agg(avg(col("v")(0)).as("m0"),
              (1 until dim).map(i => avg(col("v")(i)).as(s"m$i")): _*)
         .select(col("cid"), array((0 until dim).map(i => col(s"m$i")): _*).as("cv"))
-      // K×dim doubles — the bounded lineage cut (see scaladoc)
       centArr = newCent.as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
-      System.err.println(f"[ivf-build] lloyd iter $it: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      System.err.println(f"[ivf-build] lloyd k=$k iter $it: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    centArr
+  }
+
+  /** The two-level build (see [[treeOn]] for why): driver heap and
+    * broadcast payload bounded at O(√K · dim) instead of O(K · dim).
+    *
+    *  1. coarse Lloyd at Kc = ⌈√K⌉ on the stride sample — the ONLY
+    *     driver-resident centroid set
+    *  2. per-coarse-cell sub-quantizers trained DISTRIBUTED: the sample
+    *     shuffles once by ccid; inside each task [[localKMeans]] trains
+    *     k_cell = ⌈cell-pop/CellTarget⌉ sub-centroids (a cell's sample is
+    *     ~|sample|/Kc rows — task-sized by construction)
+    *  3. global dense cids: per-cell sub COUNTS (Kc ints — bounded)
+    *     collect to compute offsets; cid = offset(ccid) + sub index; the
+    *     K-row centroid table is written DISTRIBUTED, never collected
+    *  4. final assignment = two bounded top-1s: broadcast coarse →
+    *     min_by (d2, ccid), then a ccid-keyed shuffle join against the
+    *     sub-centroids → min_by (d2, cid). Each vector meets only its
+    *     coarse cell's ~√K subs — O(N·√K) distance work, and partial
+    *     aggregation collapses the fan-out before any exchange.
+    *
+    * Tree assignment differs from flat near coarse boundaries (a
+    * vector's globally-nearest sub-centroid can live in a coarse cell
+    * that is not its nearest) — IVF-tree semantics, shared by every
+    * hierarchical-quantizer deployment; the oracle replays the SAME
+    * two-stage argmin from the persisted coarse + centroid tables
+    * (VectorOps.ivfMembersSql), so forced runs stay hash-checked, and
+    * IvfTreeSpec pins the selection identity against an independent
+    * recompute. */
+  private def buildTree(s: SparkSession, sfDir: String, indexDir: String,
+                        k: Int, iters: Int): Unit = {
+    register(s)
+    graft.functions.Natives.registerAll(s)
+    import s.implicits._
+    val (vecs, trainVecs, stride) = corpusAndSample(s, sfDir, k)
+    val kc = kcFor(k)
+    val coarseArr = lloyd(s, trainVecs, kc, iters)
+    // stage-2 training input: the sample keyed by its coarse cell
+    val sampleAssigned = assignVia(trainVecs, coarseArr)
+      .select(col("vec_id"), col("v"), col("cid").as("ccid"))
+    val ct = CellTarget
+    val strideL = stride
+    val itersL = iters
+    val subs = sampleAssigned.as[(Long, Seq[Double], Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (ccid: Int, it: Iterator[(Long, Seq[Double], Int)]) =>
+        // sorted by vec_id ⇒ deterministic init rows, like lloyd's init
+        val rows = it.toArray.sortBy(_._1)
+        val cellPop = rows.length.toLong * strideL
+        val kCell = math.max(1L, math.min(rows.length.toLong,
+          (cellPop + ct - 1) / ct)).toInt
+        val centers = localKMeans(rows.map(_._2.toArray), kCell, itersL)
+        centers.iterator.zipWithIndex.map { case (cv, j) => (ccid, j, cv.toSeq) }
+      }.toDF("ccid", "sub", "cv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // global dense cids from per-cell counts — a Kc-int collect, bounded
+    val counts = subs.groupBy("ccid").count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    val offMap = counts.map { case (cc, c) => val o = acc; acc += c; (cc, o) }
+    val offDf = broadcast(offMap.toSeq.toDF("ccid", "off"))
+    val cent = subs.join(offDf, Seq("ccid"))
+      .select((col("off") + col("sub")).cast(IntegerType).as("cid"),
+              col("cv"), col("ccid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cent.count() // materialize before subs-derived lineage is re-read below
     trainVecs.unpersist()
+    val tFin = System.nanoTime()
+    // final assignment: two bounded top-1s over the FULL corpus
+    val coarseDf = broadcast(coarseArr.toDF("ccid", "ccv"))
+    val stage1 = vecs.crossJoin(coarseDf)
+      .withColumn("cd2", graft.functions.SqDist.sq_dist(col("v"), col("ccv")))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("v"), col("ccid")),
+                  struct(col("cd2"), col("ccid"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.ccid").as("ccid"))
+    val finalAssign = stage1.join(cent, Seq("ccid"))
+      .withColumn("d2", sqdist) // EXACT reference arithmetic, as in assign
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("v"), col("cid")),
+                  struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"),
+              sqrt(graft.functions.DotProduct.dot_product(col("m.v"), col("m.v"))).as("norm"),
+              col("m.cid").as("cid"))
+    coarseArr.toDF("ccid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/coarse.parquet")
+    cent.select(col("cid"), col("cv"), col("ccid"))
+      .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    finalAssign.repartition(col("cid")).write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$indexDir/assignments")
+    subs.unpersist(); cent.unpersist()
+    System.err.println(
+      f"[ivf-build] tree final assign+write: ${(System.nanoTime() - tFin) / 1e9}%.1f s")
+    // _meta.json LAST via atomic rename — the build-complete marker
+    val tmp = Paths.get(s"$indexDir/_meta.json.tmp")
+    Files.writeString(tmp,
+      s"""{"sfDir":"$sfDir","k":$k,"iters":$iters,"tree":true,"kc":$kc}""")
+    Files.move(tmp, Paths.get(s"$indexDir/_meta.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Train + persist the index for `sfDir` into `indexDir`. */
+  def build(s: SparkSession, sfDir: String, indexDir: String,
+            k: Int, iters: Int = Iters, tree: Boolean = false): Unit = {
+    if (tree) return buildTree(s, sfDir, indexDir, k, iters)
+    register(s)
+    val (vecs, trainVecs, _) = corpusAndSample(s, sfDir, k)
+    val centArr = lloyd(s, trainVecs, k, iters)
+    trainVecs.unpersist()
+    import s.implicits._
     val tFin = System.nanoTime()
     // final assignment: FULL corpus against the FINAL centroids — what
     // search + oracle see; norm is per-row constant, so precompute it
@@ -379,11 +571,15 @@ object IvfIndex {
     * never need the rebuild-on-mismatch dance). */
   def ensure(s: SparkSession, sfDir: String): String = synchronized {
     val k = kFor(s, sfDir)
-    val dir = indexDir(sfDir, k)
+    val tree = treeOn(s)
+    val dir = indexDir(sfDir, k, Iters, tree)
     val meta = Paths.get(s"$dir/_meta.json")
-    val want = s"""{"sfDir":"$sfDir","k":$k,"iters":$Iters}"""
+    val want =
+      if (tree)
+        s"""{"sfDir":"$sfDir","k":$k,"iters":$Iters,"tree":true,"kc":${kcFor(k)}}"""
+      else s"""{"sfDir":"$sfDir","k":$k,"iters":$Iters}"""
     if (!Files.exists(meta) || Files.readString(meta) != want)
-      build(s, sfDir, dir, k, Iters)
+      build(s, sfDir, dir, k, Iters, tree)
     dir
   }
 

@@ -840,22 +840,61 @@ object VectorOps {
     if (q79PfBits <= 0) ""
     else s" AND bit_count(xor(a.sc, b.sc)) <= ${prefilterMaxHamming(q79PfBits)}"
 
+  // ---- IVF assignment replay, tree-aware (round 17, VERDICT r16 #4) ----
+  // With the two-level index dial live (graft.ivf.tree — env-rendered,
+  // the np/prefilter discipline), the persisted assignments were produced
+  // by TWO bounded top-1s, so the q46/q67/q68 replays must walk the same
+  // tree: coarse argmin from coarse.parquet, then argmin over the chosen
+  // cell's sub-centroids. The flat rendering is the standing text, so the
+  // default hash gate never sees the dial.
+  private val ivfTree = IvfIndex.oracleTreeOn
+
+  /** The cent CTE body — plus the coarse CTE when the tree dial is live. */
+  private def ivfCentCte: String =
+    if (!ivfTree)
+      """cent AS (
+           SELECT cid, cv FROM read_parquet('__IVF__/centroids.parquet/*.parquet'))"""
+    else
+      """cent AS (
+           SELECT cid, cv, ccid FROM read_parquet('__IVF__/centroids.parquet/*.parquet')),
+         coarse AS (
+           SELECT ccid, cv AS ccv FROM read_parquet('__IVF__/coarse.parquet/*.parquet'))"""
+
+  /** Assignment-replay body (`SELECT $cols, cid` with the winning cell):
+    * flat argmin over cent, or the two-stage tree argmin — both ordered
+    * (d2 asc, id asc), matching min_by's struct order exactly. */
+  private def ivfMembersSql(cols: String): String =
+    if (!ivfTree)
+      s"""SELECT $cols, cid FROM (
+             SELECT $cols, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM (SELECT $cols, cid, ${sqDuck("v", "cv")} AS d2 FROM vecs, cent))
+           WHERE rn = 1"""
+    else
+      s"""SELECT $cols, cid FROM (
+             SELECT $cols, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM (
+               SELECT $cols, c.cid, ${sqDuck("v", "c.cv")} AS d2
+               FROM (SELECT $cols, ccid FROM (
+                       SELECT $cols, ccid,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd2, ccid) AS crn
+                       FROM (SELECT $cols, ccid, ${sqDuck("v", "ccv")} AS cd2 FROM vecs, coarse))
+                     WHERE crn = 1) ca
+               JOIN cent c USING (ccid)))
+           WHERE rn = 1"""
+
   val oracles: Map[String, String] = Map(
     // q68: assignment replayed from the persisted IVF centroids (q46's
     // members CTE), in-cell pairs, min-id duplicate election, per-cell
     // ledger — cells with zero duplicates kept via the left join
     "q68_semdedup" ->
-      s"""WITH cent AS (
-           SELECT cid, cv FROM read_parquet('__IVF__/centroids.parquet/*.parquet')),
+      s"""WITH $ivfCentCte,
          vecs AS (
            SELECT vec_id, $VECD_SQL AS v, sqrt(${dotDuck("v0", "v0").replace("v0", VECD_SQL)}) AS norm
            FROM embeddings),
          members AS (
-           SELECT vec_id, v, norm, cid FROM (
-             SELECT vec_id, v, norm, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-             FROM (SELECT vec_id, v, norm, cid, ${sqDuck("v", "cv")} AS d2 FROM vecs, cent))
-           WHERE rn = 1),
+           ${ivfMembersSql("vec_id, v, norm")}),
          dup AS (
            SELECT a.cid, b.vec_id AS d2
            FROM members a JOIN members b
@@ -907,8 +946,7 @@ object VectorOps {
     // codebooks/codes (q66's CTEs), candidates restricted to the probed
     // cells via the persisted assignments
     "q67_ivfpq_ann" ->
-      s"""WITH cent AS (
-           SELECT cid, cv FROM read_parquet('__IVF__/centroids.parquet/*.parquet')),
+      s"""WITH $ivfCentCte,
          cb AS (
            SELECT m, cid, cv FROM read_parquet('__PQ__/codebooks.parquet/*.parquet')),
          codes AS (
@@ -919,11 +957,7 @@ object VectorOps {
            SELECT vec_id AS q_id, v AS qv, sqrt(${dotDuck("v", "v")}) AS qn
            FROM vecs WHERE vec_id < 20),
          members AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-             FROM (SELECT vec_id, cid, ${sqDuck("v", "cv")} AS d2 FROM vecs, cent))
-           WHERE rn = 1),
+           ${ivfMembersSql("vec_id, v")}),
          pdist AS (
            SELECT q_id, cid, ${sqDuck("qv", "cv")} AS d2 FROM probes, cent),
          probe_cells AS (
@@ -1018,18 +1052,11 @@ object VectorOps {
          FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""",
 
     "q46_ivf_ann" ->
-      s"""WITH cent AS (
-           SELECT cid, cv
-           FROM read_parquet('__IVF__/centroids.parquet/*.parquet')),
+      s"""WITH $ivfCentCte,
          vecs AS (
            SELECT vec_id, $VECD_SQL AS v FROM embeddings),
-         dist AS (
-           SELECT vec_id, v, cid, ${sqDuck("v", "cv")} AS d2 FROM vecs, cent),
          assigned AS (
-           SELECT vec_id, v, cid FROM (
-             SELECT vec_id, v, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-             FROM dist) WHERE rn = 1),
+           ${ivfMembersSql("vec_id, v")}),
          probes AS (
            SELECT vec_id AS q_id, v AS qv, sqrt(${dotDuck("v", "v")}) AS qn
            FROM vecs WHERE vec_id < 20),
