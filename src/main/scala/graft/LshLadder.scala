@@ -358,25 +358,134 @@ object LshLadder {
         s""""recall04":${ratio(r.getLong(3), r.getLong(2))}}""")
     }
 
-    report(derived, LshGate.splitFactor(spark), 0, "derived_split")
+    /** The q79 DIAL rungs (round 17, VERDICT r16 #1/#2): the REAL
+      * operator timed end-to-end under its session confs — np (the
+      * recall dial, now a conf) × prefilterBits (the wall dial). Recall
+      * is probe-anchored at the dial's own candidate grain: a partner
+      * counts as CAUGHT when it shares ≥1 of the probe's np cells AND —
+      * with the pre-filter live — its sign code agrees within
+      * [[graft.operators.VectorOps.prefilterMaxHamming]] bits, i.e.
+      * exactly the pairs whose dot the dialed operator evaluates.
+      * `gate_pass` is the cost side: among probe-anchored cell-local
+      * CANDIDATES, the fraction that still reaches the full-width dot
+      * (1.0 with the dial off; the dial's dot savings ≈ 1 − gate_pass). */
+    def reportQ79(np: Int, pfBits: Int, tag: String): Unit = {
+      spark.conf.set("graft.semdedup.np", np.toString)
+      if (pfBits > 0)
+        spark.conf.set("graft.semdedup.prefilterBits", pfBits.toString)
+      try {
+        val idx = graft.operators.IvfIndex.ensure(spark, sfDir)
+        val cent = graft.operators.IvfIndex.centroids(spark, idx)
+        def asgN = graft.operators.IvfIndex.topCells(
+          graft.operators.IvfIndex.assignments(spark, idx)
+            .select(col("vec_id"), col("v")), cent, np)
+        val h = asgN.groupBy("cid").count()
+          .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"),
+               max(col("count"))).head
+        val (cand, maxCell) = (h.getLong(0), h.getLong(1))
+        val skipJoin = sys.env.get("SPARK_GRAFT_LSH_SKIPJOIN").toSeq
+          .flatMap(_.split(",")).map(_.trim).contains(tag)
+        val q79 = SparkEntry.queries("q79_semdedup_np")
+        val (rows, wall) =
+          if (skipJoin) (-1L, -1.0)
+          else timed { q79(spark, sfDir).count() }
+        // per-vector sign codes (pf grain: one code per vec, not per
+        // membership — identical to the operator's coding)
+        def codes = graft.operators.IvfIndex.assignments(spark, idx)
+          .select(col("vec_id"), graft.functions.SignCode.sign_code(
+            col("v"), lit(0), lit(math.max(pfBits, 1))).as("sc"))
+        val maxHam = graft.operators.VectorOps.prefilterMaxHamming(pfBits)
+        val probeSet = asgN.filter(col("vec_id") < 200)
+          .select(col("vec_id").as("q_id"), col("cid").as("qc"))
+        // candidate (share-≥1-cell) probe pairs, with both codes attached
+        val candPairs = asgN.select(col("vec_id"), col("cid"))
+          .join(broadcast(probeSet),
+            col("vec_id") =!= col("q_id") && col("cid") === col("qc"))
+          .select("q_id", "vec_id").distinct()
+          .join(codes, Seq("vec_id"))
+          .join(broadcast(codes.select(col("vec_id").as("q_id"),
+            col("sc").as("qsc")).filter(col("q_id") < 200)), Seq("q_id"))
+          .withColumn("pass",
+            lit(pfBits <= 0) ||
+              expr("bit_count(sc ^ qsc)") <= lit(maxHam))
+        val caught = candPairs.filter(col("pass"))
+          .select("q_id", "vec_id").withColumn("hit", lit(1))
+        val gatePass = candPairs.agg(avg(when(col("pass"), 1.0).otherwise(0.0)))
+          .head.getDouble(0)
+        val exact = {
+          val asg = graft.operators.IvfIndex.assignments(spark, idx)
+          val ps = graft.operators.IvfIndex.assignments(spark, idx)
+            .filter(col("vec_id") < 200)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"),
+                    col("norm").as("qn"))
+          asg.join(broadcast(ps), col("vec_id") =!= col("q_id"))
+            .withColumn("cos",
+              graft.functions.DotProduct.dot_product(col("qv"), col("v")) /
+                (col("qn") * col("norm")))
+            .filter(col("cos") >= 0.2)
+            .select(col("q_id"), col("vec_id"), col("cos"))
+        }
+        val r = exact.join(caught, Seq("q_id", "vec_id"), "left")
+          .agg(
+            count(lit(1)).as("ex02"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("c02"),
+            sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("ex04"),
+            sum(when(col("cos") >= 0.4 && col("hit").isNotNull, 1L)
+              .otherwise(0L)).as("c04"))
+          .head
+        def ratio(c: Long, e: Long) =
+          if (e == 0) 1.0 else math.rint(10000.0 * c / e) / 10000
+        println(
+          s"""{"sf_dir":"$sfDir","mode":"$tag","n":$n,""" +
+          s""""k":${graft.operators.IvfIndex.kFor(spark, sfDir)},"np":$np,""" +
+          s""""pf_bits":$pfBits,"pf_maxham":${if (pfBits > 0) maxHam else -1},""" +
+          s""""cand_pairs":$cand,"cand_per_row":${math.rint(100.0 * cand / n) / 100},""" +
+          s""""max_cell":$maxCell,"gate_pass":${math.rint(gatePass * 10000) / 10000},""" +
+          s""""out_rows":$rows,"wall_s":${math.rint(wall * 100) / 100},""" +
+          s""""recall02":${ratio(r.getLong(1), r.getLong(0))},""" +
+          s""""recall04":${ratio(r.getLong(3), r.getLong(2))}}""")
+      } finally {
+        spark.conf.unset("graft.semdedup.np")
+        spark.conf.unset("graft.semdedup.prefilterBits")
+      }
+    }
+
+    // SPARK_GRAFT_LADDER=q79_ (prefix match, comma-separated) — run only
+    // matching rungs; unset = the full ladder (r16 rungs + the dial rungs)
+    val onlyModes = sys.env.get("SPARK_GRAFT_LADDER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(tag: String): Boolean =
+      onlyModes.forall(_.exists(tag.startsWith))
+    def gated(tag: String)(body: => Unit): Unit = if (want(tag)) body
+
+    gated("derived_split") {
+      report(derived, LshGate.splitFactor(spark), 0, "derived_split") }
     // the recall dial: distance-1 multi-probe over the low 4 suffix bits
-    report(derived, LshGate.splitFactor(spark), 4, "derived_split_p4")
+    gated("derived_split_p4") {
+      report(derived, LshGate.splitFactor(spark), 4, "derived_split_p4") }
     // the composed-recall answer (round 16): the banded union, split live
-    reportBanded(derived, LshGate.splitFactor(spark), "derived_banded")
+    gated("derived_banded") {
+      reportBanded(derived, LshGate.splitFactor(spark), "derived_banded") }
     // the recall/candidates FRONTIER: shorter bands trade candidate mass
     // for per-band collision probability (p ≈ 0.63^bb at cosine 0.4) —
     // the rungs quantify what recall ≥ the unsplit 0.74 would cost
-    if (derived > 7)
-      reportBanded(derived - 3, LshGate.splitFactor(spark), "banded_bb-3")
-    if (derived > 10)
-      reportBanded(derived - 6, LshGate.splitFactor(spark), "banded_bb-6")
+    if (derived > 7) gated("banded_bb-3") {
+      reportBanded(derived - 3, LshGate.splitFactor(spark), "banded_bb-3") }
+    if (derived > 10) gated("banded_bb-6") {
+      reportBanded(derived - 6, LshGate.splitFactor(spark), "banded_bb-6") }
     // the data-ADAPTIVE alternative: k-means cells (q68 SemDeDup), then
     // the multi-assignment recall dial on top
-    reportIvf("ivf_semdedup")
-    reportIvfNp(2, "ivf_semdedup_np2")
-    reportIvfNp(4, "ivf_semdedup_np4")
-    report(derived, 0, 0, "derived_nosplit")
-    if (derived != 8) report(8, 0, 0, "fixed8")
+    gated("ivf_semdedup") { reportIvf("ivf_semdedup") }
+    gated("ivf_semdedup_np2") { reportIvfNp(2, "ivf_semdedup_np2") }
+    gated("ivf_semdedup_np4") { reportIvfNp(4, "ivf_semdedup_np4") }
+    // the q79 dial matrix (round 17): np × prefilterBits, real operator
+    gated("q79_np2") { reportQ79(2, 0, "q79_np2") }
+    gated("q79_np2_pf16") { reportQ79(2, 16, "q79_np2_pf16") }
+    gated("q79_np2_pf32") { reportQ79(2, 32, "q79_np2_pf32") }
+    gated("q79_np4") { reportQ79(4, 0, "q79_np4") }
+    gated("q79_np4_pf32") { reportQ79(4, 32, "q79_np4_pf32") }
+    gated("derived_nosplit") { report(derived, 0, 0, "derived_nosplit") }
+    if (derived != 8) gated("fixed8") { report(8, 0, 0, "fixed8") }
     spark.stop()
   }
 }
