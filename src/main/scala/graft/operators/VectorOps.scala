@@ -346,8 +346,16 @@ object VectorOps {
     * Output identical by construction (the cosine is band-independent, so
     * the default's MIN is the same double; n_bands counts collisions
     * either way) — VectorOpsSpec pins plan-B ≡ plan-A, and the oracle
-    * text never changes. Measured at sf30 (NOTES_r17): keep whichever
-    * wins as the default, record the loser here. */
+    * text never changes.
+    *
+    * MEASURED NEGATIVE (round 17, alternated sf30 A/B, min-of-3 legs):
+    * default 32.92 / 31.53 s vs dedup-first 130.35 / 48.5 s — the saved
+    * dot work (≤4×, a tight codegen'd loop) never pays for shuffling the
+    * FULL pre-verify collision mass (the replica corpus's sub-bar pairs
+    * included) plus two pair-corpus rejoins; the default's map-side
+    * cosine filter is doing the real work. The dial stays for corpora
+    * where verified pairs ≈ colliding pairs (then the trade flips), but
+    * the default remains plan A — re-measure before believing otherwise. */
   def lshBandedDedupFirst(s: SparkSession): Boolean =
     s.conf.getOption("graft.lsh.bandedDedupFirst")
       .exists(v => v == "1" || v == "true")
