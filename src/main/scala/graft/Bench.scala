@@ -322,8 +322,8 @@ object Bench {
       .sortBy(_._1)
 
     // Prepared-statement reuse: each query's DataFrame is constructed ONCE
-    // (warmup) and re-executed per timed pass. Every count() still runs a
-    // full fresh QueryExecution — analysis, optimization, physical
+    // (warmup) and re-executed per timed pass. Every sink action still runs
+    // a full fresh QueryExecution — analysis, optimization, physical
     // planning, codegen lookup, and ALL stages/shuffles re-execute (fresh
     // shuffle ids; nothing is reused but the immutable logical plan), so
     // the measured work is the full query. What reuse removes is the
@@ -380,6 +380,26 @@ object Bench {
              spark.conf.get("graft.rank.maxWindowRows", (1L << 20).toString).toLong)
          Set("q17_customer_dim") else Set.empty[String])
 
+    // ---- the timed action: noop sink, NOT count() (round 17) ----------
+    // count() lets the optimizer prune everything cardinality-preserving
+    // above the last aggregation/join: q13's window + both sorts + the
+    // range exchange vanish (4 trivial stages where the declared plan has
+    // 2 exchanges + Window), q55's parse projection collapses to a bare
+    // scan count, and every final presentation sort is eliminated — while
+    // the DuckDB comparator fetchall()s the full result of the full
+    // query. The built-in noop sink (guide §1.4) computes EVERY column of
+    // EVERY row and discards, so the timed region covers the declared
+    // query on both sides. This is a MEASUREMENT-BUG FIX, not a speedup:
+    // totals from round 17 on are higher than the count-sink rounds by
+    // construction (the un-measured window/sort/projection work now
+    // bills); the count-sink numbers for this round are kept alongside in
+    // OPTIMIZATION_r17.md, and SPARK_GRAFT_SINK=count reproduces the old
+    // action for cross-round A/Bs.
+    val sinkCount = sys.env.get("SPARK_GRAFT_SINK").contains("count")
+    def runSink(df: org.apache.spark.sql.DataFrame): Unit =
+      if (sinkCount) { df.count(); () }
+      else df.write.format("noop").mode("overwrite").save()
+
     val calibBefore = calibrate()
     val calibMtBefore = calibrateMt(cpus.toInt)
     val failed = scala.collection.mutable.Set[String]()
@@ -388,7 +408,7 @@ object Bench {
     queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.count()
+        runSink(df)
         if (!rebuildEachPass(name)) prepared(name) = df
       }
       catch { case e: Throwable =>
@@ -439,10 +459,7 @@ object Bench {
           if (spillOn) { drainBus(); spillCur.set(name) }
           val t0 = System.nanoTime()
           val ok = try {
-            prepared.get(name) match {
-              case Some(df) => df.count()
-              case None     => fn(spark, sfDir).count()
-            }
+            runSink(prepared.getOrElse(name, fn(spark, sfDir)))
             true
           }
           catch { case e: Throwable =>
@@ -527,7 +544,7 @@ object Bench {
         System.gc()
         graft.operators.TextOps.invalidateSharedIndex()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count()
+        try { runSink(fn(spark, sfDir))
               Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] adjudication re-read of $nm FAILED: ${e.getMessage}")

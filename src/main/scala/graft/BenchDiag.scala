@@ -251,9 +251,19 @@ object ExplainQ {
     args.foreach { name =>
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.count() // materialize AQE final plan
+      // collect(), not count(): count() wraps the plan in ITS OWN
+      // QueryExecution, so df.queryExecution never executes and both
+      // explain forms below keep isFinalPlan=false — runtime exchange/
+      // stage reuse (q79's twin membership) would be invisible. Outputs
+      // at the explain SFs are small; the result is discarded.
+      df.collect()
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+      // FormattedMode renders the pre-adaptive operator tree even after
+      // execution; the executed-plan tree shows the final stages,
+      // including ReusedExchange/ShuffleQueryStage nodes.
+      println("===== executed (AQE final) =====")
+      println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native Catalyst dot product over two array<double> columns.
+/** Native Catalyst dot product over two array<double>/array<float> columns.
   *
   * The composable alternative — `aggregate(zip_with(a, b, (x,y) -> x*y),
   * 0d, (acc,v) -> acc+v)` — allocates an intermediate array per row and
@@ -21,7 +21,14 @@ import org.apache.spark.sql.types._
   * on ragged inputs: a length mismatch yields NULL, exactly like
   * `aggregate(zip_with(...))` where zip_with null-pads and the sum
   * propagates the null.
-  */
+  *
+  * Either side may be array<float> (round 17): each element widens to
+  * double BEFORE any arithmetic, and float→double widening is exact
+  * (IEEE 754 value-preserving), so the result is bit-identical to casting
+  * the array to array<double> first — which is exactly what the
+  * `transform(embedding, CAST AS DOUBLE)` it replaces did, per row, as an
+  * interpreted lambda with a fresh array allocation. Taking the raw float
+  * column also halves the vector bytes every downstream exchange carries. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -30,25 +37,37 @@ case class DotProduct(left: Expression, right: Expression)
   // nullable even over non-null inputs: ragged lengths produce NULL
   override def nullable: Boolean = true
 
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        TypeCheckResult.TypeCheckFailure(
-          s"dot_product requires (array<double>, array<double>), got " +
-            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-    }
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires (array<double|float>, array<double|float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  private def isFloat(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) null
     else {
+      val (fl, fr) = (isFloat(left.dataType), isFloat(right.dataType))
       val n = x.numElements()
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        val xv = if (fl) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (fr) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+        i += 1
+      }
       s
     }
   }
@@ -58,6 +77,8 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      def get(arr: String, t: DataType): String =
+        if (isFloat(t)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -65,7 +86,7 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |    $s += ${get(a, left.dataType)} * ${get(b, right.dataType)};
          |  }
          |  ${ev.value} = $s;
          |}

@@ -18,7 +18,11 @@ import org.apache.spark.sql.types._
   * made on these doubles (nearest-centroid min_by, probe ranking) is
   * BIT-IDENTICAL to the composed form and to the DuckDB oracle's
   * `list_reduce` replay; ragged lengths yield NULL exactly like the
-  * null-padding zip_with. */
+  * null-padding zip_with.
+  *
+  * Either side may be array<float> (round 17, same contract as
+  * [[DotProduct]]): elements widen to double before any arithmetic —
+  * exact, so results match the cast-to-double composed form bit for bit. */
 case class SqDist(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -27,26 +31,35 @@ case class SqDist(left: Expression, right: Expression)
   // nullable even over non-null inputs: ragged lengths produce NULL
   override def nullable: Boolean = true
 
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        TypeCheckResult.TypeCheckFailure(
-          s"sq_dist requires (array<double>, array<double>), got " +
-            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-    }
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"sq_dist requires (array<double|float>, array<double|float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  private def isFloat(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) null
     else {
+      val (fl, fr) = (isFloat(left.dataType), isFloat(right.dataType))
       val n = x.numElements()
       var s = 0.0
       var i = 0
       while (i < n) {
-        val d = x.getDouble(i) - y.getDouble(i)
+        val xv = if (fl) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (fr) y.getFloat(i).toDouble else y.getDouble(i)
+        val d = xv - yv
         s += d * d
         i += 1
       }
@@ -60,6 +73,8 @@ case class SqDist(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      def get(arr: String, t: DataType): String =
+        if (isFloat(t)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -67,7 +82,7 @@ case class SqDist(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    double $d = ${get(a, left.dataType)} - ${get(b, right.dataType)};
          |    $s += $d * $d;
          |  }
          |  ${ev.value} = $s;

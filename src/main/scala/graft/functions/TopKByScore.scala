@@ -73,9 +73,22 @@ class TopKByScore(k: Int)
 }
 
 object TopKByScore {
+  /** One UserDefinedFunction per k, shared by every call site (round 17).
+    * `udaf(new TopKByScore(k), …)` per call hands each plan a FRESH
+    * Aggregator/encoder object; ScalaAggregator's equality is field-wise
+    * over those references, so two structurally identical aggregations
+    * (q79's twin membership sides) never compare canonically equal and
+    * exchange reuse cannot fire — the whole crossJoin×centroids + top-k
+    * subtree executed twice. Sharing the instance restores the equality
+    * the optimizer needs; the object is an immutable definition holder,
+    * safe across sessions and threads. */
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
+
   /** Column-API entry: top-k (score, id, tag) structs, best-first. */
   def top_k_by_score(k: Int)(score: Column, id: Column, tag: Column): Column =
-    udaf(new TopKByScore(k),
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaInt))
+    shared.computeIfAbsent(k, kk =>
+      udaf(new TopKByScore(kk),
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaInt)))
       .apply(score, id, tag)
 }

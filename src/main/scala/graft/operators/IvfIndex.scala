@@ -508,7 +508,9 @@ object IvfIndex {
       .groupBy("vec_id")
       .agg(min_by(struct(col("v"), col("cid")),
                   struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.v").as("v"),
+      // float-stored v — exact round-trip; see build()'s note
+      .select(col("vec_id"),
+              col("m.v").cast(ArrayType(FloatType)).as("v"),
               sqrt(graft.functions.DotProduct.dot_product(col("m.v"), col("m.v"))).as("norm"),
               col("m.cid").as("cid"))
     coarseArr.toDF("ccid", "cv").coalesce(1)
@@ -523,7 +525,7 @@ object IvfIndex {
     // _meta.json LAST via atomic rename — the build-complete marker
     val tmp = Paths.get(s"$indexDir/_meta.json.tmp")
     Files.writeString(tmp,
-      s"""{"sfDir":"$sfDir","k":$k,"iters":$iters,"tree":true,"kc":$kc}""")
+      s"""{"sfDir":"$sfDir","k":$k,"iters":$iters,"tree":true,"kc":$kc,"vfmt":"f32"}""")
     Files.move(tmp, Paths.get(s"$indexDir/_meta.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -542,8 +544,16 @@ object IvfIndex {
     // final assignment: FULL corpus against the FINAL centroids — what
     // search + oracle see; norm is per-row constant, so precompute it
     // into the index
+    // v is STORED as array<float> (round 17): the doubles here are exact
+    // widenings of the raw float embeddings, so the downcast round-trips
+    // bit-exactly, and every consumer (dot_product/sq_dist/sign_code —
+    // all float-capable) widens back to the SAME doubles. Halves the
+    // assignments' vector bytes on disk and in every downstream exchange
+    // (q79's pair join carried 512 B/side/row of vector through its
+    // shuffle at sf30). norm stays the double computed BEFORE the cast.
     val finalAssign = assignVia(vecs, centArr)
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"),
+              col("v").cast(ArrayType(FloatType)).as("v"),
               sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))).as("norm"),
               col("cid"))
     centArr.toDF("cid", "cv").coalesce(1)
@@ -560,7 +570,7 @@ object IvfIndex {
     // _meta.json is the build-complete marker, written LAST via atomic
     // rename: a concurrent reader either sees a complete index or none.
     val tmp = Paths.get(s"$indexDir/_meta.json.tmp")
-    Files.writeString(tmp, s"""{"sfDir":"$sfDir","k":$k,"iters":$iters}""")
+    Files.writeString(tmp, s"""{"sfDir":"$sfDir","k":$k,"iters":$iters,"vfmt":"f32"}""")
     Files.move(tmp, Paths.get(s"$indexDir/_meta.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -576,8 +586,8 @@ object IvfIndex {
     val meta = Paths.get(s"$dir/_meta.json")
     val want =
       if (tree)
-        s"""{"sfDir":"$sfDir","k":$k,"iters":$Iters,"tree":true,"kc":${kcFor(k)}}"""
-      else s"""{"sfDir":"$sfDir","k":$k,"iters":$Iters}"""
+        s"""{"sfDir":"$sfDir","k":$k,"iters":$Iters,"tree":true,"kc":${kcFor(k)},"vfmt":"f32"}"""
+      else s"""{"sfDir":"$sfDir","k":$k,"iters":$Iters,"vfmt":"f32"}"""
     if (!Files.exists(meta) || Files.readString(meta) != want)
       build(s, sfDir, dir, k, Iters, tree)
     dir

@@ -55,11 +55,14 @@ object VectorOps {
     * broadcast the probes, scan candidates once, rank per probe. */
   val q40_cosine_topk: Q = (s, d) => {
     register(s)
+    // raw-float vectors (round 17): dot_product widens exactly — results
+    // bit-identical to the old interpreted CAST-lambda, broadcast and
+    // scan bytes halved (see lshCodedScan's note)
     val vecs = embeddings(s, d)
-      .select(col("vec_id"), expr(VECD).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
     val probes = embeddings(s, d).filter(col("vec_id") < 20)
-      .select(col("vec_id"), expr(VECD).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
     val scored = vecs.join(broadcast(probes), col("vec_id") =!= col("q_id"))
@@ -180,8 +183,14 @@ object VectorOps {
     // back to INT so the historical bucket schema (and the persisted
     // census artifacts) are unchanged
     val factor = LshGate.splitFactor(s)
+    // `v` is the RAW float array, not the double-cast copy (round 17):
+    // dot_product widens floats exactly, so every cosine downstream is
+    // bit-identical to the old transform(CAST AS DOUBLE) form — which ran
+    // as an interpreted lambda allocating a second 512-byte array per row
+    // on the scan hot path, and then shipped those doubles through every
+    // exchange. The float column halves the per-vector exchange bytes.
     val base = s.read.parquet(s"$d/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"), expr(VECD).as("v"),
+      .select(col("vec_id"), col("embedding"),
               graft.functions.SignCode.sign_code(col("embedding"), lit(0), lit(bits))
                 .cast(IntegerType).as("bucket"))
     val coded =
@@ -215,8 +224,9 @@ object VectorOps {
                 col("embedding"), lit(64) - col("ext"), col("ext"))))
       }
     coded
-      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
-      .select("vec_id", "v", "norm", "bucket", "ext", "extc")
+      .withColumn("norm", sqrt(dot_product(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("embedding").as("v"), col("norm"),
+              col("bucket"), col("ext"), col("extc"))
   }
 
   // ------------------------------------------------ banded sign-LSH
@@ -232,9 +242,9 @@ object VectorOps {
     val off = j * LshGate.BandWidth
     val extOff = LshGate.bandExtOff(j)
     val factor = LshGate.splitFactor(s)
-    // native sign code — see lshCodedScan's note
+    // native sign code + raw-float `v` — see lshCodedScan's notes
     val base = s.read.parquet(s"$d/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"), expr(VECD).as("v"),
+      .select(col("vec_id"), col("embedding"),
               graft.functions.SignCode.sign_code(col("embedding"), lit(off), lit(bb))
                 .cast(IntegerType).as("bucket"))
     val coded =
@@ -255,8 +265,9 @@ object VectorOps {
                 col("embedding"), lit(extOff), col("ext"))))
       }
     coded
-      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
-      .select("vec_id", "v", "norm", "bucket", "ext", "extc")
+      .withColumn("norm", sqrt(dot_product(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("embedding").as("v"), col("norm"),
+              col("bucket"), col("ext"), col("extc"))
   }
 
   /** Banded near-dup candidate generation + verification — the
@@ -294,9 +305,12 @@ object VectorOps {
     val bb = LshGate.bandBits(bits)
     val factor = LshGate.splitFactor(s)
     val bands = 0 until LshGate.Bands
+    // raw-float vectors end to end (round 17) — see lshCodedScan's note;
+    // the explode below carries each vector once per band, so the float
+    // column halves the dominant exchange of the whole q78 plan
     val base = s.read.parquet(s"$d/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"), expr(VECD).as("v"))
-      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("norm", sqrt(dot_product(col("embedding"), col("embedding"))))
     val withBuckets = bands.foldLeft(base) { (df, j) =>
       df.withColumn(s"bkt$j",
         graft.functions.SignCode.sign_code(
@@ -327,7 +341,7 @@ object VectorOps {
         }
       }
     withCells
-      .select(col("vec_id"), col("v"), col("norm"),
+      .select(col("vec_id"), col("embedding").as("v"), col("norm"),
         explode(array(bands.map(j => col(s"cell$j")): _*)).as("cell"))
       .select(col("vec_id"), col("v"), col("norm"),
         col("cell.band").as("band"), col("cell.bucket").as("bucket"),
@@ -397,7 +411,7 @@ object VectorOps {
         .agg(count(lit(1)).cast(IntegerType).as("n_bands"))
       def vecs(i: Int): DataFrame =
         s.read.parquet(s"$d/embeddings.parquet")
-          .select(col("vec_id").as(s"d$i"), expr(VECD).as(s"v$i"))
+          .select(col("vec_id").as(s"d$i"), col("embedding").as(s"v$i"))
           .withColumn(s"n$i", sqrt(dot_product(col(s"v$i"), col(s"v$i"))))
       pairs.join(vecs(1), Seq("d1")).join(vecs(2), Seq("d2"))
         .withColumn("cosine",
@@ -414,11 +428,12 @@ object VectorOps {
     * label; per-label accuracy out. */
   val q43_knn_accuracy: Q = (s, d) => {
     register(s)
+    // raw-float vectors (round 17) — see q40's note
     val vecs = embeddings(s, d)
-      .select(col("vec_id"), col("label"), expr(VECD).as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
     val probes = embeddings(s, d).filter(col("vec_id") < 50)
-      .select(col("vec_id"), col("label"), expr(VECD).as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
               col("v").as("qv"), col("norm").as("qn"))
@@ -543,7 +558,7 @@ object VectorOps {
       .select(col("q_id"), col("t._2").as("vec_id"))
     cands
       .join(broadcast(probes.select("q_id", "qv", "qn")), Seq("q_id"))
-      .join(embeddings(s, d).select(col("vec_id"), expr(VECD).as("v")), Seq("vec_id"))
+      .join(embeddings(s, d).select(col("vec_id"), col("embedding").as("v")), Seq("vec_id"))
       .withColumn("cosine",
         dot_product(col("qv"), col("v")) /
           (col("qn") * sqrt(dot_product(col("v"), col("v")))))
@@ -608,7 +623,7 @@ object VectorOps {
       .select(col("q_id"), col("t._2").as("vec_id"))
     cands
       .join(broadcast(probes.select("q_id", "qv", "qn")), Seq("q_id"))
-      .join(embeddings(s, d).select(col("vec_id"), expr(VECD).as("v")), Seq("vec_id"))
+      .join(embeddings(s, d).select(col("vec_id"), col("embedding").as("v")), Seq("vec_id"))
       .withColumn("cosine",
         dot_product(col("qv"), col("v")) /
           (col("qn") * sqrt(dot_product(col("v"), col("v")))))
@@ -784,11 +799,18 @@ object VectorOps {
         dot_product(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= SemDedupTau)
       // a pair sharing BOTH cells appears twice with the same cosine;
-      // the min-by-(candidate id) struct election dedups and elects in
-      // one map-side-combinable aggregate
+      // the min-by-(candidate id) election dedups and elects in one
+      // map-side-combinable aggregate. min(d1) + min_by(cos, d1), NOT
+      // min(struct(d1, cos)) (round 17): a struct-typed buffer forces
+      // SortAggregate, which SORTS the full verified-pair stream on both
+      // sides of the exchange (~600 M rows at the sf30 rung); the two
+      // primitive-buffer aggregates hash-aggregate instead. Equivalent
+      // by construction: rows sharing (d2, d1) carry the SAME cosine
+      // (one pair seen via both shared cells), so min_by's first-seen
+      // tie-break cannot differ from the struct ordering's cos tie-break.
       .groupBy(col("d2").as("vec_id"))
-      .agg(min(struct(col("d1"), col("cos"))).as("m"))
-      .select(col("vec_id"), col("m.d1").as("dup_of"), col("m.cos").as("cosine"))
+      .agg(min(col("d1")).as("dup_of"), min_by(col("cos"), col("d1")).as("cosine"))
+      .select(col("vec_id"), col("dup_of"), col("cosine"))
       .orderBy("vec_id")
   }
 

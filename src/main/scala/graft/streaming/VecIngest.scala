@@ -59,8 +59,13 @@ object VecIngest {
     val vecs = batch.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val cent = IvfIndex.centroids(s, indexDir)
+    // v stored as array<float>, matching the base build's round-17 layout
+    // (exact round-trip — the doubles are widenings of the raw floats);
+    // assignmentsWithDelta unions base + delta, so the schemas must agree
     IvfIndex.assign(vecs, cent)
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"),
+        col("v").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("v"),
         sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))).as("norm"),
         col("cid"))
       .repartition(col("cid")).write.mode("overwrite")

@@ -122,7 +122,8 @@ class VectorOpsSpec extends AnyFunSuite {
     val asg = spark.read.parquet(s"$idx/assignments")
       .select("cid", "vec_id", "v", "norm").collect()
       .map(r => (r.getAs[Int]("cid"), r.getAs[Long]("vec_id"),
-                 r.getSeq[Double](2).toArray, r.getAs[Double]("norm")))
+                 r.getSeq[Float](2).toArray.map(_.toDouble),
+                 r.getAs[Double]("norm")))
     val expected = asg.groupBy(_._1).map { case (cid, ms) =>
       val sorted = ms.sortBy(_._2)
       val dups = sorted.count { case (_, id, v, n) =>
@@ -150,7 +151,8 @@ class VectorOpsSpec extends AnyFunSuite {
     val asg = spark.read.parquet(s"$idx/assignments")
       .select("cid", "vec_id", "v", "norm").collect()
       .map(r => (r.getAs[Int]("cid"), r.getAs[Long]("vec_id"),
-                 r.getSeq[Double](2).toArray, r.getAs[Double]("norm")))
+                 r.getSeq[Float](2).toArray.map(_.toDouble),
+                 r.getAs[Double]("norm")))
     val cent = spark.read.parquet(s"$idx/centroids.parquet")
       .select("cid", "cv").collect()
       .map(r => (r.getAs[Int]("cid"), r.getSeq[Double](1).toArray))
@@ -198,7 +200,8 @@ class VectorOpsSpec extends AnyFunSuite {
     val asg = spark.read.parquet(s"$idx/assignments")
       .select("cid", "vec_id", "v", "norm").collect()
       .map(r => (r.getAs[Int]("cid"), r.getAs[Long]("vec_id"),
-                 r.getSeq[Double](2).toArray, r.getAs[Double]("norm")))
+                 r.getSeq[Float](2).toArray.map(_.toDouble),
+                 r.getAs[Double]("norm")))
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s

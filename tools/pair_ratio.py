@@ -18,7 +18,17 @@ two components with different meanings at deployment scale:
 This tool makes both terms visible so the erosion mechanism is bounded
 instead of silently eating the margin.
 
-Usage: pair_ratio.py <spark_bench_stderr> <duckdb_json> [floor_sec]
+Usage: pair_ratio.py <spark_bench_stderr> <duckdb_json>[,<duckdb_json>...]
+       [floor_sec]
+
+Multiple comma-separated DuckDB artifacts are PER-QUERY MIN-merged
+(round 17, VERDICT r16 #5): the r16 pairs took the best of three legs by
+TOTAL, which still lets one slow query inside the best leg distort its
+term when the comparator side has weather (PAIRS_r16 measured ~1.5x
+uniform drift between legs on unchanged oracle texts). Per-query min
+across legs is the same min-of-k estimator Bench applies to its own
+passes, applied symmetrically to the comparator; each leg's total and
+calibration stay disclosed in the output.
 """
 import json
 import re
@@ -35,9 +45,26 @@ def spark_mins(path):
     return json.loads(m.group(1))["mins"]
 
 
+def duck_mins(paths):
+    """Per-query min across the given DuckDB artifacts, with per-leg
+    disclosure (total + calib) so the merge is auditable."""
+    legs = [json.load(open(p)) for p in paths]
+    for p, leg in zip(paths, legs):
+        q = leg["queries"]
+        print(f"  duck leg {p}: total {sum(q.values()):.2f}s "
+              f"calib {leg.get('calib_before_s', '?')}/"
+              f"{leg.get('calib_after_s', '?')}")
+    merged = {}
+    for leg in legs:
+        for k, v in leg["queries"].items():
+            if v > 0 and (k not in merged or v < merged[k]):
+                merged[k] = v
+    return merged
+
+
 def main():
     spark = spark_mins(sys.argv[1])
-    duck = json.load(open(sys.argv[2]))["queries"]
+    duck = duck_mins(sys.argv[2].split(","))
     floor = float(sys.argv[3]) if len(sys.argv) > 3 else 0.5
     common = sorted(q for q in spark
                     if q in duck and spark[q] > 0 and duck[q] > 0)
